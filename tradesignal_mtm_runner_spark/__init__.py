@@ -1,0 +1,9 @@
+"""PySpark-native trade-signal MTM engine + large-scale data-pipeline ops.
+
+Spark-first re-expression of the capabilities of
+dexterchan/tradesignal_mtm_runner (see SURVEY.md).
+"""
+
+__version__ = "0.1.0"
+
+from .config import PnlCalcConfig  # noqa: F401

@@ -1,0 +1,326 @@
+"""Driver-facing query registry: Spark implementation + DuckDB oracle.
+
+Each entry in ``QUERIES`` is a callable (spark, sf_dir) -> DataFrame;
+``ORACLES`` holds the equivalent DuckDB SQL over the same parquet
+tables (pre-registered views). Column names/types are kept in
+lock-step — floats are rounded to 9 decimals on BOTH sides so the
+order-insensitive value-hash comparison is robust to engine-level
+summation-order differences (measured <= 6e-14 on cumsums).
+
+MTM query constants: fee_rate=0.001, laid_back_tax=0.0001 — chosen to
+exercise the fee/tax terms (reference trade_reward.py:144-166).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import PnlCalcConfig
+from .models import PROFIT_SLIPPAGE
+from .operators.mtm import extract_trades, mtm_summary, signal_mtm_timeline
+from .sources import load_table, signals_from_events
+
+FEE = 0.001
+TAX = 0.0001
+ROUND = 9
+
+_ORDER = ["timestamp", "event_id"]
+
+
+def _signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return signals_from_events(load_table(spark, sf_dir, "events"))
+
+
+def _cfg() -> PnlCalcConfig:
+    return PnlCalcConfig(
+        roi={0: float("inf")}, stoploss=float("-inf"), fee_rate=FEE, laid_back_tax=TAX
+    )
+
+
+def _timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return signal_mtm_timeline(_signals(spark, sf_dir), _cfg(), order_cols=_ORDER)
+
+
+def r9(c) -> F.Column:
+    return F.round(c, ROUND)
+
+
+# --------------------------------------------------------------------------
+# Spark-side queries
+# --------------------------------------------------------------------------
+
+def q_price_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.timeseries import price_diff, symbol_window
+
+    sig = _signals(spark, sf_dir)
+    w = symbol_window("symbol", _ORDER)
+    return sig.select(
+        "symbol",
+        "timestamp",
+        "event_id",
+        "close",
+        r9(price_diff(F.col("close"), w)).alias("price_movement"),
+    )
+
+
+def q_mtm_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = _timeline(spark, sf_dir)
+    return tl.select(
+        "symbol",
+        "timestamp",
+        "event_id",
+        "close",
+        "buy",
+        "sell",
+        "position",
+        "opened",
+        "closed",
+        r9(F.col("entry_price")).alias("entry_price"),
+        r9(F.col("mtm_ratio")).alias("mtm_ratio"),
+        r9(F.col("pnl_ratio")).alias("pnl_ratio"),
+    )
+
+
+def q_pnl_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = _timeline(spark, sf_dir)
+    return tl.groupBy("symbol").agg(r9(F.sum("mtm_ratio")).alias("pnl"))
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.timeseries import running_max_drawdown, symbol_window
+
+    tl = _timeline(spark, sf_dir)
+    w = symbol_window("symbol", _ORDER)
+    dd = running_max_drawdown(F.col("pnl_ratio"), w)
+    return (
+        tl.withColumn("_dd", dd)
+        .groupBy("symbol")
+        .agg(r9(F.max("_dd")).alias("max_drawdown"))
+    )
+
+
+def q_sharpe_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = _timeline(spark, sf_dir)
+    summ = mtm_summary(tl, ts_col="timestamp")
+    return summ.select("symbol", r9(F.col("sharpe_ratio")).alias("sharpe_ratio"))
+
+
+def q_mtm_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = _timeline(spark, sf_dir)
+    summ = mtm_summary(tl, ts_col="timestamp")
+    return summ.select(
+        "symbol",
+        r9(F.col("pnl")).alias("pnl"),
+        r9(F.col("max_drawdown")).alias("max_drawdown"),
+        r9(F.col("sharpe_ratio")).alias("sharpe_ratio"),
+        "mkt_start_epoch",
+        "mkt_end_epoch",
+        F.col("long_trades_closed").cast("long").alias("long_trades_closed"),
+        F.col("long_trades_outstanding").cast("long").alias("long_trades_outstanding"),
+    )
+
+
+def q_trades_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = _timeline(spark, sf_dir)
+    tr = extract_trades(tl)
+    return tr.select(
+        "symbol",
+        F.col("trade_id").cast("long").alias("trade_id"),
+        "direction",
+        "entry_datetime",
+        r9(F.col("entry_price")).alias("entry_price"),
+        "exit_datetime",
+        r9(F.col("exit_price")).alias("exit_price"),
+        "is_closed",
+        "close_reason",
+        r9(F.col("pnl_normalized_gross")).alias("pnl_normalized_gross"),
+    )
+
+
+def q_buy_hold_mtm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline: buy at the first bar, hold to the last."""
+    from pyspark.sql import Window
+
+    sig = _signals(spark, sf_dir)
+    wf = (
+        Window.partitionBy("symbol")
+        .orderBy("timestamp", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        sig.select(
+            "symbol",
+            F.first("close").over(wf).alias("_first"),
+            F.last("close").over(wf).alias("_last"),
+        )
+        .distinct()
+        .select(
+            "symbol",
+            r9((F.col("_last") - F.col("_first")) / F.col("_first")).alias(
+                "pnl_buy_hold"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL (shared pipeline fragment)
+# --------------------------------------------------------------------------
+
+_SIGNALS_SQL = """
+signals AS (
+  SELECT CAST(user_id AS VARCHAR) AS symbol,
+         ts AS timestamp,
+         event_id,
+         value AS close,
+         CAST(event_type = 'purchase' AS INT) AS buy,
+         CAST(event_type = 'click' AS INT) AS sell
+  FROM events
+)"""
+
+_W = "PARTITION BY symbol ORDER BY timestamp, event_id"
+_WCUM = f"{_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+_TIMELINE_SQL = f"""
+WITH {_SIGNALS_SQL},
+s1 AS (
+  SELECT *, CASE WHEN buy=1 THEN 'B' WHEN sell=1 THEN 'S' END AS sig FROM signals
+),
+s2 AS (
+  SELECT *,
+    CASE WHEN last_value(sig IGNORE NULLS) OVER ({_WCUM}) = 'B' THEN 1 ELSE 0 END AS position
+  FROM s1
+),
+s3 AS (
+  SELECT *,
+    COALESCE(lag(position) OVER ({_W}), 0) AS prev_pos,
+    close - lag(close) OVER ({_W}) AS price_diff
+  FROM s2
+),
+s4 AS (
+  SELECT *,
+    CASE WHEN position=1 AND prev_pos=0 THEN 1 ELSE 0 END AS opened,
+    CASE WHEN position=0 AND prev_pos=1 THEN 1 ELSE 0 END AS closed
+  FROM s3
+),
+s5 AS (
+  SELECT *,
+    last_value(CASE WHEN opened=1 THEN close END IGNORE NULLS) OVER ({_WCUM}) AS entry_price
+  FROM s4
+),
+s6 AS (
+  SELECT *,
+    COALESCE(prev_pos * price_diff / lag(entry_price) OVER ({_W}), 0)
+      - {FEE} * (opened + closed)
+      - {TAX} * (1 - position) AS mtm_ratio
+  FROM s5
+),
+timeline AS (
+  SELECT *, sum(mtm_ratio) OVER ({_WCUM}) AS pnl_ratio FROM s6
+)"""
+
+_SUMMARY_SQL = f"""
+{_TIMELINE_SQL},
+dd AS (
+  SELECT *,
+    greatest(0.0, max(pnl_ratio) OVER ({_WCUM})) - pnl_ratio AS drawdown,
+    mtm_ratio - {PROFIT_SLIPPAGE} AS mtm_slip
+  FROM timeline
+),
+summary AS (
+  SELECT symbol,
+    sum(mtm_ratio) AS pnl,
+    max(drawdown) AS max_drawdown,
+    CASE WHEN stddev_pop(mtm_slip) = 0 THEN -1e50
+         ELSE (sum(mtm_slip) / ((epoch_ms(max(timestamp)) - epoch_ms(min(timestamp))) / 1000.0 / 3600.0))
+              / stddev_pop(mtm_slip) * sqrt(365.0 * 24.0)
+    END AS sharpe_ratio,
+    epoch_ms(min(timestamp)) AS mkt_start_epoch,
+    epoch_ms(max(timestamp)) AS mkt_end_epoch,
+    CAST(sum(closed) AS BIGINT) AS long_trades_closed,
+    CAST(sum(opened) - sum(closed) AS BIGINT) AS long_trades_outstanding
+  FROM dd GROUP BY symbol
+)"""
+
+ORACLES: dict[str, str] = {
+    "price_movement": f"""
+WITH {_SIGNALS_SQL}
+SELECT symbol, timestamp, event_id, close,
+       round(close - lag(close) OVER ({_W}), {ROUND}) AS price_movement
+FROM signals
+""",
+    "mtm_timeline": f"""
+{_TIMELINE_SQL}
+SELECT symbol, timestamp, event_id, close, buy, sell, position, opened, closed,
+       round(entry_price, {ROUND}) AS entry_price,
+       round(mtm_ratio, {ROUND}) AS mtm_ratio,
+       round(pnl_ratio, {ROUND}) AS pnl_ratio
+FROM timeline
+""",
+    "pnl_per_symbol": f"""
+{_TIMELINE_SQL}
+SELECT symbol, round(sum(mtm_ratio), {ROUND}) AS pnl FROM timeline GROUP BY symbol
+""",
+    "max_drawdown": f"""
+{_TIMELINE_SQL}
+SELECT symbol, round(max(greatest(0.0, rm) - pnl_ratio), {ROUND}) AS max_drawdown
+FROM (SELECT *, max(pnl_ratio) OVER ({_WCUM}) AS rm FROM timeline)
+GROUP BY symbol
+""",
+    "sharpe_ratio": f"""
+{_SUMMARY_SQL}
+SELECT symbol, round(sharpe_ratio, {ROUND}) AS sharpe_ratio FROM summary
+""",
+    "mtm_summary": f"""
+{_SUMMARY_SQL}
+SELECT symbol, round(pnl, {ROUND}) AS pnl,
+       round(max_drawdown, {ROUND}) AS max_drawdown,
+       round(sharpe_ratio, {ROUND}) AS sharpe_ratio,
+       mkt_start_epoch, mkt_end_epoch,
+       long_trades_closed, long_trades_outstanding
+FROM summary
+""",
+    "trades_extract": f"""
+{_TIMELINE_SQL},
+entries AS (
+  SELECT symbol, trade_id, timestamp AS entry_datetime, close AS entry_price
+  FROM (SELECT *, sum(opened) OVER ({_WCUM}) AS trade_id FROM timeline)
+  WHERE opened = 1
+),
+exits AS (
+  SELECT symbol, trade_id, timestamp AS exit_datetime, close AS exit_price
+  FROM (SELECT *, sum(opened) OVER ({_WCUM}) AS trade_id FROM timeline)
+  WHERE closed = 1
+)
+SELECT e.symbol, CAST(e.trade_id AS BIGINT) AS trade_id,
+       'LONG' AS direction,
+       e.entry_datetime, round(e.entry_price, {ROUND}) AS entry_price,
+       x.exit_datetime, round(x.exit_price, {ROUND}) AS exit_price,
+       x.exit_datetime IS NOT NULL AS is_closed,
+       CASE WHEN x.exit_datetime IS NOT NULL THEN 'SIGNAL' END AS close_reason,
+       round((x.exit_price - e.entry_price) / e.entry_price, {ROUND}) AS pnl_normalized_gross
+FROM entries e LEFT JOIN exits x ON e.symbol = x.symbol AND e.trade_id = x.trade_id
+""",
+    "buy_hold_mtm": f"""
+WITH {_SIGNALS_SQL}
+SELECT DISTINCT symbol,
+       round((last_value(close) OVER wf - first_value(close) OVER wf)
+             / first_value(close) OVER wf, {ROUND}) AS pnl_buy_hold
+FROM signals
+WINDOW wf AS ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "price_movement": q_price_movement,
+    "mtm_timeline": q_mtm_timeline,
+    "pnl_per_symbol": q_pnl_per_symbol,
+    "max_drawdown": q_max_drawdown,
+    "sharpe_ratio": q_sharpe_ratio,
+    "mtm_summary": q_mtm_summary,
+    "trades_extract": q_trades_extract,
+    "buy_hold_mtm": q_buy_hold_mtm,
+}

@@ -1,0 +1,82 @@
+"""Input connectors: turn raw tables into signal frames.
+
+The reference consumes pandas frames with (timestamp index, close,
+buy, sell) columns (reference: runner_mtm.py:96-116). Here a signal
+frame is a Spark DataFrame with columns
+(symbol, timestamp, close, buy, sell) — one row per bar per symbol.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+#: testdata parquet stores TIMESTAMP(NANOS) which Spark has no native
+#: type for — read as long ns and truncate to µs (= DuckDB precision).
+_NANOS_TS_COLUMNS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_TS_COLUMNS.get(name, []):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    return {n: load_table(spark, sf_dir, n) for n in (names or TPCH_TABLES)}
+
+
+def signals_from_events(
+    events: DataFrame,
+    buy_event: str = "purchase",
+    sell_event: str = "click",
+) -> DataFrame:
+    """Map the synthetic ``events`` stream to a signal frame.
+
+    symbol = user_id, bar ts = event ts, close = value,
+    buy when event_type == buy_event, sell when event_type == sell_event.
+    Column pruning: selects only the 5 needed columns so the parquet
+    scan never reads ``props``.
+    """
+    return events.select(
+        F.col("user_id").cast("string").alias("symbol"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id"),
+        F.col("value").alias("close"),
+        (F.col("event_type") == buy_event).cast("int").alias("buy"),
+        (F.col("event_type") == sell_event).cast("int").alias("sell"),
+    )
+
+
+#: SQL fragment producing the identical signal frame in DuckDB — keep in
+#: lock-step with signals_from_events (used by oracle_sql()).
+SIGNALS_FROM_EVENTS_SQL = """
+    SELECT CAST(user_id AS VARCHAR) AS symbol,
+           ts AS timestamp,
+           event_id,
+           value AS close,
+           CAST(event_type = 'purchase' AS INT) AS buy,
+           CAST(event_type = 'click' AS INT) AS sell
+    FROM events
+"""
