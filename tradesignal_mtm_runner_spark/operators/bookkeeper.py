@@ -1,0 +1,310 @@
+"""Full MTM bookkeeping engine — the general-configuration path.
+
+Re-implements the reference's per-bar bookkeeping loop (reference:
+src/tradesignal_mtm_runner/trade_reward.py:81-168, runner_mtm.py:118)
+for ALL configurations: ROI take-profit tiers, stoploss, short
+positions, max_position_per_symbol > 1, FIFO/LIFO/WORST_PRICE
+inventory.
+
+Price-dependent closes (ROI/stoploss) feed back into position state,
+so the process is inherently sequential WITHIN a symbol — no window
+algebra can express it. The Spark plan is therefore
+``groupBy(symbol).applyInPandas(simulate)``: Arrow-batched transfer,
+one numpy state machine per group, embarrassingly parallel ACROSS
+symbols. That is the axis that scales: at 100 TB the input is ~1e5-1e6
+symbol×strategy groups of bounded length (a year of 1-minute bars is
+~526k rows), each fitting comfortably in one task.
+
+Per-bar semantics replicated exactly (order matters):
+  1. mtm(t) = sum over open trades entered strictly before t of
+     ±(close[t]-close[t-1]) / entry_price
+  2. ROI close, longs then shorts: close when normalized pnl exceeds
+     the MINIMUM roi threshold whose minute-offset <= holding age
+     (reference helper.py:37-67: max(pnl - thresholds) > 0)
+  3. stoploss close, longs then shorts: pnl < -|stoploss|
+  4. signal: BUY -> at-max-long? no-op; else close oldest short if
+     any (no simultaneous open!), else open long. SELL symmetric;
+     short opens gated by enable_short_position. Fee |fee_rate| per
+     open/close.
+  5. laid_back_tax charged when no position remains open.
+  6. mtm_history[t] = mtm(t) - fees(t)
+
+Known deviation from the reference (documented, intentional): the
+reference mutates its live-position list while iterating it
+(trade_reward.py:198,236 + list.remove in the close helper), which
+silently SKIPS the element after each close when two trades are
+eligible in the same bar. We close every eligible trade. The
+reference's own tests never exercise that path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import PnlCalcConfig
+from ..models import InventoryMode
+
+_LONG, _SHORT = 1, -1
+
+TIMELINE_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType(), False),
+        T.StructField("timestamp", T.TimestampType(), False),
+        T.StructField("close", T.DoubleType(), True),
+        T.StructField("buy", T.IntegerType(), True),
+        T.StructField("sell", T.IntegerType(), True),
+        T.StructField("mtm_ratio", T.DoubleType(), True),
+        T.StructField("pnl_ratio", T.DoubleType(), True),
+    ]
+)
+
+TRADES_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType(), False),
+        T.StructField("direction", T.StringType(), False),
+        T.StructField("entry_datetime", T.TimestampType(), False),
+        T.StructField("entry_price", T.DoubleType(), False),
+        T.StructField("exit_datetime", T.TimestampType(), True),
+        T.StructField("exit_price", T.DoubleType(), True),
+        T.StructField("is_closed", T.BooleanType(), False),
+        T.StructField("close_reason", T.StringType(), True),
+        T.StructField("pnl_normalized", T.DoubleType(), True),
+    ]
+)
+
+
+class _Trade:
+    __slots__ = ("entry_i", "entry_ts", "entry_price", "direction",
+                 "exit_ts", "exit_price", "close_reason")
+
+    def __init__(self, entry_i: int, entry_ts: float, entry_price: float, direction: int):
+        self.entry_i = entry_i
+        self.entry_ts = entry_ts
+        self.entry_price = entry_price
+        self.direction = direction
+        self.exit_ts = None
+        self.exit_price = None
+        self.close_reason = None
+
+
+def _pick_to_close(live: list[_Trade], mode: InventoryMode) -> int:
+    """Index of the trade to close on an opposing signal.
+
+    FIFO = earliest entry; LIFO = latest; WORST_PRICE = highest entry
+    for longs / lowest for shorts (reference models.py:158-186).
+    """
+    if mode == InventoryMode.FIFO:
+        return min(range(len(live)), key=lambda i: live[i].entry_i)
+    if mode == InventoryMode.LIFO:
+        return max(range(len(live)), key=lambda i: live[i].entry_i)
+    # WORST_PRICE
+    if live[0].direction == _LONG:
+        return max(range(len(live)), key=lambda i: live[i].entry_price)
+    return min(range(len(live)), key=lambda i: live[i].entry_price)
+
+
+def simulate_symbol(
+    ts_sec: np.ndarray,
+    close: np.ndarray,
+    buy: np.ndarray,
+    sell: np.ndarray,
+    config: PnlCalcConfig,
+    inventory_mode: InventoryMode = InventoryMode.FIFO,
+) -> tuple[np.ndarray, list[_Trade]]:
+    """Single-symbol state machine. ts_sec: float seconds since epoch,
+    MUST be sorted ascending. Returns (mtm per bar, all trades)."""
+    n = len(close)
+    mtm = np.zeros(n, dtype=np.float64)
+    fee = abs(config.fee_rate)
+    tax = abs(config.laid_back_tax)
+    stop = abs(config.stoploss) if config.has_stoploss else np.inf
+    max_pos = config.max_position_per_symbol
+
+    # roi tiers: offsets ascending (seconds) with prefix-min thresholds;
+    # active minimum threshold = prefix_min[rightmost offset <= age]
+    roi_off = np.array(sorted(config.roi), dtype=np.float64) * 60.0
+    roi_thr = np.array([config.roi[int(k // 60)] for k in roi_off], dtype=np.float64)
+    roi_min = np.minimum.accumulate(roi_thr)
+    roi_live = config.has_roi
+
+    longs: list[_Trade] = []
+    shorts: list[_Trade] = []
+    done: list[_Trade] = []
+
+    def close_trade(live: list[_Trade], idx: int, i: int, reason: str) -> float:
+        tr = live.pop(idx)
+        tr.exit_ts = ts_sec[i]
+        tr.exit_price = close[i]
+        tr.close_reason = reason
+        done.append(tr)
+        return fee
+
+    for i in range(n):
+        p = close[i]
+        fees = 0.0
+        # 1. mtm over trades opened strictly before this bar
+        if i > 0 and (longs or shorts):
+            diff = close[i] - close[i - 1]
+            acc = 0.0
+            for tr in longs:
+                if tr.entry_i < i:
+                    acc += diff / tr.entry_price
+            for tr in shorts:
+                if tr.entry_i < i:
+                    acc -= diff / tr.entry_price
+            mtm[i] = acc
+        # 2. ROI close (longs then shorts)
+        if roi_live:
+            for live, sgn in ((longs, 1.0), (shorts, -1.0)):
+                j = 0
+                while j < len(live):
+                    tr = live[j]
+                    pnl = sgn * (p - tr.entry_price) / tr.entry_price
+                    k = np.searchsorted(roi_off, ts_sec[i] - tr.entry_ts, side="right") - 1
+                    if k >= 0 and pnl > roi_min[k]:
+                        fees += close_trade(live, j, i, "ROI")
+                    else:
+                        j += 1
+        # 3. stoploss close (longs then shorts)
+        if stop != np.inf:
+            for live, sgn in ((longs, 1.0), (shorts, -1.0)):
+                j = 0
+                while j < len(live):
+                    tr = live[j]
+                    pnl = sgn * (p - tr.entry_price) / tr.entry_price
+                    if pnl < -stop:
+                        fees += close_trade(live, j, i, "STOP_LOSS")
+                    else:
+                        j += 1
+        # 4. signal (buy wins when both set — reference runner_mtm.py:156)
+        if buy[i] == 1:
+            if len(longs) < max_pos:
+                if shorts:
+                    fees += close_trade(shorts, _pick_to_close(shorts, inventory_mode), i, "SIGNAL")
+                else:
+                    longs.append(_Trade(i, ts_sec[i], p, _LONG))
+                    fees += fee
+        elif sell[i] == 1:
+            if len(shorts) < max_pos:
+                if longs:
+                    fees += close_trade(longs, _pick_to_close(longs, inventory_mode), i, "SIGNAL")
+                elif config.enable_short_position:
+                    shorts.append(_Trade(i, ts_sec[i], p, _SHORT))
+                    fees += fee
+        # 5. laid back tax
+        if not longs and not shorts:
+            fees += tax
+        # 6.
+        mtm[i] -= fees
+
+    return mtm, done + longs + shorts
+
+
+def _make_apply_fn(config: PnlCalcConfig, inventory_mode: InventoryMode, output: str):
+    fee = abs(config.fee_rate)
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["timestamp", "event_id"] if "event_id" in pdf.columns else ["timestamp"])
+        ts = pdf["timestamp"].to_numpy()
+        ts_sec = ts.astype("datetime64[us]").astype(np.int64) / 1e6
+        close = pdf["close"].to_numpy(dtype=np.float64)
+        buy = pdf["buy"].to_numpy(dtype=np.int64)
+        sell = pdf["sell"].to_numpy(dtype=np.int64)
+        mtm, trades = simulate_symbol(ts_sec, close, buy, sell, config, inventory_mode)
+        symbol = pdf["symbol"].iloc[0]
+        if output == "timeline":
+            return pd.DataFrame(
+                {
+                    "symbol": symbol,
+                    "timestamp": ts,
+                    "close": close,
+                    "buy": buy.astype(np.int32),
+                    "sell": sell.astype(np.int32),
+                    "mtm_ratio": mtm,
+                    "pnl_ratio": np.cumsum(mtm),
+                }
+            )
+        # trades output; pnl_normalized includes entry+exit fee like the
+        # reference's ProxyTrade.pnl (models.py:117-131, fee on entry price)
+        rows = []
+        for tr in trades:
+            closed = tr.exit_ts is not None
+            sgn = 1.0 if tr.direction == _LONG else -1.0
+            pnl = None
+            if closed:
+                pnl = (sgn * (tr.exit_price - tr.entry_price) / tr.entry_price) - 2 * fee
+            rows.append(
+                {
+                    "symbol": symbol,
+                    "direction": "LONG" if tr.direction == _LONG else "SHORT",
+                    "entry_datetime": np.datetime64(int(round(tr.entry_ts * 1e6)), "us"),
+                    "entry_price": tr.entry_price,
+                    "exit_datetime": np.datetime64(int(round(tr.exit_ts * 1e6)), "us") if closed else None,
+                    "exit_price": tr.exit_price if closed else None,
+                    "is_closed": closed,
+                    "close_reason": tr.close_reason,
+                    "pnl_normalized": pnl,
+                }
+            )
+        cols = [f.name for f in TRADES_SCHEMA.fields]
+        return pd.DataFrame(rows, columns=cols)
+
+    return apply_fn
+
+
+def run_mtm_bookkeeper(
+    signals: DataFrame,
+    config: PnlCalcConfig | None = None,
+    inventory_mode: InventoryMode = InventoryMode.FIFO,
+    output: str = "timeline",
+) -> DataFrame:
+    """Distributed full-engine MTM run.
+
+    signals: DataFrame(symbol, timestamp[, event_id], close, buy, sell).
+    output: "timeline" (per-bar mtm/pnl) or "trades" (archive +
+    outstanding, reference Mtm_Result trade lists).
+    """
+    config = config or PnlCalcConfig.get_default()
+    if output not in ("timeline", "trades"):
+        raise ValueError("output must be 'timeline' or 'trades'")
+    schema = TIMELINE_SCHEMA if output == "timeline" else TRADES_SCHEMA
+    cols = [c for c in ["symbol", "timestamp", "event_id", "close", "buy", "sell"] if c in signals.columns]
+    return (
+        signals.select(*cols)
+        .groupBy("symbol")
+        .applyInPandas(_make_apply_fn(config, inventory_mode, output), schema=schema)
+    )
+
+
+def summarize_timeline(timeline: DataFrame) -> DataFrame:
+    """Per-symbol pnl / max_drawdown / sharpe from any MTM timeline
+    (works for both the declarative and the bookkeeper engines)."""
+    from ..functions.timeseries import running_max_drawdown, symbol_window
+    from ..models import MIN_NUMERIC_VALUE, PROFIT_SLIPPAGE
+
+    w = symbol_window("symbol", ["timestamp"])
+    dd = running_max_drawdown(F.col("pnl_ratio"), w)
+    enriched = timeline.withColumn("_dd", dd).withColumn(
+        "_slip", F.col("mtm_ratio") - F.lit(PROFIT_SLIPPAGE)
+    )
+    hours = (
+        (F.unix_millis(F.max("timestamp")) - F.unix_millis(F.min("timestamp")))
+        / F.lit(1000.0)
+        / F.lit(3600.0)
+    )
+    std = F.stddev_pop("_slip")
+    sharpe = F.when(std == 0, F.lit(MIN_NUMERIC_VALUE)).otherwise(
+        F.sum("_slip") / hours / std * F.sqrt(F.lit(365.0 * 24.0))
+    )
+    return enriched.groupBy("symbol").agg(
+        F.sum("mtm_ratio").alias("pnl"),
+        F.max("_dd").alias("max_drawdown"),
+        sharpe.alias("sharpe_ratio"),
+        F.unix_millis(F.min("timestamp")).alias("mkt_start_epoch"),
+        F.unix_millis(F.max("timestamp")).alias("mkt_end_epoch"),
+    )

@@ -140,6 +140,59 @@ def q_trades_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mtm_full_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL bookkeeper (roi+stoploss+shorts+maxpos=3) — price-feedback
+    closes are not SQL-expressible; driver records rows-only. Parity
+    with the declarative engine is pytest-proven on restricted configs
+    (tests/test_mtm_parity.py)."""
+    from .operators.bookkeeper import run_mtm_bookkeeper
+
+    cfg = PnlCalcConfig(
+        roi={0: 0.05, 60: 0.02},
+        stoploss=-0.03,
+        enable_short_position=True,
+        max_position_per_symbol=3,
+        fee_rate=FEE,
+        laid_back_tax=TAX,
+    )
+    tl = run_mtm_bookkeeper(_signals(spark, sf_dir), cfg, output="timeline")
+    return tl.select(
+        "symbol",
+        "timestamp",
+        "close",
+        "buy",
+        "sell",
+        r9(F.col("mtm_ratio")).alias("mtm_ratio"),
+        r9(F.col("pnl_ratio")).alias("pnl_ratio"),
+    )
+
+
+def q_mtm_full_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade archive from the full bookkeeper (rows-only check)."""
+    from .operators.bookkeeper import run_mtm_bookkeeper
+
+    cfg = PnlCalcConfig(
+        roi={0: 0.05, 60: 0.02},
+        stoploss=-0.03,
+        enable_short_position=True,
+        max_position_per_symbol=3,
+        fee_rate=FEE,
+        laid_back_tax=TAX,
+    )
+    tr = run_mtm_bookkeeper(_signals(spark, sf_dir), cfg, output="trades")
+    return tr.select(
+        "symbol",
+        "direction",
+        "entry_datetime",
+        r9(F.col("entry_price")).alias("entry_price"),
+        "exit_datetime",
+        r9(F.col("exit_price")).alias("exit_price"),
+        "is_closed",
+        "close_reason",
+        r9(F.col("pnl_normalized")).alias("pnl_normalized"),
+    )
+
+
 def q_buy_hold_mtm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline: buy at the first bar, hold to the last."""
     from pyspark.sql import Window
@@ -323,4 +376,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mtm_summary": q_mtm_summary,
     "trades_extract": q_trades_extract,
     "buy_hold_mtm": q_buy_hold_mtm,
+    "mtm_full_engine": q_mtm_full_engine,
+    "mtm_full_trades": q_mtm_full_trades,
 }
