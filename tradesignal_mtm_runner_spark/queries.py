@@ -379,3 +379,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mtm_full_engine": q_mtm_full_engine,
     "mtm_full_trades": q_mtm_full_trades,
 }
+
+# analytics block (B) — see queries_analytics.py
+from .queries_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES  # noqa: E402
+
+QUERIES.update(ANALYTICS_QUERIES)
+ORACLES.update(ANALYTICS_ORACLES)

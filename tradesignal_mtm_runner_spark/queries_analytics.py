@@ -1,0 +1,369 @@
+"""Analytics-core queries (SURVEY.md §2 block B) over the TPC-H-ish
+tables, each with a DuckDB oracle.
+
+Plan notes (100 TB): small dims (region/nation/supplier/customer at
+these ratios) are broadcast; fact-side filters are expressed before
+joins so they reach the parquet scan (PushedFilters); aggregates are
+partial-agg friendly (sum/count/avg on grouped keys).
+
+Float rounding: big-money sums round to 4 decimals (engine summation
+order differs at ~1e-6 absolute on 1e10 magnitudes), normalized
+values to 9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources import load_table
+
+R_MONEY = 4
+R_NORM = 9
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --- B1: TPC-H Q1 style pricing summary -----------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), R_MONEY).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), R_MONEY).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R_MONEY
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                R_MONEY,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), R_NORM).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), R_NORM).alias("avg_price"),
+            F.round(F.avg("l_discount"), R_NORM).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), {R_MONEY}) AS sum_qty,
+       round(sum(l_extendedprice), {R_MONEY}) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), {R_MONEY}) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {R_MONEY}) AS sum_charge,
+       round(avg(l_quantity), {R_NORM}) AS avg_qty,
+       round(avg(l_extendedprice), {R_NORM}) AS avg_price,
+       round(avg(l_discount), {R_NORM}) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- B2: TPC-H Q3 style shipping priority ---------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R_MONEY
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), {R_MONEY}) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- B3: TPC-H Q5 style local supplier volume ------------------------------
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R_MONEY
+            ).alias("revenue")
+        )
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), {R_MONEY}) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --- B4: TPC-H Q6 style revenue delta (pushdown showcase) -------------------
+
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), R_MONEY
+            ).alias("revenue")
+        )
+    )
+
+
+Q6_SQL = f"""
+SELECT round(sum(l_extendedprice * l_discount), {R_MONEY}) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+"""
+
+
+# --- B5: top customers per nation (join + rank window) ---------------------
+
+def top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    totals = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total_spent"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("total_spent"), F.asc("c_custkey")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_name",
+            F.round(F.col("total_spent"), R_MONEY).alias("total_spent"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+TOP_CUSTOMERS_SQL = f"""
+SELECT n_name, c_custkey, c_name,
+       round(total_spent, {R_MONEY}) AS total_spent,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT n_name, c_custkey, c_name, total_spent,
+         row_number() OVER (PARTITION BY n_name ORDER BY total_spent DESC, c_custkey ASC) AS rank
+  FROM (
+    SELECT o_custkey, sum(o_totalprice) AS total_spent FROM orders GROUP BY o_custkey
+  ) t
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rank <= 3
+"""
+
+
+# --- B6: sessionization -----------------------------------------------------
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessionize import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    s = session_stats(
+        ev, key_col="user_id", ts_col="ts", gap_minutes=30.0, order_cols=["ts", "event_id"]
+    )
+    return s.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("duration_sec"), R_NORM).alias("duration_sec"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR (epoch_ms(ts) - epoch_ms(lag(ts) OVER w)) / 1000.0 > 1800.0
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       round((epoch_ms(max(ts)) - epoch_ms(min(ts))) / 1000.0, 9) AS duration_sec
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# --- B7: as-of join ---------------------------------------------------------
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event: the latest prior (strictly) view-event
+    value of the same user — distributed backward as-of join."""
+    from .operators.asof import asof_join_backward
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts"), F.col("value").alias("last_view_value")
+    )
+    out = asof_join_backward(
+        purchases,
+        views,
+        by="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        value_cols=["last_view_value"],
+        strict=True,
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts",
+        F.round("purchase_value", R_NORM).alias("purchase_value"),
+        F.round("last_view_value", R_NORM).alias("last_view_value"),
+    )
+
+
+ASOF_SQL = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       round(p.value, 9) AS purchase_value,
+       round(v.value, 9) AS last_view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts > v.ts
+"""
+
+
+# --- B8: pivot --------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+                for t in _EVENT_TYPES
+            ],
+        )
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+ANALYTICS_QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "q6_revenue_delta": q6_revenue_delta,
+    "top_customers_window": top_customers_window,
+    "events_sessionize": events_sessionize,
+    "asof_join": asof_join_events,
+    "events_pivot": events_pivot,
+}
+
+ANALYTICS_ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier": Q5_SQL,
+    "q6_revenue_delta": Q6_SQL,
+    "top_customers_window": TOP_CUSTOMERS_SQL,
+    "events_sessionize": SESSIONIZE_SQL,
+    "asof_join": ASOF_SQL,
+    "events_pivot": PIVOT_SQL,
+}
