@@ -1,0 +1,89 @@
+"""Text-analysis Column helpers for the documents pipeline.
+
+All JVM-side (split/transform/aggregate higher-order functions) — no
+Python UDFs. Every function has a DuckDB-equivalent SQL shape used by
+the oracle queries; hashing is md5-hex which is bit-identical across
+engines, so dedup/fingerprint results are enginely portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: small multilingual stopword sets for the language-ID heuristic.
+#: Deterministic and tiny on purpose — the operator pattern (per-lang
+#: token-hit ratio + argmax) is what matters at scale, not the lists.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "auf"],
+    "es": ["el", "la", "los", "y", "de", "es", "en", "un", "una", "por"],
+    "fr": ["le", "la", "les", "et", "de", "est", "en", "un", "une", "pour"],
+}
+
+#: generic English-ish stopwords for quality scoring
+STOPWORDS_EN = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; identical to DuckDB
+    string_split_regex(trim(text), ' +')."""
+    return F.split(F.trim(text), " +")
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles as space-joined strings (empty array when the
+    document has fewer than k tokens)."""
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def unique_word_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def avg_word_len(text: Column) -> Column:
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.size(t)
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    t = tokens(text)
+    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return hits.cast("double") / F.size(t)
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    return [(lang, stopword_ratio(text, sw)) for lang, sw in LANG_STOPWORDS.items()]
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish subword count: each word contributes ceil(len/4) tokens
+    (the whitespace count is word_count). Deterministic, portable."""
+    t = tokens(text)
+    return F.aggregate(
+        t, F.lit(0), lambda acc, x: acc + ((F.length(x) + 3) / 4).cast("int")
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """lower + collapse whitespace — canonical form for fingerprints."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (identical to
+    DuckDB md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))."""
+    return F.md5(normalize_text(text))

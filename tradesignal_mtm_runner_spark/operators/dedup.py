@@ -1,0 +1,177 @@
+"""Deduplication operators for the documents pipeline.
+
+Scale design (100 TB of documents):
+- exact dedup is one hash-aggregate — a single shuffle on md5(text);
+  map-side partial aggregation keeps the shuffle tiny.
+- near-dup is MinHash + LSH banding: shingle -> k seeded min-hashes ->
+  b band signatures -> candidate pairs join within equal band buckets.
+  Cost is O(docs x shingles x k) map-side work plus a shuffle keyed on
+  (band, signature); no O(n^2) pair enumeration ever materializes.
+  Giant buckets (pathological near-identical corpora) are the known
+  LSH hot spot — AQE skew-join splits them, and ``max_bucket`` lets
+  callers drop degenerate buckets outright.
+- hashing is md5-hex (lexicographic min), bit-identical in DuckDB, so
+  every step is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct content: canonical (min) id, group size."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_duplicates"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The deduplicated dataset: keeps the min-id row per content hash."""
+    w_min = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(w_min, on=id_col, how="inner")
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct pairs."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, seed, minhash): per seed, the lexicographic-min
+    md5(seed || ':' || shingle). Seeded rehashing simulates k
+    independent hash functions; min over hex strings is portable."""
+    sh = doc_shingles(df, id_col, text_col, shingle_k)
+    seeded = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "shingle",
+    )
+    return (
+        seeded.select(
+            id_col,
+            "seed",
+            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 4,
+) -> DataFrame:
+    """(id, band, band_sig): md5 over the band's minhashes in seed order."""
+    banded = signatures.withColumn("band", F.col("seed") % num_bands)
+    return (
+        banded.groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda x: x["minhash"],
+                    ),
+                )
+            ).alias("band_sig")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+) -> DataFrame:
+    """Distinct (id_a, id_b) with id_a < id_b sharing >=1 band bucket."""
+    if max_bucket is not None:
+        sizes = bands.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("_n"))
+        bands = bands.join(
+            sizes.filter(F.col("_n") <= max_bucket), on=["band", "band_sig"]
+        ).drop("_n")
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    return (
+        a.join(b, on=["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def pair_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the verify step
+    after LSH). Intersections via shingle co-occurrence join — only
+    candidate pairs are scored, never the full cross product."""
+    sh = doc_shingles(df, id_col, text_col, shingle_k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), on="shingle")
+        .join(pairs, on=["id_a", "id_b"])  # semi-restrict to candidates
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), on="id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float | None = None,
+) -> DataFrame:
+    """Full near-dup pipeline: minhash -> bands -> candidates
+    (-> exact-jaccard filter when a threshold is given)."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    cand = lsh_candidate_pairs(lsh_bands(sig, id_col, num_bands), id_col)
+    if jaccard_threshold is None:
+        return cand
+    j = pair_jaccard(df, cand, id_col, text_col, shingle_k)
+    return j.filter(F.col("jaccard") >= jaccard_threshold)

@@ -1,0 +1,140 @@
+"""Vector similarity search over an embedding column.
+
+Baseline: brute-force cosine top-k — exact, O(queries x corpus), all
+JVM-side (zip_with + aggregate, no Python). Right for small query
+sets or as the re-rank stage.
+
+Scale path: random-hyperplane LSH bucketing (deterministic planes
+derived from md5 of coordinate indices) cuts the corpus per query to
+one bucket; brute-force re-ranks inside the bucket. That is the
+IVF-style pattern a 100 TB corpus needs — the full corpus is never
+crossed with the full query set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def with_double_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """float32 arrays -> double arrays so engine math is comparable."""
+    return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-match excluded).
+
+    queries is expected small (broadcast); the corpus side streams —
+    one pass, no shuffle besides the final per-query top-k."""
+    c = with_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
+    )
+    q = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    pairs = c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "corpus_id",
+        (_dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+) -> DataFrame:
+    """Deterministic random-hyperplane LSH: plane p's j-th coordinate
+    is derived from md5(p:j) mapped to [-1, 1). The bucket is the
+    sign-bit string across planes. Same formula is expressible in the
+    DuckDB oracle, so bucketing is engine-portable."""
+    d = with_double_vec(df, vec_col)
+    dim = F.size(F.col(vec_col))
+
+    def plane_coord(p: int):
+        # md5 -> first 8 hex chars -> uint32 -> [-1, 1)
+        return lambda j: (
+            F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(p), j.cast("string"))), 1, 8), 16, 10).cast(
+                "double"
+            )
+            / F.lit(2147483648.0)
+            - F.lit(1.0)
+        )
+
+    bits = []
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(F.sequence(F.lit(0), dim - 1), plane_coord(p)),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return d.withColumn("bucket", F.concat(*bits))
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket."""
+    cb = hyperplane_buckets(corpus, id_col, vec_col, num_planes).select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv"), "bucket"
+    )
+    qb = hyperplane_buckets(queries, id_col, vec_col, num_planes).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "bucket"
+    )
+    pairs = cb.join(F.broadcast(qb), on="bucket").filter(
+        F.col("corpus_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "corpus_id",
+        (_dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )

@@ -385,3 +385,9 @@ from .queries_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES  # noqa: E40
 
 QUERIES.update(ANALYTICS_QUERIES)
 ORACLES.update(ANALYTICS_ORACLES)
+
+# LLM-pipeline block (C) — see queries_pipeline.py
+from .queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES  # noqa: E402
+
+QUERIES.update(PIPELINE_QUERIES)
+ORACLES.update(PIPELINE_ORACLES)

@@ -1,0 +1,323 @@
+"""LLM-data-pipeline queries (SURVEY.md §2 block C) over documents /
+embeddings, each with a DuckDB oracle.
+
+Portability contract: every hash is md5-hex (bit-identical across
+engines); tokenization is split-on-spaces with identical semantics;
+integer counts cast to BIGINT on both sides; ratios/cosines rounded
+to 9 decimals; ANN ranking happens on the ROUNDED cosine so rank
+assignment cannot diverge on sub-rounding float noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as TX
+from .sources import load_table
+
+R = 9
+MINHASH_K = 16
+BANDS = 4
+SHINGLE_K = 3
+ANN_QUERIES = 10
+ANN_TOPK = 5
+JACCARD_MIN = 0.1
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- C1 exact dedup ---------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(spark, sf_dir)).select(
+        "content_hash",
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("n_duplicates").cast("long").alias("n_duplicates"),
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_duplicates
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- C2 minhash LSH candidate pairs ----------------------------------------
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import lsh_bands, lsh_candidate_pairs, minhash_signatures
+
+    sig = minhash_signatures(
+        _docs(spark, sf_dir), num_hashes=MINHASH_K, shingle_k=SHINGLE_K
+    )
+    pairs = lsh_candidate_pairs(lsh_bands(sig, num_bands=BANDS))
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
+_SHINGLES_SQL = f"""
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s.s AS shingle
+  FROM toks, UNNEST(
+    CASE WHEN len(t) >= {SHINGLE_K}
+         THEN list_transform(range(1, len(t) - {SHINGLE_K} + 2),
+                             i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+         ELSE [] END) AS s(s)
+)"""
+
+_BANDS_SQL = f"""
+{_SHINGLES_SQL},
+seeded AS (
+  SELECT doc_id, sd.seed AS seed,
+         md5(sd.seed || ':' || shingle) AS h
+  FROM sh, UNNEST(range(0, {MINHASH_K})) AS sd(seed)
+),
+sig AS (
+  SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed % {BANDS} AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+  FROM sig GROUP BY doc_id, seed % {BANDS}
+)"""
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_BANDS_SQL}
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+
+
+# --- C3 ngram jaccard on LSH candidates ------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_dedup_pairs
+
+    j = minhash_dedup_pairs(
+        _docs(spark, sf_dir),
+        num_hashes=MINHASH_K,
+        num_bands=BANDS,
+        shingle_k=SHINGLE_K,
+        jaccard_threshold=JACCARD_MIN,
+    )
+    return j.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", R).alias("jaccard"),
+    )
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH {_BANDS_SQL},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b AND a.shingle = b.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), {R}) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_MIN}
+"""
+
+
+# --- C4 text stats ----------------------------------------------------------
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        TX.word_count(t).cast("long").alias("n_words"),
+        TX.unique_word_count(t).cast("long").alias("n_unique_words"),
+        F.round(TX.avg_word_len(t), R).alias("avg_word_len"),
+        F.round(TX.stopword_ratio(t), R).alias("stopword_ratio"),
+    )
+
+
+_SW = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in TX.LANG_STOPWORDS.items()}
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(t) AS n_words,
+       len(list_distinct(t)) AS n_unique_words,
+       round(CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE) / len(t), {R}) AS avg_word_len,
+       round(CAST(len(list_filter(t, w -> list_contains({_SW['en']}, w))) AS DOUBLE) / len(t), {R}) AS stopword_ratio
+FROM (SELECT doc_id, text, string_split_regex(trim(text), ' +') AS t FROM documents)
+"""
+
+
+# --- C5 language ID heuristic ----------------------------------------------
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    scores = dict(TX.lang_scores(t))
+    s_en, s_de, s_es, s_fr = scores["en"], scores["de"], scores["es"], scores["fr"]
+    pred = (
+        F.when((s_en >= s_de) & (s_en >= s_es) & (s_en >= s_fr), F.lit("en"))
+        .when((s_de >= s_es) & (s_de >= s_fr), F.lit("de"))
+        .when(s_es >= s_fr, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        F.round(s_en, R).alias("score_en"),
+        F.round(s_de, R).alias("score_de"),
+        F.round(s_es, R).alias("score_es"),
+        F.round(s_fr, R).alias("score_fr"),
+    )
+
+
+LANG_ID_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(t, w -> list_contains({_SW['en']}, w))) AS DOUBLE) / len(t) AS s_en,
+    CAST(len(list_filter(t, w -> list_contains({_SW['de']}, w))) AS DOUBLE) / len(t) AS s_de,
+    CAST(len(list_filter(t, w -> list_contains({_SW['es']}, w))) AS DOUBLE) / len(t) AS s_es,
+    CAST(len(list_filter(t, w -> list_contains({_SW['fr']}, w))) AS DOUBLE) / len(t) AS s_fr
+  FROM (SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS t FROM documents)
+)
+SELECT doc_id, lang,
+       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       round(s_en, {R}) AS score_en,
+       round(s_de, {R}) AS score_de,
+       round(s_es, {R}) AS score_es,
+       round(s_fr, {R}) AS score_fr
+FROM s
+"""
+
+
+# --- C6 token count ---------------------------------------------------------
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.word_count(t).cast("long").alias("n_words"),
+        TX.token_count_bpe_ish(t).cast("long").alias("n_tokens_bpe_ish"),
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       len(t) AS n_words,
+       CAST(list_sum(list_transform(t, w -> (length(w) + 3) // 4)) AS BIGINT) AS n_tokens_bpe_ish
+FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents)
+"""
+
+
+# --- C7 fingerprint ---------------------------------------------------------
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# --- C8 brute-force cosine top-k --------------------------------------------
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    # rank on the rounded cosine so rank assignment is engine-stable
+    scored = cosine_topk(emb, queries, k=ANN_TOPK * 1000)  # raw scores
+    scored = scored.select(
+        "query_id", "corpus_id", F.round("cosine", R).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOPK)
+        .select(
+            "query_id",
+            "corpus_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+ANN_TOPK_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+),
+q AS (SELECT * FROM v WHERE vec_id < {ANN_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         round(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), {R}) AS cosine
+  FROM v c, q WHERE c.vec_id != q.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= {ANN_TOPK}
+"""
+
+
+PIPELINE_QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "text_stats": text_stats,
+    "lang_id": lang_id,
+    "token_count": token_count,
+    "doc_fingerprint": doc_fingerprint,
+    "ann_cosine_topk": ann_cosine_topk,
+}
+
+PIPELINE_ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "text_stats": TEXT_STATS_SQL,
+    "lang_id": LANG_ID_SQL,
+    "token_count": TOKEN_COUNT_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "ann_cosine_topk": ANN_TOPK_SQL,
+}
