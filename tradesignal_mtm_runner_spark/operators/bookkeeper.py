@@ -182,18 +182,21 @@ def simulate_symbol(
                     else:
                         j += 1
         # 4. signal (buy wins when both set — reference runner_mtm.py:156)
+        # opens are gated on p > 0: normalized mtm divides by the entry
+        # price, so a zero-price open is degenerate (treated as HOLD);
+        # closes remain valid at any price.
         if buy[i] == 1:
             if len(longs) < max_pos:
                 if shorts:
                     fees += close_trade(shorts, _pick_to_close(shorts, inventory_mode), i, "SIGNAL")
-                else:
+                elif p > 0:
                     longs.append(_Trade(i, ts_sec[i], p, _LONG))
                     fees += fee
         elif sell[i] == 1:
             if len(shorts) < max_pos:
                 if longs:
                     fees += close_trade(longs, _pick_to_close(longs, inventory_mode), i, "SIGNAL")
-                elif config.enable_short_position:
+                elif config.enable_short_position and p > 0:
                     shorts.append(_Trade(i, ts_sec[i], p, _SHORT))
                     fees += fee
         # 5. laid back tax

@@ -82,9 +82,12 @@ def signal_mtm_timeline(
     w = symbol_window(symbol_col, order_cols)
     wc = cum_window(w)
 
-    sig = F.when(F.col(buy_col) == 1, F.lit("B")).when(
-        F.col(sell_col) == 1, F.lit("S")
-    )
+    # domain rule: a position cannot OPEN at a non-positive price (the
+    # normalized mtm divides by the entry price). Degenerate buy bars
+    # are treated as HOLD; sells (closes) remain valid at any price.
+    sig = F.when(
+        (F.col(buy_col) == 1) & (F.col(close_col) > 0), F.lit("B")
+    ).when(F.col(sell_col) == 1, F.lit("S"))
     df = signals.withColumn("_sig", sig)
     df = df.withColumn(
         "position",
