@@ -158,6 +158,107 @@ def pair_jaccard(
     )
 
 
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document, carried as two 32-bit halves.
+
+    Each distinct token hashes to 64 bits via md5 (hi = hex[0:8],
+    lo = hex[8:16] parsed base-16 — portable to the DuckDB oracle);
+    per bit position the +-1 votes are summed and the sign becomes the
+    signature bit. Two BIGINT halves avoid signed-64 overflow in
+    either engine. One explode + one hash-aggregate — map-side
+    combinable, no shuffle beyond the groupBy(id)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    ).distinct()
+    hexs = F.md5(F.col("w"))
+    h = tok.select(
+        id_col,
+        F.conv(F.substring(hexs, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(hexs, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    aggs = []
+    for half in ("hi", "lo"):
+        for j in range(32):
+            bit = F.shiftright(F.col(half), j).bitwiseAND(F.lit(1))
+            aggs.append(F.sum(bit * 2 - 1).alias(f"s_{half}_{j}"))
+    s = h.groupBy(id_col).agg(*aggs)
+
+    def assemble(half: str):
+        out = None
+        for j in range(32):
+            term = (
+                F.when(F.col(f"s_{half}_{j}") >= 0, F.lit(1 << j).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            out = term if out is None else out + term
+        return out
+
+    return s.select(
+        F.col(id_col),
+        assemble("hi").alias("simhash_hi"),
+        assemble("lo").alias("simhash_lo"),
+    )
+
+
+def simhash_near_dup_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: 4 x 16-bit band blocking (a pair
+    within hamming<=8 of 64 bits must agree exactly on >=1 of the 4
+    blocks for hamming<=3-per-block corpora; in practice bands give
+    high recall at tiny cost), then exact hamming via bit_count(xor).
+    Blocking is a band-keyed equi-join — never O(n^2)."""
+    hi, lo = F.col("simhash_hi"), F.col("simhash_lo")
+    bands = signatures.select(
+        id_col,
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.shiftright(hi, 16).alias("val")),
+                F.struct(F.lit(1).alias("band"), hi.bitwiseAND(F.lit(65535)).alias("val")),
+                F.struct(F.lit(2).alias("band"), F.shiftright(lo, 16).alias("val")),
+                F.struct(F.lit(3).alias("band"), lo.bitwiseAND(F.lit(65535)).alias("val")),
+            )
+        ).alias("bv"),
+    ).select(
+        id_col, "simhash_hi", "simhash_lo",
+        F.col("bv.band").alias("band"), F.col("bv.val").alias("val"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash_hi").alias("_hi_a"),
+        F.col("simhash_lo").alias("_lo_a"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash_hi").alias("_hi_b"),
+        F.col("simhash_lo").alias("_lo_b"),
+        "band",
+        "val",
+    )
+    cand = (
+        a.join(b, on=["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_hi_a", "_lo_a", "_hi_b", "_lo_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b"))) + F.bit_count(
+        F.col("_lo_a").bitwiseXOR(F.col("_lo_b"))
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

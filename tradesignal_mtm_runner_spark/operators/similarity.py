@@ -74,20 +74,28 @@ def hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_planes: int = 8,
+    table: int = 0,
 ) -> DataFrame:
     """Deterministic random-hyperplane LSH: plane p's j-th coordinate
-    is derived from md5(p:j) mapped to [-1, 1). The bucket is the
-    sign-bit string across planes. Same formula is expressible in the
-    DuckDB oracle, so bucketing is engine-portable."""
+    is derived from md5(table:p:j) mapped to [-1, 1). The bucket is
+    the sign-bit string across planes. Same formula is expressible in
+    the DuckDB oracle, so bucketing is engine-portable. ``table``
+    seeds independent hash tables (multi-probe recall)."""
     d = with_double_vec(df, vec_col)
     dim = F.size(F.col(vec_col))
 
     def plane_coord(p: int):
         # md5 -> first 8 hex chars -> uint32 -> [-1, 1)
         return lambda j: (
-            F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(p), j.cast("string"))), 1, 8), 16, 10).cast(
-                "double"
-            )
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(table), F.lit(p), j.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
             / F.lit(2147483648.0)
             - F.lit(1.0)
         )
@@ -105,6 +113,56 @@ def hyperplane_buckets(
         )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return d.withColumn("bucket", F.concat(*bits))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    num_tables: int = 2,
+    cosine_threshold: float = 0.35,
+    round_digits: int | None = 9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    Candidates = pairs sharing a bucket in ANY of ``num_tables``
+    independent hyperplane tables; each candidate is scored with the
+    exact cosine and kept at >= threshold. The full O(n^2) cross
+    product never materializes — cost is per-bucket, the property a
+    100 TB corpus needs. More tables/fewer planes => higher recall.
+    Thresholding happens on the ROUNDED cosine so the cut is
+    engine-stable."""
+    buckets = None
+    for t in range(num_tables):
+        bt = hyperplane_buckets(df, id_col, vec_col, num_planes, table=t).select(
+            F.col(id_col), F.lit(t).alias("tbl"), "bucket"
+        )
+        buckets = bt if buckets is None else buckets.unionByName(bt)
+    a = buckets.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = with_double_vec(df, vec_col).select(F.col(id_col), F.col(vec_col).alias("_v"))
+    scored = (
+        cand.join(v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")), on="id_a")
+        .join(v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+            ).alias("cosine"),
+        )
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_digits))
+    return scored.filter(F.col("cosine") >= cosine_threshold)
 
 
 def cosine_topk_lsh(

@@ -300,6 +300,199 @@ SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank 
 """
 
 
+# --- C9 random-hyperplane LSH buckets ---------------------------------------
+
+LSH_PLANES = 8
+NEARDUP_PLANES = 4
+NEARDUP_TABLES = 2
+NEARDUP_COS = 0.35
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import hyperplane_buckets
+
+    return hyperplane_buckets(
+        _emb(spark, sf_dir), num_planes=LSH_PLANES, table=0
+    ).select(F.col("vec_id").cast("long").alias("vec_id"), "bucket")
+
+
+def _plane_sql(t: int, p: int) -> str:
+    """Projection of e onto deterministic plane (t, p) — the exact
+    formula hyperplane_buckets uses (md5 -> uint32 -> [-1, 1))."""
+    return (
+        "list_sum(list_transform(range(0, len(e)), j -> e[j+1] * "
+        f"(('0x' || substring(md5('{t}:{p}:' || j), 1, 8))::BIGINT"
+        " / 2147483648.0 - 1.0)))"
+    )
+
+
+def _bucket_sql(t: int, planes: int) -> str:
+    bits = ", ".join(
+        f"CASE WHEN {_plane_sql(t, p)} >= 0 THEN '1' ELSE '0' END"
+        for p in range(planes)
+    )
+    return f"concat({bits})"
+
+
+_V_SQL = "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)"
+
+ANN_LSH_BUCKETS_SQL = f"""
+WITH {_V_SQL}
+SELECT vec_id, {_bucket_sql(0, LSH_PLANES)} AS bucket FROM v
+"""
+
+
+# --- C-extra embedding-cosine near-dup ---------------------------------------
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir),
+        num_planes=NEARDUP_PLANES,
+        num_tables=NEARDUP_TABLES,
+        cosine_threshold=NEARDUP_COS,
+        round_digits=R,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine",
+    )
+
+
+_NEARDUP_BANDS = "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, {t} AS tbl, {_bucket_sql(t, NEARDUP_PLANES)} AS bucket FROM v"
+    for t in range(NEARDUP_TABLES)
+)
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH {_V_SQL},
+b AS (
+{_NEARDUP_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(list_dot_product(va.e, vb.e)
+               / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), {R}) AS cosine
+  FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {NEARDUP_COS}
+"""
+
+
+# --- C10 simhash -------------------------------------------------------------
+
+# measured on testdata: true near-dups sit at hamming 0-2; the
+# background pair distribution only starts at 3+ (451/41/123 vs 411
+# at 3 rising to ~2000/bin) — 2 separates signal from noise.
+SIMHASH_MAX_HAMMING = 2
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("simhash_hi").cast("long").alias("simhash_hi"),
+        F.col("simhash_lo").cast("long").alias("simhash_lo"),
+    )
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_dup_pairs, simhash_signatures
+
+    sig = simhash_signatures(_docs(spark, sf_dir))
+    return simhash_near_dup_pairs(sig, max_hamming=SIMHASH_MAX_HAMMING).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+_SIMHASH_SUMS = ", ".join(
+    f"sum(2*(({half} >> {j}) & 1) - 1) AS s_{half}_{j}"
+    for half in ("hi", "lo")
+    for j in range(32)
+)
+
+
+def _simhash_assemble(half: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN s_{half}_{j} >= 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(32)
+    )
+
+
+_SIMHASH_CORE = f"""
+tok AS (
+  SELECT DISTINCT doc_id, u.w AS w
+  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+       UNNEST(t) AS u(w)
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(w), 1, 8))::BIGINT AS hi,
+         ('0x' || substring(md5(w), 9, 8))::BIGINT AS lo
+  FROM tok
+),
+s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id),
+sig AS (
+  SELECT doc_id,
+         {_simhash_assemble('hi')} AS simhash_hi,
+         {_simhash_assemble('lo')} AS simhash_lo
+  FROM s
+)"""
+
+SIMHASH_SQL = f"""
+WITH {_SIMHASH_CORE}
+SELECT doc_id, simhash_hi, simhash_lo FROM sig
+"""
+
+SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_CORE},
+bands AS (
+  SELECT doc_id, simhash_hi, simhash_lo, 0 AS band, simhash_hi >> 16 AS val FROM sig
+  UNION ALL
+  SELECT doc_id, simhash_hi, simhash_lo, 1, simhash_hi & 65535 FROM sig
+  UNION ALL
+  SELECT doc_id, simhash_hi, simhash_lo, 2, simhash_lo >> 16 FROM sig
+  UNION ALL
+  SELECT doc_id, simhash_hi, simhash_lo, 3, simhash_lo & 65535 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash_hi AS hi_a, a.simhash_lo AS lo_a,
+         b.simhash_hi AS hi_b, b.simhash_lo AS lo_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+# --- C11 multimodal stub -----------------------------------------------------
+
+def multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_payloads, extract_features
+
+    return extract_features(attach_payloads(_docs(spark, sf_dir)))
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -309,6 +502,11 @@ PIPELINE_QUERIES = {
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_buckets": ann_lsh_buckets,
+    "dedup_embedding": dedup_embedding,
+    "simhash": simhash,
+    "simhash_pairs": simhash_pairs,
+    "multimodal_stub": multimodal_stub,
 }
 
 PIPELINE_ORACLES = {
@@ -320,4 +518,9 @@ PIPELINE_ORACLES = {
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
+    "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "simhash": SIMHASH_SQL,
+    "simhash_pairs": SIMHASH_PAIRS_SQL,
+    "multimodal_stub": MULTIMODAL_SQL,
 }
