@@ -368,7 +368,41 @@ WINDOW wf AS ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
 }
 
+_STREAM_SINK_SEQ = iter(range(1_000_000))
+
+
+def q_mtm_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: the incremental streaming engine replaying the events table
+    (availableNow). Replay-equals-batch is the semantics, so this
+    query shares mtm_timeline's oracle — the strongest check a
+    streaming op can get. Multi-micro-batch state carry is covered by
+    tests/test_streaming.py."""
+    from .sources import stream_table
+    from .streaming.mtm_stream import streaming_mtm_timeline
+
+    sig = signals_from_events(stream_table(spark, sf_dir, "events"))
+    sink = f"mtm_streaming_sink_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        streaming_mtm_timeline(sig, _cfg())
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    t = spark.table(sink)
+    return t.select(
+        "symbol", "timestamp", "event_id", "close", "buy", "sell",
+        "position", "opened", "closed",
+        r9(F.col("entry_price")).alias("entry_price"),
+        r9(F.col("mtm_ratio")).alias("mtm_ratio"),
+        r9(F.col("pnl_ratio")).alias("pnl_ratio"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mtm_streaming": q_mtm_streaming,
     "price_movement": q_price_movement,
     "mtm_timeline": q_mtm_timeline,
     "pnl_per_symbol": q_pnl_per_symbol,
@@ -380,6 +414,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mtm_full_engine": q_mtm_full_engine,
     "mtm_full_trades": q_mtm_full_trades,
 }
+
+# streaming replay == batch timeline, so the oracle is shared
+ORACLES["mtm_streaming"] = ORACLES["mtm_timeline"]
 
 # analytics block (B) — see queries_analytics.py
 from .queries_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES  # noqa: E402

@@ -47,6 +47,25 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: load_table(spark, sf_dir, n) for n in (names or TPCH_TABLES)}
 
 
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The same table as an unbounded stream (file source). Schema is
+    taken from a batch scan; nanos timestamps get the identical
+    long->microsecond conversion as load_table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    # the file stream source only takes a directory -> scope it to the
+    # one table file with pathGlobFilter
+    df = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    for c in _NANOS_TS_COLUMNS.get(name, []):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
 def signals_from_events(
     events: DataFrame,
     buy_event: str = "purchase",

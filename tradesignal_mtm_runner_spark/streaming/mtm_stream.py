@@ -1,0 +1,142 @@
+"""Incremental signal-MTM over Structured Streaming (SURVEY §2 A10).
+
+Re-expresses ``operators.mtm.signal_mtm_timeline`` (the feedback-free
+long-only / max_position=1 configuration — reference
+trade_reward.py:81-168 restricted) as a stateful streaming operator:
+``groupBy(symbol).applyInPandasWithState``. Per-symbol state is a
+5-tuple (position, entry_price, prev_close, pnl_cum, has_prev) — a
+few bytes per key, so state size scales with #symbols, not #bars:
+exactly the property an unbounded 100 TB stream needs. Batch parity
+is pytest-enforced: replaying the same bars through N micro-batches
+must reproduce the batch engine bar-for-bar (tests/test_streaming.py).
+
+Bars are processed in (timestamp, event_id) order within each
+micro-batch; cross-batch order is the stream's append order (file
+source: one file per trigger). Late/out-of-order bars across batches
+are out of scope here — the batch engine is the replay/repair path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..config import PnlCalcConfig
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("timestamp", TimestampType()),
+        StructField("event_id", LongType()),
+        StructField("close", DoubleType()),
+        StructField("buy", IntegerType()),
+        StructField("sell", IntegerType()),
+        StructField("position", IntegerType()),
+        StructField("opened", IntegerType()),
+        StructField("closed", IntegerType()),
+        StructField("entry_price", DoubleType()),
+        StructField("mtm_ratio", DoubleType()),
+        StructField("pnl_ratio", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("position", IntegerType()),
+        StructField("entry_price", DoubleType()),
+        StructField("prev_close", DoubleType()),
+        StructField("pnl_cum", DoubleType()),
+        StructField("has_prev", IntegerType()),
+    ]
+)
+
+
+def _make_state_fn(fee_rate: float, laid_back_tax: float):
+    fee = abs(float(fee_rate))
+    tax = abs(float(laid_back_tax))
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            pos, entry, prev_close, pnl_cum, has_prev = state.get
+        else:
+            pos, entry, prev_close, pnl_cum, has_prev = 0, None, None, 0.0, 0
+
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            state.update((pos, entry, prev_close, pnl_cum, has_prev))
+            return
+        bars = pd.concat(chunks, ignore_index=True).sort_values(
+            ["timestamp", "event_id"], kind="stable"
+        )
+
+        out = {c.name: [] for c in OUTPUT_SCHEMA.fields}
+        symbol = key[0]
+        for ts, event_id, close, buy, sell in zip(
+            bars["timestamp"], bars["event_id"], bars["close"], bars["buy"], bars["sell"]
+        ):
+            prev_pos = pos
+            # signal resolution — buy wins; opens gated on close > 0
+            # (operators/mtm.py: entry price divides the normalized mtm)
+            if buy == 1 and close > 0:
+                pos = 1
+            elif sell == 1:
+                pos = 0
+            opened = int(pos == 1 and prev_pos == 0)
+            closed = int(pos == 0 and prev_pos == 1)
+            # mtm step 1 runs before closes: the closing bar still
+            # accrues against the PREVIOUS entry/close
+            if prev_pos and has_prev and prev_close is not None and entry:
+                gross = (close - prev_close) / entry
+            else:
+                gross = 0.0
+            if opened:
+                entry = float(close)
+            mtm = gross - fee * (opened + closed) - tax * (1 - pos)
+            pnl_cum += mtm
+            out["symbol"].append(symbol)
+            out["timestamp"].append(ts)
+            out["event_id"].append(event_id)
+            out["close"].append(close)
+            out["buy"].append(buy)
+            out["sell"].append(sell)
+            out["position"].append(pos)
+            out["opened"].append(opened)
+            out["closed"].append(closed)
+            out["entry_price"].append(entry)
+            out["mtm_ratio"].append(mtm)
+            out["pnl_ratio"].append(pnl_cum)
+            prev_close = float(close)
+            has_prev = 1
+        state.update((pos, entry, prev_close, pnl_cum, has_prev))
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def streaming_mtm_timeline(
+    signals: DataFrame, config: PnlCalcConfig | None = None
+) -> DataFrame:
+    """Stateful per-bar MTM over a streaming signal frame
+    (symbol, timestamp, event_id, close, buy, sell)."""
+    config = config or PnlCalcConfig.get_default()
+    return signals.groupBy("symbol").applyInPandasWithState(
+        _make_state_fn(config.fee_rate, config.laid_back_tax),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
