@@ -33,15 +33,30 @@ def tokens(text: Column) -> Column:
 
 def shingles(toks: Column, k: int = 3) -> Column:
     """Word k-shingles as space-joined strings (empty array when the
-    document has fewer than k tokens)."""
-    n = F.size(toks)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    document has fewer than k tokens).
+
+    ``toks`` is let-bound via a single-element transform so it is
+    evaluated ONCE per row: referencing the tokenization expression
+    directly inside the per-index lambda would re-evaluate it (a full
+    regex split of the text) for EVERY shingle — O(tokens^2) per doc,
+    measured ~2x wall on the minhash pipeline."""
+
+    def from_bound(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - k + 1),
+                lambda i: F.array_join(F.slice(t, i, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.flatten(F.transform(F.array(toks), from_bound))
+
+
+def shingle_set(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles, computed row-locally (no explode /
+    distinct shuffle)."""
+    return F.array_distinct(shingles(tokens(text), k))
 
 
 def word_count(text: Column) -> Column:

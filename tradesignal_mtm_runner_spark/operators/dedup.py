@@ -19,7 +19,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, tokens
+from ..functions.text import shingle_set, shingles, tokens
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a small single-file scan across all cores before
+    CPU-heavy per-row work (one parquet row group is unsplittable).
+    No-op at cluster scale where the scan already has enough
+    partitions."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
 
 
 def exact_dedup_groups(
@@ -49,10 +60,65 @@ def exact_dedup(
 def doc_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """(id, shingle) distinct pairs."""
+    """(id, shingle) distinct pairs (exploded long form)."""
     return (
         df.select(F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle"))
         .distinct()
+    )
+
+
+def doc_shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, sh_set array) — row-local, zero shuffles. Docs with fewer
+    than k tokens carry an empty array; downstream explode() drops
+    them (matching the oracle's UNNEST) and candidate pairs can never
+    reference them. Deliberately NO size()>0 filter here: the
+    optimizer substitutes the filter through the projection and
+    re-evaluates the whole (interpreted) shingle expression per
+    predicate — measured 3x the per-row cost, single-threaded below
+    the fan-out exchange."""
+    return df.select(
+        F.col(id_col), shingle_set(F.col(text_col), k).alias("sh_set")
+    )
+
+
+def minhash_signatures_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, m0..m{k-1}): per seed i, the lexicographic-min
+    md5(i || ':' || shingle). Seeded rehashing simulates k independent
+    hash functions; min over hex strings is portable.
+
+    Plan shape matters here: the distinct shingle set is built
+    row-locally, then EXPLODED so the k seeded md5 columns evaluate
+    inside whole-stage codegen — higher-order-function lambdas
+    (transform/aggregate) are interpreted per element in Spark, and
+    hashing inside them measured ~10-60x slower than the identical
+    hash in a codegen projection over exploded rows. The k min
+    aggregates are map-side combinable, so the one shuffle carries
+    ~#docs rows x k strings, never #shingles x k.
+
+    Small single-file inputs are fanned out to defaultParallelism
+    before the CPU-heavy hashing (the parquet row group is
+    unsplittable, so a 1-file table otherwise pins one core); at
+    cluster scale the scan already has >= that many partitions and
+    the fan-out never fires."""
+    sh = doc_shingle_sets(_fan_out(df), id_col, text_col, shingle_k).select(
+        id_col, F.explode("sh_set").alias("shingle")
+    )
+    hcols = [
+        F.md5(F.concat_ws(":", F.lit(i), F.col("shingle"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        sh.select(id_col, *hcols)
+        .groupBy(id_col)
+        .agg(*[F.min(f"_h{i}").alias(f"m{i}") for i in range(num_hashes)])
     )
 
 
@@ -63,24 +129,37 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, seed, minhash): per seed, the lexicographic-min
-    md5(seed || ':' || shingle). Seeded rehashing simulates k
-    independent hash functions; min over hex strings is portable."""
-    sh = doc_shingles(df, id_col, text_col, shingle_k)
-    seeded = sh.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "shingle",
+    """(id, seed, minhash) long form — thin unpivot over the wide
+    aggregate (kept for API compatibility and tests)."""
+    wide = minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_k)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("seed"), F.col(f"m{i}").alias("minhash"))
+            for i in range(num_hashes)
+        ]
     )
-    return (
-        seeded.select(
-            id_col,
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
+    return wide.select(id_col, F.explode(pairs).alias("sm")).select(
+        id_col, F.col("sm.seed").alias("seed"), F.col("sm.minhash").alias("minhash")
     )
+
+
+def lsh_bands_from_wide(
+    signatures_wide: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 4,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, band, band_sig) computed row-wise from the wide signature —
+    no extra shuffle (band b holds seeds b, b+bands, ... in seed
+    order, identical to the long-form path / DuckDB oracle)."""
+    entries = []
+    for b in range(num_bands):
+        seeds = [i for i in range(num_hashes) if i % num_bands == b]
+        sig = F.md5(F.concat_ws(",", *[F.col(f"m{i}") for i in seeds]))
+        entries.append(F.struct(F.lit(b).alias("band"), sig.alias("band_sig")))
+    return signatures_wide.select(
+        id_col, F.explode(F.array(*entries)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
 
 
 def lsh_bands(
@@ -133,28 +212,35 @@ def pair_jaccard(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (the verify step
-    after LSH). Intersections via shingle co-occurrence join — only
-    candidate pairs are scored, never the full cross product."""
-    sh = doc_shingles(df, id_col, text_col, shingle_k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        sh.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), on="shingle")
-        .join(pairs, on=["id_a", "id_b"])  # semi-restrict to candidates
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), on="id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), on="id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            ).alias("jaccard"),
+    after LSH).
+
+    Shingle sets are row-local array columns and the CANDIDATE pairs —
+    a tiny relation after LSH — are broadcast onto them (ONE use, so
+    the candidate pipeline executes once); the intersection is a
+    row-local array_intersect. The earlier shingle co-occurrence
+    self-join (sh JOIN sh ON shingle) exploded quadratically on
+    common shingles (272 s at sf0.1 vs ~3 s for this plan) and never
+    survives scale."""
+    sh_sets = doc_shingle_sets(_fan_out(df), id_col, text_col, shingle_k)
+    p = F.broadcast(pairs.select("id_a", "id_b"))
+    joined = (
+        p.join(
+            sh_sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("_sa")),
+            on="id_a",
         )
+        .join(
+            sh_sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("_sb")),
+            on="id_b",
+        )
+    )
+    n_inter = F.size(F.array_intersect("_sa", "_sb"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        (
+            n_inter.cast("double")
+            / (F.size("_sa") + F.size("_sb") - n_inter)
+        ).alias("jaccard"),
     )
 
 
@@ -270,8 +356,10 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: minhash -> bands -> candidates
     (-> exact-jaccard filter when a threshold is given)."""
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    cand = lsh_candidate_pairs(lsh_bands(sig, id_col, num_bands), id_col)
+    sig = minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_k)
+    cand = lsh_candidate_pairs(
+        lsh_bands_from_wide(sig, id_col, num_bands, num_hashes), id_col
+    )
     if jaccard_threshold is None:
         return cand
     j = pair_jaccard(df, cand, id_col, text_col, shingle_k)

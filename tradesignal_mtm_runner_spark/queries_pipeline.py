@@ -56,12 +56,18 @@ FROM documents GROUP BY md5(text)
 # --- C2 minhash LSH candidate pairs ----------------------------------------
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import lsh_bands, lsh_candidate_pairs, minhash_signatures
+    from .operators.dedup import (
+        lsh_bands_from_wide,
+        lsh_candidate_pairs,
+        minhash_signatures_wide,
+    )
 
-    sig = minhash_signatures(
+    sig = minhash_signatures_wide(
         _docs(spark, sf_dir), num_hashes=MINHASH_K, shingle_k=SHINGLE_K
     )
-    pairs = lsh_candidate_pairs(lsh_bands(sig, num_bands=BANDS))
+    pairs = lsh_candidate_pairs(
+        lsh_bands_from_wide(sig, num_bands=BANDS, num_hashes=MINHASH_K)
+    )
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
