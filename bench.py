@@ -27,7 +27,11 @@ HEADLINERS = [
     "asof_join",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "simhash_pairs",
+    "dedup_embedding",
     "ann_cosine_topk",
+    "multimodal_stub",
+    "mtm_streaming",
 ]
 
 

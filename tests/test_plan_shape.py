@@ -1,0 +1,55 @@
+"""Plan-shape regression tests (SURVEY §5): scale properties that
+sf0.001 results can't see — pushdown, pruning, broadcast, shuffle
+count — pinned as assertions. Bounds are conservative so AQE runtime
+re-planning can't flake them."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+from tradesignal_mtm_runner_spark import plans as P
+from tradesignal_mtm_runner_spark.queries import QUERIES
+
+
+def _df(spark, name):
+    return QUERIES[name](spark, SF_SMOKE)
+
+
+def test_q6_filters_reach_scan_and_columns_prune(spark):
+    df = _df(spark, "q6_revenue_delta")
+    assert len(P.pushed_filters(df)) >= 3, "date/discount/quantity must push down"
+    (schema,) = P.read_schemas(df)
+    assert len(schema) <= 4, f"q6 needs 4 lineitem columns, scan reads {schema}"
+
+
+def test_q5_small_dims_broadcast(spark):
+    df = _df(spark, "q5_local_supplier")
+    assert P.broadcast_join_count(df) >= 3, "nation/region/supplier must broadcast"
+    assert P.exchange_count(df) <= 2
+
+
+def test_q3_broadcasts_and_bounded_shuffles(spark):
+    df = _df(spark, "q3_shipping_priority")
+    assert P.broadcast_join_count(df) >= 1
+    assert P.exchange_count(df) <= 2
+
+
+def test_mtm_window_chain_single_shuffle(spark):
+    """The whole declarative MTM pipeline must reuse ONE per-symbol
+    hash partitioning: timeline, summary and sessionize each cost
+    exactly one exchange no matter how many window functions stack."""
+    for name in ["mtm_timeline", "mtm_summary", "events_sessionize"]:
+        assert P.exchange_count(_df(spark, name)) == 1, name
+
+
+def test_exact_dedup_single_aggregate_shuffle(spark):
+    assert P.exchange_count(_df(spark, "dedup_exact")) == 1
+
+
+def test_asof_join_pushdown(spark):
+    df = _df(spark, "asof_join")
+    assert len(P.pushed_filters(df)) >= 1
+    assert P.exchange_count(df) <= 2
+
+
+def test_mtm_timeline_codegen(spark):
+    assert P.codegen_stage_count(_df(spark, "mtm_timeline")) >= 1
