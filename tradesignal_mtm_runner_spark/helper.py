@@ -1,0 +1,54 @@
+"""ROI take-profit helper — public API parity with the reference
+(reference: src/tradesignal_mtm_runner/helper.py:8 ROI_Helper).
+
+The reference backs this with a custom BTree-indexed list
+(data_struct.py); a sorted numpy array + searchsorted gives the same
+O(log R) active-tier lookup with no custom data structure, and the
+prefix-min trick turns "pnl exceeds ANY active threshold" into one
+comparison (pnl > min(active thresholds)). The bookkeeper engine
+inlines exactly this logic (operators/bookkeeper.py:128-172); this
+class is the standalone, user-facing form.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+
+
+class RoiHelper:
+    """Time-tiered take-profit: roi = {minutes_offset: pnl_threshold}.
+
+    A tier is ACTIVE once the trade's holding age reaches its offset;
+    the position take-profits when normalized pnl exceeds any active
+    threshold."""
+
+    def __init__(self, roi_dict: dict[int, float]) -> None:
+        self._roi_seconds = np.array(sorted(roi_dict), dtype=np.float64) * 60.0
+        thresholds = np.array(
+            [roi_dict[int(k // 60)] for k in self._roi_seconds], dtype=np.float64
+        )
+        self._thresholds = thresholds
+        self._prefix_min = np.minimum.accumulate(thresholds)
+
+    def _age_seconds(self, entry_date: datetime, current_date: datetime) -> float:
+        return (current_date - entry_date).total_seconds()
+
+    def get_all_take_profit_pnl(
+        self, entry_date: datetime, current_date: datetime
+    ) -> list[float]:
+        """All thresholds whose offset <= holding age (reference
+        helper.py:16)."""
+        age = self._age_seconds(entry_date, current_date)
+        k = int(np.searchsorted(self._roi_seconds, age, side="right"))
+        return self._thresholds[:k].tolist()
+
+    def can_take_profit(
+        self, entry_date: datetime, current_date: datetime, normalized_pnl: float
+    ) -> bool:
+        """True when pnl exceeds ANY active threshold == pnl > the
+        prefix-min of active thresholds (reference helper.py:36)."""
+        age = self._age_seconds(entry_date, current_date)
+        k = int(np.searchsorted(self._roi_seconds, age, side="right")) - 1
+        return k >= 0 and normalized_pnl > float(self._prefix_min[k])

@@ -66,6 +66,33 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+SIGNAL_COLUMNS = ["symbol", "timestamp", "close", "buy", "sell"]
+
+
+def load_signals_csv(
+    spark: SparkSession, path: str, ts_format: str | None = None
+) -> DataFrame:
+    """Signal frame from CSV (header row; columns symbol, timestamp,
+    close, buy, sell). Explicit schema — no inference pass over the
+    data, which at 100 TB would double the read."""
+    df = (
+        spark.read.option("header", "true")
+        .schema("symbol string, timestamp timestamp, close double, buy int, sell int")
+        .csv(path)
+    )
+    if ts_format:
+        df = df.withColumn("timestamp", F.to_timestamp("timestamp", ts_format))
+    return df.select(*SIGNAL_COLUMNS)
+
+
+def load_signals_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Signal frame from JSON-lines with the same explicit schema."""
+    df = spark.read.schema(
+        "symbol string, timestamp timestamp, close double, buy int, sell int"
+    ).json(path)
+    return df.select(*SIGNAL_COLUMNS)
+
+
 def signals_from_events(
     events: DataFrame,
     buy_event: str = "purchase",
