@@ -20,6 +20,7 @@ HEADLINERS = [
     "mtm_summary",
     "trades_extract",
     "mtm_full_engine",
+    "mtm_param_sweep",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",

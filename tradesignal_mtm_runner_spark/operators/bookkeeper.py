@@ -284,13 +284,55 @@ def run_mtm_bookkeeper(
     )
 
 
-def summarize_timeline(timeline: DataFrame) -> DataFrame:
-    """Per-symbol pnl / max_drawdown / sharpe from any MTM timeline
-    (works for both the declarative and the bookkeeper engines)."""
+SWEEP_TIMELINE_SCHEMA = T.StructType(
+    [T.StructField("config_id", T.StringType(), False)] + TIMELINE_SCHEMA.fields
+)
+
+
+def run_mtm_param_sweep(
+    signals: DataFrame,
+    configs: dict[str, PnlCalcConfig],
+    inventory_mode: InventoryMode = InventoryMode.FIFO,
+) -> DataFrame:
+    """One engine pass over the full strategy grid: every (symbol,
+    config) pair becomes an independent applyInPandas group.
+
+    This is the shape of the real 100 TB workload — backtests run as
+    symbols x strategies x parameter sets, and each cell is an
+    embarrassingly parallel state-machine run. The bar rows are
+    replicated per config through the one shuffle (explode before
+    groupBy), which is exactly the data each group needs and keeps
+    every cell schedulable on any executor. Returns the per-bar
+    timeline tagged with config_id; feed to summarize_timeline(...,
+    group_cols=["symbol", "config_id"]) for the grid summary."""
+    ids = sorted(configs)
+    cols = [c for c in ["symbol", "timestamp", "event_id", "close", "buy", "sell"] if c in signals.columns]
+    sweep = signals.select(*cols).withColumn(
+        "config_id", F.explode(F.array(*[F.lit(i) for i in ids]))
+    )
+
+    def apply_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        config_id = key[1]
+        fn = _make_apply_fn(configs[config_id], inventory_mode, "timeline")
+        out = fn(pdf)
+        out.insert(0, "config_id", config_id)
+        return out
+
+    return sweep.groupBy("symbol", "config_id").applyInPandas(
+        apply_fn, schema=SWEEP_TIMELINE_SCHEMA
+    )
+
+
+def summarize_timeline(
+    timeline: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-group pnl / max_drawdown / sharpe from any MTM timeline
+    (works for the declarative, bookkeeper, and sweep engines)."""
     from ..functions.timeseries import running_max_drawdown, symbol_window
     from ..models import MIN_NUMERIC_VALUE, PROFIT_SLIPPAGE
 
-    w = symbol_window("symbol", ["timestamp"])
+    group_cols = group_cols or ["symbol"]
+    w = symbol_window(group_cols, ["timestamp"])
     dd = running_max_drawdown(F.col("pnl_ratio"), w)
     enriched = timeline.withColumn("_dd", dd).withColumn(
         "_slip", F.col("mtm_ratio") - F.lit(PROFIT_SLIPPAGE)
@@ -304,7 +346,7 @@ def summarize_timeline(timeline: DataFrame) -> DataFrame:
     sharpe = F.when(std == 0, F.lit(MIN_NUMERIC_VALUE)).otherwise(
         F.sum("_slip") / hours / std * F.sqrt(F.lit(365.0 * 24.0))
     )
-    return enriched.groupBy("symbol").agg(
+    return enriched.groupBy(*group_cols).agg(
         F.sum("mtm_ratio").alias("pnl"),
         F.max("_dd").alias("max_drawdown"),
         sharpe.alias("sharpe_ratio"),

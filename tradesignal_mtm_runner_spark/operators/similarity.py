@@ -36,6 +36,25 @@ def with_double_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
 
 
+def _plane_weight(table: int, p: int, j: int) -> float:
+    """Deterministic hyperplane coordinate: md5("t:p:j") first 8 hex
+    chars as uint32, mapped to [-1, 1). Identical formula to the
+    DuckDB oracle's ('0x' || substring(md5(...), 1, 8))::BIGINT."""
+    import hashlib
+
+    h = hashlib.md5(f"{table}:{p}:{j}".encode()).hexdigest()[:8]
+    return int(h, 16) / 2147483648.0 - 1.0
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first row (driver-side, one
+    tiny job; the result is baked into the plan as literals)."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    if row is None or row["n"] is None:
+        return 0
+    return int(row["n"])
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -82,32 +101,19 @@ def hyperplane_buckets(
     the DuckDB oracle, so bucketing is engine-portable. ``table``
     seeds independent hash tables (multi-probe recall)."""
     d = with_double_vec(df, vec_col)
-    dim = F.size(F.col(vec_col))
 
-    def plane_coord(p: int):
-        # md5 -> first 8 hex chars -> uint32 -> [-1, 1)
-        return lambda j: (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.lit(table), F.lit(p), j.cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("double")
-            / F.lit(2147483648.0)
-            - F.lit(1.0)
-        )
-
+    # Plane weights are DETERMINISTIC, so hash them once driver-side
+    # (hashlib md5 == engine md5 bit-for-bit) and ship literal arrays:
+    # the per-row work drops from num_planes x dim interpreted md5
+    # evaluations to a plain dot product. Weights cover the observed
+    # dim; vectors longer than the literal simply ignore the tail
+    # (zip_with pads with null -> excluded), shorter vectors pad too.
+    dim = _infer_dim(df, vec_col)
     bits = []
     for p in range(num_planes):
+        w = F.array(*[F.lit(_plane_weight(table, p, j)) for j in range(dim)])
         proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.transform(F.sequence(F.lit(0), dim - 1), plane_coord(p)),
-                lambda x, w: x * w,
-            ),
+            F.zip_with(F.col(vec_col), w, lambda x, wj: x * wj),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

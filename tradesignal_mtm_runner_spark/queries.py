@@ -368,6 +368,37 @@ WINDOW wf AS ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
 }
 
+def q_mtm_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy-grid backtest: 4 configs x all symbols in ONE engine
+    pass (the symbols-x-strategies axis that dominates at 100 TB).
+    Rows-only check; grid cells cross-check single-config runs in
+    tests/test_param_sweep.py."""
+    from .operators.bookkeeper import run_mtm_param_sweep, summarize_timeline
+
+    configs = {
+        "base": PnlCalcConfig(roi={0: float("inf")}, stoploss=float("-inf")),
+        "fees": _cfg(),
+        "roi_tiers": PnlCalcConfig(
+            roi={0: 0.05, 60: 0.02}, stoploss=float("-inf"), fee_rate=FEE
+        ),
+        "stop_shorts": PnlCalcConfig(
+            roi={0: float("inf")}, stoploss=-0.03,
+            enable_short_position=True, fee_rate=FEE,
+        ),
+    }
+    tl = run_mtm_param_sweep(_signals(spark, sf_dir), configs)
+    s = summarize_timeline(tl, group_cols=["symbol", "config_id"])
+    return s.select(
+        "symbol",
+        "config_id",
+        r9(F.col("pnl")).alias("pnl"),
+        r9(F.col("max_drawdown")).alias("max_drawdown"),
+        r9(F.col("sharpe_ratio")).alias("sharpe_ratio"),
+        "mkt_start_epoch",
+        "mkt_end_epoch",
+    )
+
+
 _STREAM_SINK_SEQ = iter(range(1_000_000))
 
 
@@ -413,6 +444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "buy_hold_mtm": q_buy_hold_mtm,
     "mtm_full_engine": q_mtm_full_engine,
     "mtm_full_trades": q_mtm_full_trades,
+    "mtm_param_sweep": q_mtm_param_sweep,
 }
 
 # streaming replay == batch timeline, so the oracle is shared
