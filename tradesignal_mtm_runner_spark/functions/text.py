@@ -93,6 +93,45 @@ def token_count_bpe_ish(text: Column) -> Column:
     )
 
 
+def _let(bound: Column, body) -> Column:
+    """Let-bind ``bound`` so it evaluates once per row: wrap in a
+    1-element array, transform with ``body``, take the element.
+    Referencing a tokenization expression twice would re-run the regex
+    split per reference (see shingles())."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
+def top_word_ratio(text: Column) -> Column:
+    """Frequency of the most repeated word / word count — the
+    repetition signal used by Gopher-style quality filters. Row-local
+    (O(unique x words) per doc, zero shuffle) rather than an
+    explode+groupBy, so at 100 TB it rides the scan."""
+
+    def from_bound(t: Column) -> Column:
+        maxc = F.array_max(
+            F.transform(
+                F.array_distinct(t),
+                lambda w: F.size(F.filter(t, lambda x: x == w)),
+            )
+        )
+        return maxc.cast("double") / F.size(t)
+
+    return _let(tokens(text), from_bound)
+
+
+def dup_bigram_ratio(text: Column) -> Column:
+    """Fraction of word bigrams that are repeats: 1 - distinct/total
+    (0 for docs with fewer than 2 words)."""
+
+    def from_bound(bg: Column) -> Column:
+        return F.when(
+            F.size(bg) > 0,
+            1.0 - F.size(F.array_distinct(bg)).cast("double") / F.size(bg),
+        ).otherwise(F.lit(0.0))
+
+    return _let(shingles(tokens(text), 2), from_bound)
+
+
 def normalize_text(text: Column) -> Column:
     """lower + collapse whitespace — canonical form for fingerprints."""
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")

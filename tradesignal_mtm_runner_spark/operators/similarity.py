@@ -171,6 +171,120 @@ def embedding_near_dup_pairs(
     return scored.filter(F.col("cosine") >= cosine_threshold)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    round_digits: int = 9,
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into ``num_centroids``
+    Voronoi cells, probe the ``nprobe`` nearest cells per query, exact
+    cosine re-rank inside the probed cells.
+
+    Centroids are the ``num_centroids`` lowest-id corpus vectors —
+    deterministic seed centroids (a Lloyd refinement would slot in
+    without changing the plan shape). They are collected driver-side
+    (tiny: C x dim doubles) and shipped as literal arrays, so cell
+    assignment and probing are pure per-row projections: NO join and
+    NO shuffle for the partitioning step — the property that matters
+    at 100 TB. The only shuffles left are the candidate join (probe
+    side is queries x nprobe rows -> broadcast) and the final
+    per-query top-k window.
+
+    All ranking happens on the cosine ROUNDED to ``round_digits`` with
+    deterministic tie-breaks (min centroid id / min corpus id), so an
+    engine-portable oracle can reproduce cell assignment bit-for-bit.
+    """
+    import math
+
+    cent_rows = (
+        with_double_vec(corpus, vec_col)
+        .select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(num_centroids)
+        .collect()
+    )
+    cents = []
+    for row in cent_rows:
+        w = [float(x) for x in row[vec_col]]
+        sq = 0.0
+        for x in w:  # sequential sum == engine list_dot_product order
+            sq += x * x
+        cents.append((int(row[id_col]), w, math.sqrt(sq)))
+
+    def cell_structs(vec, norm_v):
+        """array<struct<c: rounded cosine, nc: -cent_id, cent>> — max
+        of the struct order = best cell with min-id tie-break."""
+        cells = []
+        for cid, w, wnorm in cents:
+            wa = F.array(*[F.lit(x) for x in w])
+            cos = F.round(
+                _dot(vec, wa) / (norm_v * F.lit(wnorm)), round_digits
+            )
+            cells.append(
+                F.struct(
+                    cos.alias("c"),
+                    F.lit(-cid).alias("nc"),
+                    F.lit(cid).alias("cent"),
+                )
+            )
+        return F.array(*cells)
+
+    c = (
+        with_double_vec(corpus, vec_col)
+        .select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv"))
+        .withColumn("_n", _norm(F.col("_cv")))
+        .withColumn(
+            "cell",
+            F.array_max(cell_structs(F.col("_cv"), F.col("_n"))).getField("cent"),
+        )
+        .select("corpus_id", "_cv", "cell")
+    )
+    q = (
+        with_double_vec(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("_n", _norm(F.col("_qv")))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.reverse(
+                            F.array_sort(cell_structs(F.col("_qv"), F.col("_n")))
+                        ),
+                        1,
+                        nprobe,
+                    ),
+                    lambda s: s.getField("cent"),
+                )
+            ),
+        )
+        .select("query_id", "_qv", "cell")
+    )
+    pairs = c.join(F.broadcast(q), on="cell").filter(
+        F.col("corpus_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "corpus_id",
+        F.round(
+            _dot(F.col("_qv"), F.col("_cv"))
+            / (_norm(F.col("_qv")) * _norm(F.col("_cv"))),
+            round_digits,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

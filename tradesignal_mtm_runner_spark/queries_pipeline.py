@@ -182,6 +182,62 @@ FROM (SELECT doc_id, text, string_split_regex(trim(text), ' +') AS t FROM docume
 """
 
 
+# --- C4b Gopher-style quality filter ----------------------------------------
+
+QF_MIN_WORDS = 20
+QF_MIN_UNIQ = 0.35
+QF_MAX_TOPWORD = 0.125
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-centric quality signals (Gopher-style) + a keep
+    flag. All row-local column expressions — no shuffle, the filter
+    rides the parquet scan at any scale. Thresholds compare on the
+    ROUNDED ratios so the keep cut is engine-stable."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    uniq_ratio = F.round(
+        TX.unique_word_count(t).cast("double") / TX.word_count(t), R
+    )
+    topw = F.round(TX.top_word_ratio(t), R)
+    dupbg = F.round(TX.dup_bigram_ratio(t), R)
+    keep = (
+        (TX.word_count(t) >= QF_MIN_WORDS)
+        & (uniq_ratio >= QF_MIN_UNIQ)
+        & (topw <= QF_MAX_TOPWORD)
+    )
+    return d.select(
+        "doc_id",
+        TX.word_count(t).cast("long").alias("n_words"),
+        uniq_ratio.alias("uniq_word_ratio"),
+        topw.alias("top_word_ratio"),
+        dupbg.alias("dup_bigram_ratio"),
+        keep.alias("keep"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+WITH s AS (
+  SELECT doc_id, len(t) AS n_words,
+         round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), {R}) AS uniq_word_ratio,
+         round(CAST(list_max(list_transform(list_distinct(t),
+               w -> len(list_filter(t, x -> x = w)))) AS DOUBLE) / len(t), {R}) AS top_word_ratio,
+         round(CASE WHEN len(t) >= 2
+               THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+               ELSE 0.0 END, {R}) AS dup_bigram_ratio
+  FROM (SELECT doc_id, t,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1]))
+                    ELSE [] END AS bg
+        FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents))
+)
+SELECT doc_id, n_words, uniq_word_ratio, top_word_ratio, dup_bigram_ratio,
+       (n_words >= {QF_MIN_WORDS} AND uniq_word_ratio >= {QF_MIN_UNIQ}
+        AND top_word_ratio <= {QF_MAX_TOPWORD}) AS keep
+FROM s
+"""
+
+
 # --- C5 language ID heuristic ----------------------------------------------
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,6 +362,78 @@ SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank 
 """
 
 
+# --- C8b IVF-style ANN -------------------------------------------------------
+
+_V_SQL = "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)"
+
+IVF_CENTROIDS = 8
+IVF_NPROBE = 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: Voronoi-cell partition on deterministic seed centroids
+    (the IVF_CENTROIDS lowest vec_ids), probe IVF_NPROBE cells per
+    query, exact cosine re-rank. See operators/similarity.ivf_topk for
+    the 100 TB plan notes (assignment is a pure projection — no
+    shuffle)."""
+    from .operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    return ivf_topk(
+        emb,
+        queries,
+        k=ANN_TOPK,
+        num_centroids=IVF_CENTROIDS,
+        nprobe=IVF_NPROBE,
+        round_digits=R,
+    )
+
+
+_IVF_CA_SQL = f"""
+ca AS (
+  SELECT v.vec_id, c.cent_id,
+         round(list_dot_product(v.e, c.w)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.w, c.w))), {R}) AS cos
+  FROM v CROSS JOIN cent c
+)"""
+
+ANN_IVF_SQL = f"""
+WITH {_V_SQL},
+cent AS (SELECT vec_id AS cent_id, e AS w FROM v ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+{_IVF_CA_SQL},
+assign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM ca
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM ca WHERE vec_id < {ANN_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS corpus_id
+  FROM probe p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+),
+scored AS (
+  SELECT query_id, corpus_id,
+         round(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), {R}) AS cosine
+  FROM cand JOIN v q ON q.vec_id = query_id JOIN v c ON c.vec_id = corpus_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= {ANN_TOPK}
+"""
+
+
 # --- C9 random-hyperplane LSH buckets ---------------------------------------
 
 LSH_PLANES = 8
@@ -339,8 +467,6 @@ def _bucket_sql(t: int, planes: int) -> str:
     )
     return f"concat({bits})"
 
-
-_V_SQL = "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)"
 
 ANN_LSH_BUCKETS_SQL = f"""
 WITH {_V_SQL}
@@ -508,8 +634,10 @@ PIPELINE_QUERIES = {
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "dedup_embedding": dedup_embedding,
+    "text_quality": text_quality,
     "simhash": simhash,
     "simhash_pairs": simhash_pairs,
     "multimodal_stub": multimodal_stub,
@@ -524,8 +652,10 @@ PIPELINE_ORACLES = {
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
     "simhash": SIMHASH_SQL,
     "simhash_pairs": SIMHASH_PAIRS_SQL,
     "multimodal_stub": MULTIMODAL_SQL,
