@@ -1,0 +1,105 @@
+"""Scale-pattern tests (SURVEY §7.9): salted skew join and
+bucketed-write co-located join. Both are plan-level properties —
+results are identical to the naive plan; what's pinned here is that
+the technique actually changes the physical plan the way the 100 TB
+story claims."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE, assert_frames_match
+from tradesignal_mtm_runner_spark import plans as P
+from tradesignal_mtm_runner_spark.operators.skewjoin import salted_join
+from tradesignal_mtm_runner_spark.sources import load_table
+
+
+def _sides(spark):
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return ev, cust
+
+
+def test_salted_join_matches_plain_join(spark):
+    ev, cust = _sides(spark)
+    on = F.col("user_id") == F.col("c_custkey")
+    salted = salted_join(ev, cust, on=on, salt_source="event_id", num_salts=7)
+    plain = ev.join(cust, on)
+    assert_frames_match(
+        salted.toPandas(), plain.toPandas(), "salted_vs_plain"
+    )
+
+
+def test_salted_join_plan_spreads_key(spark):
+    ev, cust = _sides(spark)
+    salted = salted_join(
+        ev,
+        cust,
+        on=F.col("user_id") == F.col("c_custkey"),
+        salt_source="event_id",
+        num_salts=7,
+    )
+    plan = P.explain_str(salted)
+    # the whole point: NOT a broadcast, and the shuffle key includes
+    # the salt so one hot user_id spreads over num_salts partitions
+    assert P.broadcast_join_count(salted) == 0
+    assert "_salt_b" in plan and "_salt_s" in plan
+
+
+@pytest.fixture(scope="module")
+def bucket_db(spark):
+    loc = tempfile.mkdtemp(prefix="bucketdemo_")
+    spark.sql(f"CREATE DATABASE bucketdemo LOCATION '{loc}'")
+    yield "bucketdemo"
+    spark.sql("DROP DATABASE bucketdemo CASCADE")
+    shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_bucketed_join_needs_no_shuffle(spark, bucket_db):
+    """Pre-bucketing both fact tables on the join key makes the join
+    shuffle-FREE: each bucket pair joins in place. At 100 TB this is
+    the difference between re-shuffling the biggest table on every
+    run and paying the partitioning once at write time."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    (
+        li.write.bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(f"{bucket_db}.li_b")
+    )
+    (
+        orders.write.bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(f"{bucket_db}.orders_b")
+    )
+    lb = spark.table(f"{bucket_db}.li_b")
+    ob = spark.table(f"{bucket_db}.orders_b")
+    joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+        "o_orderkey"
+    ).agg(F.sum("l_quantity").alias("qty"))
+
+    # co-located: zero shuffles end-to-end (join AND the groupBy ride
+    # the bucket partitioning); unbucketed plan needs >= 1
+    assert P.exchange_count(joined) == 0, P.explain_str(joined)
+
+    plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    assert P.exchange_count(plain) >= 1
+    assert_frames_match(joined.toPandas(), plain.toPandas(), "bucketed_vs_plain")

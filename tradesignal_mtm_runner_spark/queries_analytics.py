@@ -346,6 +346,139 @@ FROM events GROUP BY user_id
 """
 
 
+# --- B9: TPC-H Q10 style returned-item report -------------------------------
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to returns per customer over a 6-month window.
+    Plan: both fact-side filters (returnflag, date window) sit before
+    the joins so they reach the scans; nation broadcasts; the
+    customer join is AQE's call (broadcast at test SF, sort-merge at
+    100 TB where customer is itself fact-sized)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R_MONEY
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), {R_MONEY}) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- B10: TPC-H Q18 style large-volume orders --------------------------------
+
+Q18_MIN_QTY = 180
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds Q18_MIN_QTY. Plan: the
+    lineitem aggregate happens FIRST (map-side partial agg on
+    l_orderkey, the table's natural key) and the >threshold filter
+    shrinks it before any join — at 100 TB the join inputs are the
+    filtered ~1% of orders, not the raw fact table. Quantities are
+    integral so the double sums are exact and the HAVING cut is
+    engine-stable."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", R_MONEY).alias("o_totalprice"),
+            F.round("total_qty", R_MONEY).alias("total_qty"),
+        )
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, {R_MONEY}) AS o_totalprice,
+       round(total_qty, {R_MONEY}) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {Q18_MIN_QTY}
+) t
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --- B11: salted skew join ---------------------------------------------------
+
+SKEW_SALTS = 16
+
+
+def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment x event type via an explicitly
+    SALTED events-customer join (operators/skewjoin.py): the fact side
+    carries xxhash64(event_id) % 16 and customer is replicated 16x, so
+    a hot user_id would spread over 16 reducers instead of melting
+    one. Results are identical to the plain join — the oracle IS the
+    plain join."""
+    from .operators.skewjoin import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        ev,
+        cust,
+        on=F.col("user_id") == F.col("c_custkey"),
+        salt_source="event_id",
+        num_salts=SKEW_SALTS,
+    )
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), R_MONEY).alias("total_value"),
+    )
+
+
+SKEW_JOIN_SQL = f"""
+SELECT c_mktsegment, event_type,
+       count(*) AS n_events,
+       round(sum(value), {R_MONEY}) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+"""
+
+
 ANALYTICS_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -355,6 +488,9 @@ ANALYTICS_QUERIES = {
     "events_sessionize": events_sessionize,
     "asof_join": asof_join_events,
     "events_pivot": events_pivot,
+    "q10_returned_items": q10_returned_items,
+    "q18_large_orders": q18_large_orders,
+    "skew_join_salted": skew_join_salted,
 }
 
 ANALYTICS_ORACLES = {
@@ -366,4 +502,7 @@ ANALYTICS_ORACLES = {
     "events_sessionize": SESSIONIZE_SQL,
     "asof_join": ASOF_SQL,
     "events_pivot": PIVOT_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q18_large_orders": Q18_SQL,
+    "skew_join_salted": SKEW_JOIN_SQL,
 }
