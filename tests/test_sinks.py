@@ -1,0 +1,77 @@
+"""Sink round-trips: JSONL results in the reference's shape,
+partitioned timeline writes."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from tradesignal_mtm_runner_spark import sinks
+from tradesignal_mtm_runner_spark.config import PnlCalcConfig
+from tradesignal_mtm_runner_spark.operators.bookkeeper import (
+    run_mtm_bookkeeper,
+    summarize_timeline,
+)
+from tradesignal_mtm_runner_spark.sources import load_table, signals_from_events
+
+
+def _engine_outputs(spark):
+    sig = signals_from_events(load_table(spark, SF_SMOKE, "events"))
+    cfg = PnlCalcConfig(roi={0: float("inf")}, stoploss=float("-inf"), fee_rate=0.001)
+    timeline = run_mtm_bookkeeper(sig, cfg, output="timeline")
+    trades = run_mtm_bookkeeper(sig, cfg, output="trades")
+    return timeline, trades, summarize_timeline(timeline)
+
+
+def test_results_jsonl_roundtrip(spark, tmp_path):
+    timeline, trades, summary = _engine_outputs(spark)
+    path = str(tmp_path / "results")
+    sinks.write_results_jsonl(
+        summary,
+        path,
+        trades=trades,
+        batch_id="b1",
+        strategy_name="test_strategy",
+    )
+    lines = []
+    for f in glob.glob(f"{path}/part-*"):
+        with open(f) as fh:
+            lines += [json.loads(line) for line in fh if line.strip()]
+    n_symbols = summary.count()
+    assert len(lines) == n_symbols
+
+    # reference result-shape parity: every queryable field present
+    for doc in lines:
+        for field in sinks.RESULT_FIELDS:
+            assert field in doc, f"missing {field}"
+    by_symbol = {d["symbol"]: d for d in lines}
+    srow = summary.filter(F.col("symbol") == list(by_symbol)[0]).first()
+    doc = by_symbol[srow["symbol"]]
+    assert abs(doc["pnl"] - srow["pnl"]) < 1e-12
+    assert doc["batch_id"] == "b1"
+    assert doc["strategy_name"] == "test_strategy"
+
+    # archive sizes must reconcile with the trades frame
+    total_closed = sum(
+        d["long_trades_archive_size"] + d["short_trades_archive_size"]
+        for d in lines
+    )
+    assert total_closed == trades.filter(F.col("is_closed")).count()
+
+
+def test_timeline_partitioned_write_roundtrip(spark, tmp_path):
+    timeline, _, _ = _engine_outputs(spark)
+    path = str(tmp_path / "timeline")
+    sinks.write_timeline(timeline, path, partition_by=["symbol"])
+    assert any(
+        name.startswith("symbol=") for name in os.listdir(path)
+    ), "expected hive-style symbol partitions"
+    back = spark.read.parquet(path)
+    assert back.count() == timeline.count()
+    # partition pruning must work on the written layout
+    one = back.filter(F.col("symbol") == timeline.first()["symbol"])
+    assert one.count() > 0

@@ -1,0 +1,141 @@
+"""Output connectors (sinks).
+
+The reference publishes one JSON document per (strategy, symbol) run
+with pnl / drawdown / sharpe / epochs / trade-archive sizes
+(reference: models.py:203 Mtm_Result.to_query_dict, sample at
+samples/sample_pnlresult.jsonl). ``write_results_jsonl`` reproduces
+that surface as a DISTRIBUTED write: the result lines are built with
+column expressions (to_json over a struct — no driver-side loop), so
+a 10^6-symbol sweep writes from every executor in parallel.
+
+``write_timeline`` persists bar-level timelines partitioned for
+downstream consumers; ``write_bucketed`` is the write-side of the
+co-located join pattern (pay the shuffle once at write time, join
+shuffle-free forever after — see tests/test_scale_patterns.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: reference Mtm_Result queryable fields (models.py:240-255)
+RESULT_FIELDS = [
+    "batch_id",
+    "data_key",
+    "strategy_name",
+    "strategy_id",
+    "symbol",
+    "pnl",
+    "max_drawdown",
+    "sharpe_ratio",
+    "mkt_start_epoch",
+    "mkt_end_epoch",
+    "long_trades_archive_size",
+    "short_trades_archive_size",
+    "long_trades_outstanding_size",
+    "short_trades_outstanding_size",
+]
+
+
+def _count(direction: str, closed: bool):
+    hit = (F.col("direction") == direction) & (F.col("is_closed") == closed)
+    return F.sum(hit.cast("long"))
+
+
+def mtm_result_lines(
+    summary: DataFrame,
+    trades: DataFrame | None = None,
+    batch_id: str = "",
+    data_key: str = "",
+    strategy_name: str = "",
+    strategy_id: str = "",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """One JSON line per group in the reference's result shape.
+
+    ``summary`` is summarize_timeline output; ``trades`` (optional)
+    fills the four archive/outstanding size fields, 0 when absent.
+    Entirely declarative: a count aggregate, one join on the group
+    key, and a to_json projection."""
+    group_cols = group_cols or ["symbol"]
+    out = summary
+    if trades is not None:
+        counts = trades.groupBy(*group_cols).agg(
+            _count("LONG", True).alias("long_trades_archive_size"),
+            _count("SHORT", True).alias("short_trades_archive_size"),
+            _count("LONG", False).alias("long_trades_outstanding_size"),
+            _count("SHORT", False).alias("short_trades_outstanding_size"),
+        )
+        out = out.join(counts, on=group_cols, how="left")
+    for c in (
+        "long_trades_archive_size",
+        "short_trades_archive_size",
+        "long_trades_outstanding_size",
+        "short_trades_outstanding_size",
+    ):
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(0).cast("long"))
+    out = out.na.fill(0, subset=[c for c in out.columns if c.endswith("_size")])
+    meta = {
+        "batch_id": batch_id,
+        "data_key": data_key,
+        "strategy_name": strategy_name,
+        "strategy_id": strategy_id,
+    }
+    fields = []
+    for name in RESULT_FIELDS:
+        if name in meta:
+            fields.append(F.lit(meta[name]).alias(name))
+        elif name in out.columns:
+            fields.append(F.col(name))
+    # group cols beyond symbol (e.g. config_id from a sweep) ride along
+    fields += [F.col(c) for c in group_cols if c != "symbol"]
+    return out.select(F.to_json(F.struct(*fields)).alias("value"))
+
+
+def write_results_jsonl(
+    summary: DataFrame,
+    path: str,
+    trades: DataFrame | None = None,
+    mode: str = "overwrite",
+    **meta: str,
+) -> None:
+    """Distributed JSONL result sink (reference sample_pnlresult.jsonl
+    shape). Coalesce is deliberately NOT applied — at scale you want
+    many small result files, not one driver-melting file."""
+    mtm_result_lines(summary, trades, **meta).write.mode(mode).text(path)
+
+
+def write_timeline(
+    timeline: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a bar-level timeline. Default is UNpartitioned parquet:
+    a directory per symbol is right for 100s of symbols and wrong for
+    10^6 (file-per-partition explosion) — callers choose. Parquet gets
+    column pruning + predicate pushdown on read either way."""
+    w = timeline.write.mode(mode).format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write as a bucketed table: joins/aggregations on the bucket
+    key then need zero shuffles (tests/test_scale_patterns.py pins
+    this). ``table`` may be db-qualified."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
