@@ -31,6 +31,9 @@ HEADLINERS = [
     "simhash_pairs",
     "dedup_embedding",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "token_histogram",
+    "skew_join_salted",
     "multimodal_stub",
     "mtm_streaming",
 ]

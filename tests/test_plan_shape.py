@@ -53,3 +53,31 @@ def test_asof_join_pushdown(spark):
 
 def test_mtm_timeline_codegen(spark):
     assert P.codegen_stage_count(_df(spark, "mtm_timeline")) >= 1
+
+
+def test_ivf_assignment_is_shuffle_free(spark):
+    """IVF cell assignment must be a projection over literal
+    centroids: the ONLY shuffle allowed is the final top-k window
+    (+ AQE bookkeeping), and the probe side must broadcast."""
+    df = _df(spark, "ann_ivf_topk")
+    assert P.exchange_count(df) <= 2
+    assert P.broadcast_join_count(df) >= 1
+
+
+def test_text_quality_rides_the_scan(spark):
+    assert P.exchange_count(_df(spark, "text_quality")) == 0
+
+
+def test_q18_filter_shrinks_before_join(spark):
+    df = _df(spark, "q18_large_orders")
+    assert P.exchange_count(df) <= 2
+    # the >threshold cut on the aggregate must appear in the plan as a
+    # filter on the agg output, i.e. before any join consumes it
+    assert "total_qty" in P.explain_str(df)
+
+
+def test_token_histogram_distributed_topk(spark):
+    """The top-K cut must be TakeOrdered (distributed partial top-k),
+    not a single-partition global-sort window."""
+    plan = P.explain_str(_df(spark, "token_histogram"))
+    assert "TakeOrderedAndProject" in plan

@@ -304,6 +304,60 @@ FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents)
 """
 
 
+# --- C6b vocabulary / token histogram ---------------------------------------
+
+VOCAB_TOPK = 100
+
+
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-K tokens by total frequency with
+    document frequency. Two-level aggregate — per-(doc, token) counts
+    first, then per-token — so doc_freq is a plain count, never a
+    count(DISTINCT) expand; both levels partial-aggregate map-side.
+    The top-K cut ranks on (term_freq DESC, token ASC) so it is
+    deterministic across engines."""
+    d = _docs(spark, sf_dir)
+    per_doc = (
+        d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = per_doc.groupBy("token").agg(
+        F.sum("c").alias("term_freq"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    # partial top-k, NOT a single-partition global sort; the rank
+    # window then runs over just the K survivors
+    top = vocab.orderBy(F.desc("term_freq"), F.asc("token")).limit(VOCAB_TOPK)
+    w = Window.orderBy(F.desc("term_freq"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token",
+        F.col("term_freq").cast("long").alias("term_freq"),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+TOKEN_HISTOGRAM_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, u.token AS token, count(*) AS c
+  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+       UNNEST(t) AS u(token)
+  GROUP BY doc_id, u.token
+),
+vocab AS (
+  SELECT token, sum(c) AS term_freq, count(*) AS doc_freq FROM per_doc GROUP BY token
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY term_freq DESC, token ASC) AS rank FROM vocab
+)
+SELECT token, CAST(term_freq AS BIGINT) AS term_freq,
+       CAST(doc_freq AS BIGINT) AS doc_freq, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {VOCAB_TOPK}
+"""
+
+
 # --- C7 fingerprint ---------------------------------------------------------
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,6 +686,7 @@ PIPELINE_QUERIES = {
     "text_stats": text_stats,
     "lang_id": lang_id,
     "token_count": token_count,
+    "token_histogram": token_histogram,
     "doc_fingerprint": doc_fingerprint,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -650,6 +705,7 @@ PIPELINE_ORACLES = {
     "text_stats": TEXT_STATS_SQL,
     "lang_id": LANG_ID_SQL,
     "token_count": TOKEN_COUNT_SQL,
+    "token_histogram": TOKEN_HISTOGRAM_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
