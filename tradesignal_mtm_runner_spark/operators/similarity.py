@@ -171,6 +171,17 @@ def embedding_near_dup_pairs(
     return scored.filter(F.col("cosine") >= cosine_threshold)
 
 
+def _centroid(cid: int, w: list[float]) -> tuple[int, list[float], float]:
+    """(id, vector, norm); the norm is a sequential sum so it matches
+    the engines' list_dot_product order bit-for-bit."""
+    import math
+
+    sq = 0.0
+    for x in w:
+        sq += x * x
+    return (cid, w, math.sqrt(sq))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -180,6 +191,8 @@ def ivf_topk(
     num_centroids: int = 8,
     nprobe: int = 2,
     round_digits: int = 9,
+    lloyd_iters: int = 0,
+    mean_round: int = 6,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into ``num_centroids``
     Voronoi cells, probe the ``nprobe`` nearest cells per query, exact
@@ -195,12 +208,18 @@ def ivf_topk(
     side is queries x nprobe rows -> broadcast) and the final
     per-query top-k window.
 
+    ``lloyd_iters`` > 0 refines the seed centroids with k-means
+    (Lloyd) iterations: assign every corpus vector to its cell, take
+    the per-dimension MEAN of each cell (one groupBy with dim avg
+    aggregates — partial-agg friendly), collect the C tiny centroids
+    back and re-assign. Means are rounded to 6 decimals before use so
+    both engines train bit-identical centroids despite differing
+    summation order.
+
     All ranking happens on the cosine ROUNDED to ``round_digits`` with
     deterministic tie-breaks (min centroid id / min corpus id), so an
     engine-portable oracle can reproduce cell assignment bit-for-bit.
     """
-    import math
-
     cent_rows = (
         with_double_vec(corpus, vec_col)
         .select(F.col(id_col), F.col(vec_col))
@@ -208,13 +227,10 @@ def ivf_topk(
         .limit(num_centroids)
         .collect()
     )
-    cents = []
-    for row in cent_rows:
-        w = [float(x) for x in row[vec_col]]
-        sq = 0.0
-        for x in w:  # sequential sum == engine list_dot_product order
-            sq += x * x
-        cents.append((int(row[id_col]), w, math.sqrt(sq)))
+    cents = [
+        _centroid(int(row[id_col]), [float(x) for x in row[vec_col]])
+        for row in cent_rows
+    ]
 
     def cell_structs(vec, norm_v):
         """array<struct<c: rounded cosine, nc: -cent_id, cent>> — max
@@ -234,16 +250,40 @@ def ivf_topk(
             )
         return F.array(*cells)
 
-    c = (
+    base = (
         with_double_vec(corpus, vec_col)
         .select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv"))
         .withColumn("_n", _norm(F.col("_cv")))
-        .withColumn(
+    )
+
+    dim = len(cents[0][1]) if cents else 0
+    for _ in range(lloyd_iters):
+        assigned = base.withColumn(
             "cell",
             F.array_max(cell_structs(F.col("_cv"), F.col("_n"))).getField("cent"),
         )
-        .select("corpus_id", "_cv", "cell")
-    )
+        rows = assigned.groupBy("cell").agg(
+            *[
+                F.round(F.avg(F.element_at(F.col("_cv"), j + 1)), mean_round).alias(
+                    f"m{j}"
+                )
+                for j in range(dim)
+            ]
+        ).collect()
+        # cells that captured no vectors simply drop out (both engines
+        # derive the survivor set from the same assignment)
+        cents = sorted(
+            (
+                _centroid(int(r["cell"]), [float(r[f"m{j}"]) for j in range(dim)])
+                for r in rows
+            ),
+            key=lambda t: t[0],
+        )
+
+    c = base.withColumn(
+        "cell",
+        F.array_max(cell_structs(F.col("_cv"), F.col("_n"))).getField("cent"),
+    ).select("corpus_id", "_cv", "cell")
     q = (
         with_double_vec(queries, vec_col)
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))

@@ -432,8 +432,41 @@ def q_mtm_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: watermarked tumbling-window aggregation on the event
+    stream (streaming/windowed.py). COMPLETE mode + availableNow so a
+    finite replay emits every window — the oracle is the plain batch
+    group-by."""
+    from .sources import stream_table
+    from .streaming.windowed import windowed_event_counts
+
+    ev = stream_table(spark, sf_dir, "events")
+    sink = f"events_window_sink_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        windowed_event_counts(ev)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+EVENTS_STREAM_WINDOW_SQL = """
+SELECT CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS window_start_epoch,
+       user_id, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, user_id, event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mtm_streaming": q_mtm_streaming,
+    "events_stream_window": q_events_stream_window,
     "price_movement": q_price_movement,
     "mtm_timeline": q_mtm_timeline,
     "pnl_per_symbol": q_pnl_per_symbol,
@@ -449,6 +482,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # streaming replay == batch timeline, so the oracle is shared
 ORACLES["mtm_streaming"] = ORACLES["mtm_timeline"]
+ORACLES["events_stream_window"] = EVENTS_STREAM_WINDOW_SQL
 
 # analytics block (B) — see queries_analytics.py
 from .queries_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES  # noqa: E402

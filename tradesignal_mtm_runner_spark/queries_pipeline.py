@@ -452,10 +452,7 @@ ca AS (
   FROM v CROSS JOIN cent c
 )"""
 
-ANN_IVF_SQL = f"""
-WITH {_V_SQL},
-cent AS (SELECT vec_id AS cent_id, e AS w FROM v ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
-{_IVF_CA_SQL},
+_IVF_TAIL_SQL = f"""
 assign AS (
   SELECT vec_id, cent_id AS cell FROM (
     SELECT vec_id, cent_id,
@@ -485,6 +482,68 @@ r AS (
   FROM scored
 )
 SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= {ANN_TOPK}
+"""
+
+ANN_IVF_SQL = f"""
+WITH {_V_SQL},
+cent AS (SELECT vec_id AS cent_id, e AS w FROM v ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+{_IVF_CA_SQL},
+{_IVF_TAIL_SQL}
+"""
+
+
+# --- C8c IVF with Lloyd-trained centroids ------------------------------------
+
+IVF_MEAN_ROUND = 6
+
+
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with ONE k-means (Lloyd) refinement of the seed
+    centroids: assign -> per-cell per-dimension mean (rounded to 6
+    decimals so both engines train identical centroids) -> re-assign.
+    Training is one groupBy over the corpus per iteration; centroids
+    stay driver-resident literals, so query-time assignment remains a
+    shuffle-free projection."""
+    from .operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    return ivf_topk(
+        emb,
+        queries,
+        k=ANN_TOPK,
+        num_centroids=IVF_CENTROIDS,
+        nprobe=IVF_NPROBE,
+        round_digits=R,
+        lloyd_iters=1,
+        mean_round=IVF_MEAN_ROUND,
+    )
+
+
+ANN_IVF_TRAINED_SQL = f"""
+WITH {_V_SQL},
+seed AS (SELECT vec_id AS cent_id, e AS w FROM v ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+ca0 AS (
+  SELECT v.vec_id, s.cent_id,
+         round(list_dot_product(v.e, s.w)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(s.w, s.w))), {R}) AS cos
+  FROM v CROSS JOIN seed s
+),
+a0 AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM ca0
+  ) WHERE rn = 1
+),
+means AS (
+  SELECT a0.cell, r.i AS i, round(avg(v.e[r.i]), {IVF_MEAN_ROUND}) AS m
+  FROM a0 JOIN v USING (vec_id), UNNEST(range(1, len(v.e) + 1)) AS r(i)
+  GROUP BY a0.cell, r.i
+),
+cent AS (SELECT cell AS cent_id, list(m ORDER BY i) AS w FROM means GROUP BY cell),
+{_IVF_CA_SQL},
+{_IVF_TAIL_SQL}
 """
 
 
@@ -690,6 +749,7 @@ PIPELINE_QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_trained": ann_ivf_trained,
     "ann_lsh_buckets": ann_lsh_buckets,
     "dedup_embedding": dedup_embedding,
     "text_quality": text_quality,
@@ -709,6 +769,7 @@ PIPELINE_ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
+    "ann_ivf_trained": ANN_IVF_TRAINED_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "text_quality": TEXT_QUALITY_SQL,
