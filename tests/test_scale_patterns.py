@@ -103,3 +103,32 @@ def test_bucketed_join_needs_no_shuffle(spark, bucket_db):
     )
     assert P.exchange_count(plain) >= 1
     assert_frames_match(joined.toPandas(), plain.toPandas(), "bucketed_vs_plain")
+
+
+def test_connected_canonical_converged(spark):
+    """DEDUP_CC_ITERS hops must be enough on this graph: one more
+    iteration may not change any label (otherwise the fixed unroll in
+    the SQL oracle and the Spark loop are both under-iterated)."""
+    from tradesignal_mtm_runner_spark.operators.dedup import (
+        connected_canonical,
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+    from tradesignal_mtm_runner_spark.queries_pipeline import (
+        DEDUP_CC_ITERS,
+        SIMHASH_MAX_HAMMING,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    pairs = simhash_near_dup_pairs(
+        simhash_signatures(d), max_hamming=SIMHASH_MAX_HAMMING
+    )
+    ids = d.select("doc_id")
+    a = connected_canonical(ids, pairs, iters=DEDUP_CC_ITERS).toPandas()
+    b = connected_canonical(ids, pairs, iters=DEDUP_CC_ITERS + 1).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a["canonical_id"].values == b["canonical_id"].values).all()
+    # sanity: dedup actually drops something and keeps the minima
+    assert (~a["keep"]).sum() > 0
+    assert set(a[a["keep"]]["doc_id"]) == set(a["canonical_id"])

@@ -364,3 +364,49 @@ def minhash_dedup_pairs(
         return cand
     j = pair_jaccard(df, cand, id_col, text_col, shingle_k)
     return j.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def connected_canonical(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    iters: int = 3,
+) -> DataFrame:
+    """Canonical-id assignment over a near-dup pair graph: every doc
+    gets the MINIMUM doc_id reachable within ``iters`` hops (min-label
+    propagation — the dataframe form of connected components). With
+    LSH near-dup graphs components are shallow (dup clusters, not
+    chains), so a small fixed ``iters`` converges; each iteration is
+    one join + one aggregate, all partial-agg friendly, nothing
+    driver-side. keep = (doc_id == canonical_id) materializes the
+    deduplicated corpus selection.
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # iterative algorithm: without this, every iteration (and the
+    # final action) re-runs the whole upstream pair pipeline — the
+    # standard Pregel-style persist; Spark LRU-evicts it later
+    edges = edges.persist()
+    labels = ids.select(F.col(id_col), F.col(id_col).alias("lab"))
+    for _ in range(iters):
+        nbr = (
+            edges.join(labels, edges.dst == labels[id_col])
+            .groupBy("src")
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        labels = (
+            labels.join(nbr, labels[id_col] == nbr.src, "left")
+            .select(
+                F.col(id_col),
+                F.least(F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))).alias(
+                    "lab"
+                ),
+            )
+        )
+    return labels.select(
+        F.col(id_col),
+        F.col("lab").alias("canonical_id"),
+        (F.col(id_col) == F.col("lab")).alias("keep"),
+    )

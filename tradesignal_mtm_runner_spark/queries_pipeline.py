@@ -358,6 +358,70 @@ FROM r WHERE rank <= {VOCAB_TOPK}
 """
 
 
+# --- C6c TF-IDF top terms ----------------------------------------------------
+
+TFIDF_TOPK = 5
+
+
+def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K characteristic terms per document by tf-idf. Three
+    partial-agg-friendly aggregates (per-doc-term tf, per-term df,
+    corpus N) joined back on token; the N scalar rides a broadcast
+    cross join. The per-doc top-K window partitions by doc_id so it
+    scales with the corpus."""
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tf_idf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), R),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf_idf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            "tf_idf",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+TF_IDF_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, u.token AS token, count(*) AS tf
+  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+       UNNEST(t) AS u(token)
+  GROUP BY doc_id, u.token
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), {R}) AS tf_idf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf_idf DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, tf_idf, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {TFIDF_TOPK}
+"""
+
+
 # --- C7 fingerprint ---------------------------------------------------------
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,8 +761,7 @@ WITH {_SIMHASH_CORE}
 SELECT doc_id, simhash_hi, simhash_lo FROM sig
 """
 
-SIMHASH_PAIRS_SQL = f"""
-WITH {_SIMHASH_CORE},
+_SIMHASH_BANDS_CAND = """
 bands AS (
   SELECT doc_id, simhash_hi, simhash_lo, 0 AS band, simhash_hi >> 16 AS val FROM sig
   UNION ALL
@@ -713,11 +776,75 @@ cand AS (
          a.simhash_hi AS hi_a, a.simhash_lo AS lo_a,
          b.simhash_hi AS hi_b, b.simhash_lo AS lo_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
-)
+)"""
+
+SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_CORE},
+{_SIMHASH_BANDS_CAND}
 SELECT id_a, id_b,
        CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
 FROM cand
 WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+# --- C10b connected-component canonical dedup --------------------------------
+
+DEDUP_CC_ITERS = 3
+
+
+def dedup_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the dedup DECISION: canonical id per document over
+    the simhash near-dup graph via min-label propagation (the
+    dataframe form of connected components; DEDUP_CC_ITERS hops —
+    LSH dup clusters are shallow, and tests assert convergence).
+    keep = doc is its own component minimum."""
+    from .operators.dedup import (
+        connected_canonical,
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    d = _docs(spark, sf_dir)
+    sig = simhash_signatures(d)
+    pairs = simhash_near_dup_pairs(sig, max_hamming=SIMHASH_MAX_HAMMING)
+    out = connected_canonical(d.select("doc_id"), pairs, iters=DEDUP_CC_ITERS)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "keep",
+    )
+
+
+def _cc_iter_sql(k: int) -> str:
+    prev = f"l{k - 1}"
+    return f"""
+l{k} AS (
+  SELECT l.doc_id, least(l.lab, coalesce(min(n.lab), l.lab)) AS lab
+  FROM {prev} l
+  LEFT JOIN e ON e.src = l.doc_id
+  LEFT JOIN {prev} n ON n.doc_id = e.dst
+  GROUP BY l.doc_id, l.lab
+)"""
+
+
+_CC_ITERS_SQL = ",".join(_cc_iter_sql(k) for k in range(1, DEDUP_CC_ITERS + 1))
+
+DEDUP_CONNECTED_SQL = f"""
+WITH {_SIMHASH_CORE},
+{_SIMHASH_BANDS_CAND},
+p AS (
+  SELECT id_a, id_b FROM cand
+  WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= {SIMHASH_MAX_HAMMING}
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+l0 AS (SELECT doc_id, doc_id AS lab FROM documents),
+{_CC_ITERS_SQL}
+SELECT doc_id, lab AS canonical_id, doc_id = lab AS keep FROM l{DEDUP_CC_ITERS}
 """
 
 
@@ -746,6 +873,7 @@ PIPELINE_QUERIES = {
     "lang_id": lang_id,
     "token_count": token_count,
     "token_histogram": token_histogram,
+    "tf_idf_top_terms": tf_idf_top_terms,
     "doc_fingerprint": doc_fingerprint,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -755,6 +883,7 @@ PIPELINE_QUERIES = {
     "text_quality": text_quality,
     "simhash": simhash,
     "simhash_pairs": simhash_pairs,
+    "dedup_connected": dedup_connected,
     "multimodal_stub": multimodal_stub,
 }
 
@@ -766,6 +895,7 @@ PIPELINE_ORACLES = {
     "lang_id": LANG_ID_SQL,
     "token_count": TOKEN_COUNT_SQL,
     "token_histogram": TOKEN_HISTOGRAM_SQL,
+    "tf_idf_top_terms": TF_IDF_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
@@ -775,5 +905,6 @@ PIPELINE_ORACLES = {
     "text_quality": TEXT_QUALITY_SQL,
     "simhash": SIMHASH_SQL,
     "simhash_pairs": SIMHASH_PAIRS_SQL,
+    "dedup_connected": DEDUP_CONNECTED_SQL,
     "multimodal_stub": MULTIMODAL_SQL,
 }
