@@ -76,6 +76,16 @@ def test_q18_filter_shrinks_before_join(spark):
     assert "total_qty" in P.explain_str(df)
 
 
+def test_range_join_is_hash_not_nested_loop(spark):
+    """The binned range join's reason to exist: a pure range
+    predicate must NOT plan as BroadcastNestedLoopJoin/Cartesian —
+    the bucket key turns it into an ordinary equality join."""
+    df = _df(spark, "events_error_burst")
+    plan = P.explain_str(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "_bkt" in plan
+
+
 def test_token_histogram_distributed_topk(spark):
     """The top-K cut must be TakeOrdered (distributed partial top-k),
     not a single-partition global-sort window."""

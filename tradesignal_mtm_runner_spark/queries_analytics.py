@@ -441,6 +441,44 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+# --- B12: binned range join --------------------------------------------------
+
+BURST_WINDOW_SEC = 300
+
+
+def events_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity in the 5 minutes after each error event — a PURE
+    range join (no equality key), planned as a binned hash join
+    (operators/rangejoin.py) instead of the O(n^2) nested loop
+    Catalyst would otherwise emit."""
+    from .operators.rangejoin import range_join_binned
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts")
+    )
+    follow = ev.select(F.col("ts").alias("f_ts"), F.col("value").alias("f_value"))
+    pairs = range_join_binned(
+        errors, follow, "error_ts", "f_ts", 0.0, float(BURST_WINDOW_SEC)
+    )
+    return pairs.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.round(F.sum("f_value"), R_MONEY).alias("total_value"),
+    )
+
+
+ERROR_BURST_SQL = f"""
+SELECT l.event_id AS error_id,
+       count(*) AS n_follow,
+       round(sum(r.value), {R_MONEY}) AS total_value
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+JOIN events r
+  ON epoch_us(r.ts) > epoch_us(l.ts)
+ AND epoch_us(r.ts) <= epoch_us(l.ts) + {BURST_WINDOW_SEC} * 1000000
+GROUP BY l.event_id
+"""
+
+
 # --- B11: salted skew join ---------------------------------------------------
 
 SKEW_SALTS = 16
@@ -491,6 +529,7 @@ ANALYTICS_QUERIES = {
     "q10_returned_items": q10_returned_items,
     "q18_large_orders": q18_large_orders,
     "skew_join_salted": skew_join_salted,
+    "events_error_burst": events_error_burst,
 }
 
 ANALYTICS_ORACLES = {
@@ -505,4 +544,5 @@ ANALYTICS_ORACLES = {
     "q10_returned_items": Q10_SQL,
     "q18_large_orders": Q18_SQL,
     "skew_join_salted": SKEW_JOIN_SQL,
+    "events_error_burst": ERROR_BURST_SQL,
 }
