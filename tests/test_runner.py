@@ -127,3 +127,37 @@ def test_empty_symbol_returns_default(runner):
     assert isinstance(res, MtmResult)
     assert res.pnl == pytest.approx(0.0)
     assert not res.long_trades_archive and not res.long_trades_outstanding
+
+
+def test_hyperopt_adapter_penalizes_do_nothing(runner):
+    from tradesignal_mtm_runner_spark.models import (
+        MAX_NUMERIC_VALUE,
+        MIN_NUMERIC_VALUE,
+    )
+    from tradesignal_mtm_runner_spark.runner import HyperOptPnlCalculatorAdapter
+
+    adapter = HyperOptPnlCalculatorAdapter(runner)
+
+    # flat market, no signals -> pnl ~ 0 -> penalized
+    buy_df, sell_df = frames("flat")
+    res = adapter.calculate("NOSIGNALS", buy_df, sell_df)
+    assert res.pnl == MIN_NUMERIC_VALUE
+    assert res.max_drawdown == MAX_NUMERIC_VALUE
+
+    # a real trade passes through untouched
+    buy_df, sell_df = frames("asc", buys=[5])
+    res = adapter.calculate("A", buy_df, sell_df)
+    assert res.pnl != MIN_NUMERIC_VALUE
+    assert abs(res.pnl) > 1e-12
+
+
+def test_ms_converters_roundtrip():
+    from datetime import datetime
+
+    from tradesignal_mtm_runner_spark.helper import (
+        convert_datetime_to_ms,
+        convert_ms_to_datetime,
+    )
+
+    dt = datetime(2024, 3, 1, 12, 30, 15)
+    assert convert_ms_to_datetime(convert_datetime_to_ms(dt)) == dt

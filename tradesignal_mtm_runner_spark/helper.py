@@ -52,3 +52,13 @@ class RoiHelper:
         age = self._age_seconds(entry_date, current_date)
         k = int(np.searchsorted(self._roi_seconds, age, side="right")) - 1
         return k >= 0 and normalized_pnl > float(self._prefix_min[k])
+
+
+def convert_datetime_to_ms(dt: datetime) -> int:
+    """Epoch milliseconds (reference utility.py:3)."""
+    return int(dt.timestamp() * 1000)
+
+
+def convert_ms_to_datetime(ms: int) -> datetime:
+    """Inverse of convert_datetime_to_ms (reference utility.py:6)."""
+    return datetime.fromtimestamp(ms / 1000)

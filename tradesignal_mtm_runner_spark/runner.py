@@ -73,6 +73,35 @@ class MtmResult:
         }
 
 
+class HyperOptPnlCalculatorAdapter:
+    """Hyperopt guard (reference HyperOptPnlCalculator_Adapter,
+    runner_mtm.py:207): wraps any runner and, when a strategy did
+    essentially nothing (|pnl| < 1e-12), replaces pnl with the engine
+    minimum and max_drawdown with the maximum so an optimizer never
+    prefers a do-nothing parameter set."""
+
+    def __init__(self, calculator) -> None:
+        self._calculator = calculator
+
+    def calculate(
+        self,
+        symbol: str,
+        buy_signal_dataframe: pd.DataFrame,
+        sell_signal_dataframe: pd.DataFrame,
+    ) -> "MtmResult":
+        from .models import MAX_NUMERIC_VALUE, MIN_NUMERIC_VALUE
+
+        result = self._calculator.calculate(
+            symbol=symbol,
+            buy_signal_dataframe=buy_signal_dataframe,
+            sell_signal_dataframe=sell_signal_dataframe,
+        )
+        if abs(result.pnl) < 1e-12:
+            result.pnl = MIN_NUMERIC_VALUE
+            result.max_drawdown = MAX_NUMERIC_VALUE
+        return result
+
+
 class TradeMtmRunner:
     """Signal-to-MTM runner with the reference's calling convention."""
 
