@@ -517,6 +517,126 @@ GROUP BY c_mktsegment, event_type
 """
 
 
+# --- B13: exact distributed quantiles ----------------------------------------
+
+QUANTILES = [0.25, 0.5, 0.75, 0.95]
+
+
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quantiles of extended price (linear
+    interpolation — Spark `percentile`, DuckDB `quantile_cont`).
+    Exact quantiles are a full-sort-per-group aggregate; for 100 TB
+    approx_percentile (t-digest sketch, mergeable map-side) is the
+    drop-in — kept exact here so the oracle can hash-match."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.expr(f"percentile(l_extendedprice, {q})"), R_MONEY
+            ).alias(f"p{int(q * 100)}")
+            for q in QUANTILES
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+PRICE_QUANTILES_SQL = f"""
+SELECT l_returnflag,
+       {", ".join(f"round(quantile_cont(l_extendedprice, {q}), {R_MONEY}) AS p{int(q * 100)}" for q in QUANTILES)},
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- B14: conversion funnel --------------------------------------------------
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> first-purchase conversion per user: one conditional
+    min-aggregate pass over events (no self-join), then row-local
+    comparisons. Partial-agg friendly; scales as a single shuffle on
+    user_id."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    converted = (
+        F.col("first_signup").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_signup"))
+    )
+    secs_to_convert = F.when(
+        converted,
+        (F.unix_micros(F.col("first_purchase")) - F.unix_micros(F.col("first_signup")))
+        / 1_000_000.0,
+    )
+    return per_user.select(
+        "user_id",
+        "first_signup",
+        "first_purchase",
+        F.col("n_events").cast("long").alias("n_events"),
+        converted.alias("converted"),
+        F.round(secs_to_convert, R_NORM).alias("secs_to_convert"),
+    )
+
+
+FUNNEL_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         min(ts) FILTER (event_type = 'signup') AS first_signup,
+         min(ts) FILTER (event_type = 'purchase') AS first_purchase,
+         count(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, first_signup, first_purchase, n_events,
+       (first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase > first_signup) AS converted,
+       CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+                 AND first_purchase > first_signup
+            THEN round((epoch_us(first_purchase) - epoch_us(first_signup)) / 1000000.0, {R_NORM})
+       END AS secs_to_convert
+FROM per_user
+"""
+
+
+# --- B15: fixed-width histogram ----------------------------------------------
+
+HIST_WIDTH = 25.0
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per event type — a pure
+    projection (bucket = floor(value/width)) plus one aggregate;
+    the cheapest possible distribution profile at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / HIST_WIDTH).cast("long")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * HIST_WIDTH).alias("bucket_lo"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
+       floor(value / {HIST_WIDTH}) * {HIST_WIDTH} AS bucket_lo,
+       count(*) AS n
+FROM events
+GROUP BY event_type, floor(value / {HIST_WIDTH})
+"""
+
+
 ANALYTICS_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -530,6 +650,9 @@ ANALYTICS_QUERIES = {
     "q18_large_orders": q18_large_orders,
     "skew_join_salted": skew_join_salted,
     "events_error_burst": events_error_burst,
+    "price_quantiles": price_quantiles,
+    "events_funnel": events_funnel,
+    "value_histogram": value_histogram,
 }
 
 ANALYTICS_ORACLES = {
@@ -545,4 +668,7 @@ ANALYTICS_ORACLES = {
     "q18_large_orders": Q18_SQL,
     "skew_join_salted": SKEW_JOIN_SQL,
     "events_error_burst": ERROR_BURST_SQL,
+    "price_quantiles": PRICE_QUANTILES_SQL,
+    "events_funnel": FUNNEL_SQL,
+    "value_histogram": VALUE_HISTOGRAM_SQL,
 }
