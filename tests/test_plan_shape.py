@@ -86,6 +86,14 @@ def test_range_join_is_hash_not_nested_loop(spark):
     assert "_bkt" in plan
 
 
+def test_q4_exists_plans_as_semi_join(spark):
+    """EXISTS must compile to a semi join (output bounded by the
+    probe side), never an inner join + distinct."""
+    plan = P.explain_str(_df(spark, "q4_order_priority"))
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
+
+
 def test_token_histogram_distributed_topk(spark):
     """The top-K cut must be TakeOrdered (distributed partial top-k),
     not a single-partition global-sort window."""

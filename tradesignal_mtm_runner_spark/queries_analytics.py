@@ -517,6 +517,46 @@ GROUP BY c_mktsegment, event_type
 """
 
 
+# --- B16: TPC-H Q4 style EXISTS semi-join ------------------------------------
+
+LATE_SHIP_DAYS = 60
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority that had at least one late-shipped line
+    (l_shipdate > o_orderdate + LATE_SHIP_DAYS). The EXISTS becomes a
+    LEFT SEMI join: the probe side never duplicates order rows no
+    matter how many lines match, so the join output is bounded by
+    orders — the property that makes EXISTS cheap at 100 TB."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, LATE_SHIP_DAYS)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+Q4_SQL = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
 # --- B13: exact distributed quantiles ----------------------------------------
 
 QUANTILES = [0.25, 0.5, 0.75, 0.95]
@@ -653,6 +693,7 @@ ANALYTICS_QUERIES = {
     "price_quantiles": price_quantiles,
     "events_funnel": events_funnel,
     "value_histogram": value_histogram,
+    "q4_order_priority": q4_order_priority,
 }
 
 ANALYTICS_ORACLES = {
@@ -671,4 +712,5 @@ ANALYTICS_ORACLES = {
     "price_quantiles": PRICE_QUANTILES_SQL,
     "events_funnel": FUNNEL_SQL,
     "value_histogram": VALUE_HISTOGRAM_SQL,
+    "q4_order_priority": Q4_SQL,
 }
