@@ -677,6 +677,66 @@ GROUP BY event_type, floor(value / {HIST_WIDTH})
 """
 
 
+# --- B17: distinct users per day ---------------------------------------------
+
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per day. Exact distinct is a two-level
+    aggregate under the hood; at 100 TB the drop-in is
+    approx_count_distinct (HyperLogLog++, mergeable map-side, no
+    second shuffle) at ~2% error — kept exact here so the oracle can
+    hash-match."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    return (
+        ev.groupBy(day.alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "day",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY date_trunc('day', ts)
+"""
+
+
+# --- B18: rollup / grouping sets ---------------------------------------------
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue ROLLUP over (returnflag, linestatus) — subtotals and a
+    grand total in ONE pass (Catalyst expands grouping sets into a
+    single Expand + aggregate, not N scans). grouping_id
+    disambiguates subtotal rows from real NULL keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), R_MONEY).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.grouping_id().cast("long").alias("grouping_id"),
+        )
+    )
+
+
+REVENUE_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), {R_MONEY}) AS revenue,
+       count(*) AS n_lines,
+       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 ANALYTICS_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -694,6 +754,8 @@ ANALYTICS_QUERIES = {
     "events_funnel": events_funnel,
     "value_histogram": value_histogram,
     "q4_order_priority": q4_order_priority,
+    "distinct_users_daily": distinct_users_daily,
+    "revenue_rollup": revenue_rollup,
 }
 
 ANALYTICS_ORACLES = {
@@ -713,4 +775,6 @@ ANALYTICS_ORACLES = {
     "events_funnel": FUNNEL_SQL,
     "value_histogram": VALUE_HISTOGRAM_SQL,
     "q4_order_priority": Q4_SQL,
+    "distinct_users_daily": DISTINCT_USERS_SQL,
+    "revenue_rollup": REVENUE_ROLLUP_SQL,
 }
