@@ -132,3 +132,27 @@ def test_connected_canonical_converged(spark):
     # sanity: dedup actually drops something and keeps the minima
     assert (~a["keep"]).sum() > 0
     assert set(a[a["keep"]]["doc_id"]) == set(a["canonical_id"])
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL estimate must land within 5x the configured rsd of the
+    exact per-day distinct count (generous bound; rsd=2%)."""
+    from tradesignal_mtm_runner_spark.queries_analytics import (
+        APPROX_RSD,
+        approx_distinct_users_daily,
+        distinct_users_daily,
+    )
+
+    exact = (
+        distinct_users_daily(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("day")["n_users"]
+    )
+    approx = (
+        approx_distinct_users_daily(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("day")["n_users_approx"]
+    )
+    assert set(exact.index) == set(approx.index)
+    rel = ((approx - exact).abs() / exact).max()
+    assert rel <= 5 * APPROX_RSD, f"max relative error {rel}"

@@ -709,6 +709,24 @@ FROM events GROUP BY date_trunc('day', ts)
 """
 
 
+APPROX_RSD = 0.02
+
+
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of distinct_users_daily: HyperLogLog++ sketch
+    (approx_count_distinct, rsd=2%) — mergeable map-side, one shuffle,
+    no exact-distinct expand. No SQL oracle (sketch estimates are
+    engine-specific); tests/test_scale_patterns.py bounds the error
+    against the exact count instead."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    return (
+        ev.groupBy(day.alias("day"))
+        .agg(F.approx_count_distinct("user_id", rsd=APPROX_RSD).alias("n_users_approx"))
+        .select("day", F.col("n_users_approx").cast("long").alias("n_users_approx"))
+    )
+
+
 # --- B18: rollup / grouping sets ---------------------------------------------
 
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,9 +773,13 @@ ANALYTICS_QUERIES = {
     "value_histogram": value_histogram,
     "q4_order_priority": q4_order_priority,
     "distinct_users_daily": distinct_users_daily,
+    "approx_distinct_users_daily": approx_distinct_users_daily,
     "revenue_rollup": revenue_rollup,
 }
 
+# approx_distinct_users_daily deliberately has NO oracle entry: HLL
+# estimates are engine-specific; the driver records a rows-only check
+# and the tolerance test bounds the error vs the exact count.
 ANALYTICS_ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
