@@ -75,3 +75,37 @@ def test_timeline_partitioned_write_roundtrip(spark, tmp_path):
     # partition pruning must work on the written layout
     one = back.filter(F.col("symbol") == timeline.first()["symbol"])
     assert one.count() > 0
+
+
+def test_streaming_parquet_sink_exactly_once(spark, tmp_path):
+    """The streaming MTM timeline lands in parquet via the file-sink
+    commit log; a second availableNow run from the same checkpoint
+    must be a no-op (exactly-once), not a double-write."""
+    from tradesignal_mtm_runner_spark.sources import (
+        signals_from_events,
+        stream_table,
+    )
+    from tradesignal_mtm_runner_spark.streaming.mtm_stream import (
+        streaming_mtm_timeline,
+    )
+
+    cfg = PnlCalcConfig(roi={0: float("inf")}, stoploss=float("-inf"), fee_rate=0.001)
+    out = str(tmp_path / "tl_out")
+    ckpt = str(tmp_path / "tl_ckpt")
+
+    def run_once():
+        sig = signals_from_events(stream_table(spark, SF_SMOKE, "events"))
+        q = sinks.stream_to_parquet(
+            streaming_mtm_timeline(sig, cfg), out, ckpt
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    batch_rows = signals_from_events(
+        load_table(spark, SF_SMOKE, "events")
+    ).count()
+    assert n1 == batch_rows > 0
+
+    run_once()  # same checkpoint: no new data -> no new rows
+    assert spark.read.parquet(out).count() == n1

@@ -124,6 +124,31 @@ def write_timeline(
     w.save(path)
 
 
+def stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Streaming parquet sink. The file sink's commit log gives
+    exactly-once per micro-batch: a re-run after failure resumes from
+    the checkpoint and never double-writes a batch — the durable
+    output path for the streaming MTM timeline. Returns the started
+    StreamingQuery (caller awaits/stops)."""
+    w = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
