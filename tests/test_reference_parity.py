@@ -130,3 +130,57 @@ def test_full_engine_matches_reference(name, spark):
         theirs = np.asarray(ref.pnl_timeline["pnl_ratio"], dtype=float)
         assert len(ours) == len(theirs)
         np.testing.assert_allclose(ours, theirs, rtol=0, atol=1e-9)
+
+
+def test_trade_archives_match_reference(spark):
+    """Beyond the timeline: the trade LISTS must match — same number
+    of closed/outstanding trades per direction, same entry/exit
+    prices and datetimes (sorted by entry time)."""
+    from tradesignal_mtm_runner_spark.config import PnlCalcConfig
+    from tradesignal_mtm_runner_spark.operators.bookkeeper import (
+        run_mtm_bookkeeper,
+    )
+
+    RefCfg, TradeMtmRunnerRef = _ref_modules()
+    kw = CONFIGS["shorts"]
+    idx, close, buy, sell = _series(7)
+
+    rc = RefCfg.get_default()
+    for k, v in kw.items():
+        setattr(rc, k, v)
+    ref = TradeMtmRunnerRef(pnl_config=rc).calculate(
+        "S7",
+        pd.DataFrame({"close": close, "buy": buy}, index=idx),
+        pd.DataFrame({"sell": sell}, index=idx),
+    )
+
+    sig = spark.createDataFrame(
+        pd.DataFrame(
+            {"symbol": "S7", "timestamp": idx, "close": close, "buy": buy, "sell": sell}
+        )
+    )
+    ours = run_mtm_bookkeeper(sig, PnlCalcConfig(**kw), output="trades").toPandas()
+
+    for direction, ref_closed, ref_open in [
+        ("LONG", ref.long_trades_archive, ref.long_trades_outstanding),
+        ("SHORT", ref.short_trades_archive, ref.short_trades_oustanding),
+    ]:
+        got_closed = ours[(ours["direction"] == direction) & ours["is_closed"]]
+        got_open = ours[(ours["direction"] == direction) & ~ours["is_closed"]]
+        assert len(got_closed) == len(ref_closed), direction
+        assert len(got_open) == len(ref_open), direction
+
+        for got, want in [(got_closed, ref_closed), (got_open, ref_open)]:
+            g = got.sort_values("entry_datetime").reset_index(drop=True)
+            w = sorted(want, key=lambda t: t.entry_datetime)
+            for i, rt in enumerate(w):
+                assert g.loc[i, "entry_price"] == pytest.approx(
+                    rt.entry_price, abs=1e-12
+                )
+                assert g.loc[i, "entry_datetime"].to_pydatetime() == rt.entry_datetime
+                # reference marks "no exit yet" with +/-inf sentinels,
+                # we use null — only compare real exits
+                if rt.exit_price is not None and np.isfinite(rt.exit_price):
+                    assert g.loc[i, "exit_price"] == pytest.approx(
+                        rt.exit_price, abs=1e-12
+                    )
