@@ -432,6 +432,64 @@ def q_mtm_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drawdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: drawdown DURATION risk metrics on top of the declarative
+    timeline — underwater bars (drawdown > 0) and the longest
+    consecutive underwater streak per symbol via the islands trick
+    (streak id = running count of surfaced bars). Same per-symbol
+    partitioning as the timeline, so the whole chain still costs one
+    shuffle plus the final aggregate. Underwater is flagged on the
+    ROUNDED drawdown so cumsum noise can't flip a boundary bar."""
+    from .functions.timeseries import cum_window, symbol_window
+
+    tl = _timeline(spark, sf_dir)
+    wcum = cum_window(symbol_window("symbol", _ORDER))
+    dd = r9(
+        F.greatest(F.lit(0.0), F.max("pnl_ratio").over(wcum)) - F.col("pnl_ratio")
+    )
+    t = (
+        tl.withColumn("_dd", dd)
+        .withColumn("_uw", (F.col("_dd") > 0).cast("int"))
+        .withColumn("_streak", F.sum(1 - F.col("_uw")).over(wcum))
+    )
+    stats = t.groupBy("symbol").agg(
+        r9(F.max("_dd")).alias("max_drawdown"),
+        F.sum("_uw").cast("long").alias("n_underwater_bars"),
+    )
+    streaks = (
+        t.groupBy("symbol", "_streak")
+        .agg(F.sum("_uw").alias("run_len"))
+        .groupBy("symbol")
+        .agg(F.max("run_len").cast("long").alias("max_underwater_streak"))
+    )
+    return stats.join(streaks, "symbol")
+
+
+DRAWDOWN_STATS_SQL = f"""
+{_TIMELINE_SQL},
+d1 AS (
+  SELECT *, round(greatest(0.0, max(pnl_ratio) OVER ({_WCUM})) - pnl_ratio, {ROUND}) AS dd
+  FROM timeline
+),
+d2 AS (SELECT *, CASE WHEN dd > 0 THEN 1 ELSE 0 END AS uw FROM d1),
+d3 AS (SELECT *, sum(1 - uw) OVER ({_WCUM}) AS streak FROM d2),
+per_streak AS (
+  SELECT symbol, streak, sum(uw) AS run_len FROM d3 GROUP BY symbol, streak
+),
+stats AS (
+  SELECT symbol, round(max(dd), {ROUND}) AS max_drawdown,
+         CAST(sum(uw) AS BIGINT) AS n_underwater_bars
+  FROM d3 GROUP BY symbol
+),
+streaks AS (
+  SELECT symbol, CAST(max(run_len) AS BIGINT) AS max_underwater_streak
+  FROM per_streak GROUP BY symbol
+)
+SELECT s.symbol, s.max_drawdown, s.n_underwater_bars, st.max_underwater_streak
+FROM stats s JOIN streaks st USING (symbol)
+"""
+
+
 def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: watermarked tumbling-window aggregation on the event
     stream (streaming/windowed.py). COMPLETE mode + availableNow so a
@@ -478,11 +536,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mtm_full_engine": q_mtm_full_engine,
     "mtm_full_trades": q_mtm_full_trades,
     "mtm_param_sweep": q_mtm_param_sweep,
+    "drawdown_stats": q_drawdown_stats,
 }
 
 # streaming replay == batch timeline, so the oracle is shared
 ORACLES["mtm_streaming"] = ORACLES["mtm_timeline"]
 ORACLES["events_stream_window"] = EVENTS_STREAM_WINDOW_SQL
+ORACLES["drawdown_stats"] = DRAWDOWN_STATS_SQL
 
 # analytics block (B) — see queries_analytics.py
 from .queries_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES  # noqa: E402

@@ -517,6 +517,53 @@ GROUP BY c_mktsegment, event_type
 """
 
 
+# --- B20: RANGE-frame rolling aggregate --------------------------------------
+
+ROLL_DAYS = 7
+_ROLL_SEC = (ROLL_DAYS - 1) * 86400
+
+
+def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue with a 7-day trailing sum via a RANGE window
+    frame (value-based, so gap days don't corrupt the trailing sum
+    the way a ROWS frame would). The window is global-ordered but
+    runs AFTER the daily aggregate — a few thousand rows at any fact
+    scale, so the single-partition sort is trivial; the heavy input
+    is reduced by the partial-agg groupBy first."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("day_rev"),
+        )
+        .withColumn("day_epoch", (F.unix_millis(F.col("day")) / 1000).cast("long"))
+    )
+    w = Window.orderBy("day_epoch").rangeBetween(-_ROLL_SEC, 0)
+    return daily.select(
+        "day",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round("day_rev", R_MONEY).alias("day_rev"),
+        F.round(F.sum("day_rev").over(w), R_MONEY).alias("rev_7d"),
+    )
+
+
+ROLLING_REVENUE_SQL = f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         count(*) AS n_orders,
+         sum(o_totalprice) AS day_rev,
+         CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS day_epoch
+  FROM orders GROUP BY date_trunc('day', o_orderdate)
+)
+SELECT day, n_orders,
+       round(day_rev, {R_MONEY}) AS day_rev,
+       round(sum(day_rev) OVER (ORDER BY day_epoch
+             RANGE BETWEEN {_ROLL_SEC} PRECEDING AND CURRENT ROW), {R_MONEY}) AS rev_7d
+FROM daily
+"""
+
+
 # --- B16: TPC-H Q4 style EXISTS semi-join ------------------------------------
 
 LATE_SHIP_DAYS = 60
@@ -775,6 +822,7 @@ ANALYTICS_QUERIES = {
     "distinct_users_daily": distinct_users_daily,
     "approx_distinct_users_daily": approx_distinct_users_daily,
     "revenue_rollup": revenue_rollup,
+    "rolling_revenue_7d": rolling_revenue_7d,
 }
 
 # approx_distinct_users_daily deliberately has NO oracle entry: HLL
@@ -799,4 +847,5 @@ ANALYTICS_ORACLES = {
     "q4_order_priority": Q4_SQL,
     "distinct_users_daily": DISTINCT_USERS_SQL,
     "revenue_rollup": REVENUE_ROLLUP_SQL,
+    "rolling_revenue_7d": ROLLING_REVENUE_SQL,
 }

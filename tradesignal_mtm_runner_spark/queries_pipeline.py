@@ -422,6 +422,54 @@ FROM r WHERE rank <= {TFIDF_TOPK}
 """
 
 
+# --- C6d document chunking ---------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into fixed-token chunks with overlap — the
+    standard pre-embedding step of a RAG/training pipeline. Pure
+    row-local array algebra (sequence of starts -> slice -> join):
+    the explode multiplies rows ~len/stride x but shuffles nothing;
+    chunking rides the scan at any corpus size."""
+    d = _docs(spark, sf_dir)
+    t = TX.tokens(F.col("text"))
+    n_chunks = F.floor((F.size(t) - 1) / _CHUNK_STRIDE) + 1
+    chunked = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(t, i * _CHUNK_STRIDE + 1, CHUNK_TOKENS),
+            )
+        ).alias("chunk_id", "chunk_toks"),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("chunk_toks").cast("long").alias("n_tokens"),
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+),
+c AS (
+  SELECT doc_id, i AS chunk_id,
+         t[i * {_CHUNK_STRIDE} + 1 : i * {_CHUNK_STRIDE} + {CHUNK_TOKENS}] AS chunk_toks
+  FROM toks, UNNEST(range(0, CAST(floor((len(t) - 1) / {_CHUNK_STRIDE}) AS BIGINT) + 1)) AS r(i)
+)
+SELECT doc_id, chunk_id, len(chunk_toks) AS n_tokens,
+       array_to_string(chunk_toks, ' ') AS chunk_text
+FROM c
+"""
+
+
 # --- C7 fingerprint ---------------------------------------------------------
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -874,6 +922,7 @@ PIPELINE_QUERIES = {
     "token_count": token_count,
     "token_histogram": token_histogram,
     "tf_idf_top_terms": tf_idf_top_terms,
+    "doc_chunks": doc_chunks,
     "doc_fingerprint": doc_fingerprint,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -896,6 +945,7 @@ PIPELINE_ORACLES = {
     "token_count": TOKEN_COUNT_SQL,
     "token_histogram": TOKEN_HISTOGRAM_SQL,
     "tf_idf_top_terms": TF_IDF_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
