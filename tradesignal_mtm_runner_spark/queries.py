@@ -490,6 +490,39 @@ FROM stats s JOIN streaks st USING (symbol)
 """
 
 
+def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: resample the tick-level value stream to hourly OHLC bars
+    per symbol — one aggregate pass (min_by/max_by give open/close
+    without a sort or window; all four legs partial-aggregate
+    map-side). (symbol, ts) is unique in the data so the open/close
+    pick is deterministic."""
+    sig = _signals(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("timestamp"))
+    return (
+        sig.groupBy("symbol", hour.alias("bar_ts"))
+        .agg(
+            r9(F.min_by("close", "timestamp")).alias("open"),
+            r9(F.max("close")).alias("high"),
+            r9(F.min("close")).alias("low"),
+            r9(F.max_by("close", "timestamp")).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+RESAMPLE_OHLC_SQL = f"""
+WITH {_SIGNALS_SQL}
+SELECT symbol, date_trunc('hour', timestamp) AS bar_ts,
+       round(arg_min(close, timestamp), {ROUND}) AS open,
+       round(max(close), {ROUND}) AS high,
+       round(min(close), {ROUND}) AS low,
+       round(arg_max(close, timestamp), {ROUND}) AS close,
+       count(*) AS n_ticks
+FROM signals
+GROUP BY symbol, date_trunc('hour', timestamp)
+"""
+
+
 def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: watermarked tumbling-window aggregation on the event
     stream (streaming/windowed.py). COMPLETE mode + availableNow so a
@@ -537,12 +570,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mtm_full_trades": q_mtm_full_trades,
     "mtm_param_sweep": q_mtm_param_sweep,
     "drawdown_stats": q_drawdown_stats,
+    "resample_ohlc": q_resample_ohlc,
 }
 
 # streaming replay == batch timeline, so the oracle is shared
 ORACLES["mtm_streaming"] = ORACLES["mtm_timeline"]
 ORACLES["events_stream_window"] = EVENTS_STREAM_WINDOW_SQL
 ORACLES["drawdown_stats"] = DRAWDOWN_STATS_SQL
+ORACLES["resample_ohlc"] = RESAMPLE_OHLC_SQL
 
 # analytics block (B) — see queries_analytics.py
 from .queries_analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES  # noqa: E402
