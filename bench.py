@@ -45,7 +45,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from tradesignal_mtm_runner_spark.session import get_spark
-    from tradesignal_mtm_runner_spark.queries import QUERIES
+    from tradesignal_mtm_runner_spark.queries import EXTRA_QUERIES, QUERIES
+
+    # same 20 headliners as round 1 (mtm_param_sweep moved to the
+    # pytest-only extras registry but stays benched for r-over-r deltas)
+    registry = {**QUERIES, **EXTRA_QUERIES}
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus))
@@ -61,7 +65,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in HEADLINERS:
-            fn = QUERIES[name]
+            fn = registry[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)

@@ -7,9 +7,18 @@ import pytest
 
 import __spark_entry__ as entrymod
 from tests.conftest import SF_SMOKE, assert_frames_match
+from tradesignal_mtm_runner_spark.queries import EXTRA_ORACLES, EXTRA_QUERIES
 
-QUERIES = entrymod.queries()
-ORACLES = entrymod.oracle_sql()
+# driver-facing registry (first 50 are CORRECTNESS-checked) plus the
+# pytest-only extras — everything gets the same oracle treatment here
+QUERIES = {**entrymod.queries(), **EXTRA_QUERIES}
+ORACLES = {**entrymod.oracle_sql(), **EXTRA_ORACLES}
+
+
+def test_driver_registry_fits_correctness_window():
+    # the driver evaluates only the first 50 queries() entries; every
+    # registered query must land inside that window (VERDICT r1 item 1)
+    assert len(entrymod.queries()) <= 50
 
 
 def test_every_query_has_oracle_or_is_declared():

@@ -590,3 +590,30 @@ from .queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES  # noqa: E402
 
 QUERIES.update(PIPELINE_QUERIES)
 ORACLES.update(PIPELINE_ORACLES)
+
+# The driver's CORRECTNESS harness evaluates only the first 50 entries
+# of queries(); every SURVEY §2 operator must sit inside that window.
+# These variants stay fully oracle-tested in pytest
+# (tests/test_queries_oracle.py runs QUERIES ∪ EXTRA_QUERIES) but are
+# excluded from the driver registry:
+#   - pnl_per_symbol / max_drawdown / sharpe_ratio: the same metrics
+#     are driver-checked as columns of mtm_summary (SURVEY A3-A5);
+#   - simhash: the signature computation is driver-checked inside
+#     simhash_pairs and dedup_connected (SURVEY C10/C17);
+#   - mtm_full_trades / mtm_param_sweep: no SQL oracle exists (full
+#     bookkeeper feedback loop); both are parity-tested head-to-head
+#     against the reference engine in tests/test_reference_parity.py.
+EXTRA_KEYS = (
+    "pnl_per_symbol",
+    "max_drawdown",
+    "sharpe_ratio",
+    "mtm_full_trades",
+    "mtm_param_sweep",
+    "simhash",
+)
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    k: QUERIES.pop(k) for k in EXTRA_KEYS
+}
+EXTRA_ORACLES: dict[str, str] = {
+    k: ORACLES.pop(k) for k in EXTRA_KEYS if k in ORACLES
+}
