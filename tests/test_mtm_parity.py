@@ -85,3 +85,41 @@ def test_bookkeeper_full_config_runs(spark):
     assert set(closed["close_reason"]) <= {"SIGNAL", "ROI", "STOP_LOSS"}
     assert (closed["exit_datetime"] > closed["entry_datetime"]).all()
     assert {"ROI", "STOP_LOSS"} & set(closed["close_reason"]), "expected roi/sl closes on this data"
+
+
+def test_degenerate_buy_sell_bar_is_hold_in_all_engines(spark):
+    """buy=1, sell=1, close<=0 on one bar: the buy branch consumes the
+    bar and the close<=0 price gate turns it into HOLD — the bar must
+    NOT fall through to the sell branch and close the open long
+    (cross-engine corner from ADVICE r1; bookkeeper step 4 if/elif)."""
+    rows = pd.DataFrame(
+        {
+            "symbol": "X",
+            "timestamp": pd.date_range("2024-01-01", periods=5, freq="1min"),
+            "close": [100.0, 101.0, 0.0, 103.0, 104.0],
+            "buy": [1, 0, 1, 0, 0],
+            "sell": [0, 0, 1, 0, 1],
+        }
+    )
+    sig = spark.createDataFrame(rows)
+    cfg = _cfg()
+    decl = (
+        signal_mtm_timeline(sig, cfg)
+        .orderBy("timestamp")
+        .select("position", "mtm_ratio", "pnl_ratio")
+        .toPandas()
+    )
+    book = (
+        run_mtm_bookkeeper(sig, cfg, output="timeline")
+        .orderBy("timestamp")
+        .select("mtm_ratio", "pnl_ratio")
+        .toPandas()
+    )
+    # long stays open across the degenerate bar, closes at the final sell
+    assert decl["position"].tolist() == [1, 1, 1, 1, 0]
+    np.testing.assert_allclose(
+        decl["mtm_ratio"].values, book["mtm_ratio"].values, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        decl["pnl_ratio"].values, book["pnl_ratio"].values, atol=1e-9
+    )

@@ -25,10 +25,13 @@ class RoiHelper:
     threshold."""
 
     def __init__(self, roi_dict: dict[int, float]) -> None:
-        self._roi_seconds = np.array(sorted(roi_dict), dtype=np.float64) * 60.0
-        thresholds = np.array(
-            [roi_dict[int(k // 60)] for k in self._roi_seconds], dtype=np.float64
-        )
+        # pair each offset with its own value directly — reconstructing
+        # the dict key from seconds would KeyError / mismap for
+        # non-integer minute keys like {0.5: 0.01}, which the reference
+        # ROI_Helper accepts (it multiplies keys by 60 as-is)
+        items = sorted((float(k) * 60.0, float(v)) for k, v in roi_dict.items())
+        self._roi_seconds = np.array([k for k, _ in items], dtype=np.float64)
+        thresholds = np.array([v for _, v in items], dtype=np.float64)
         self._thresholds = thresholds
         self._prefix_min = np.minimum.accumulate(thresholds)
 

@@ -29,12 +29,20 @@ Per-bar semantics replicated exactly (order matters):
   5. laid_back_tax charged when no position remains open.
   6. mtm_history[t] = mtm(t) - fees(t)
 
-Known deviation from the reference (documented, intentional): the
-reference mutates its live-position list while iterating it
-(trade_reward.py:198,236 + list.remove in the close helper), which
-silently SKIPS the element after each close when two trades are
-eligible in the same bar. We close every eligible trade. The
-reference's own tests never exercise that path.
+Known deviations from the reference (documented, intentional):
+
+1. Multi-close skip: the reference mutates its live-position list
+   while iterating it (trade_reward.py:198,236 + list.remove in the
+   close helper), which silently SKIPS the element after each close
+   when two trades are eligible in the same bar. We close every
+   eligible trade. The reference's own tests never exercise that path.
+2. LIFO inventory: the reference's ProxyTrade.__lt__ FIFO/LIFO
+   branches compare a trade to ITSELF (models.py:178-186), so its
+   heap pop degenerates to list insertion order — reference "LIFO" is
+   effectively FIFO. Our LIFO is true last-in-first-out. Head-to-head
+   reference parity therefore holds for FIFO and WORST_PRICE only;
+   with inventory_mode=LIFO and max_position_per_symbol > 1 the trade
+   archives can legitimately differ from the reference.
 """
 
 from __future__ import annotations
@@ -115,9 +123,14 @@ def simulate_symbol(
     sell: np.ndarray,
     config: PnlCalcConfig,
     inventory_mode: InventoryMode = InventoryMode.FIFO,
+    strict: bool = False,
 ) -> tuple[np.ndarray, list[_Trade]]:
     """Single-symbol state machine. ts_sec: float seconds since epoch,
-    MUST be sorted ascending. Returns (mtm per bar, all trades)."""
+    MUST be sorted ascending. Returns (mtm per bar, all trades).
+
+    strict=False (default) keeps the reference's silent-skip semantics
+    for disallowed opens; strict=True raises the reference's public
+    exception types instead (see exceptions.py)."""
     n = len(close)
     mtm = np.zeros(n, dtype=np.float64)
     fee = abs(config.fee_rate)
@@ -126,10 +139,14 @@ def simulate_symbol(
     max_pos = config.max_position_per_symbol
 
     # roi tiers: offsets ascending (seconds) with prefix-min thresholds;
-    # active minimum threshold = prefix_min[rightmost offset <= age]
-    roi_off = np.array(sorted(config.roi), dtype=np.float64) * 60.0
-    roi_thr = np.array([config.roi[int(k // 60)] for k in roi_off], dtype=np.float64)
-    roi_min = np.minimum.accumulate(roi_thr)
+    # active minimum threshold = prefix_min[rightmost offset <= age].
+    # Offsets pair with their values directly (never reconstruct the
+    # dict key from seconds — non-integer minute keys would mismap).
+    roi_items = sorted((float(k) * 60.0, float(v)) for k, v in config.roi.items())
+    roi_off = np.array([k for k, _ in roi_items], dtype=np.float64)
+    roi_min = np.minimum.accumulate(
+        np.array([v for _, v in roi_items], dtype=np.float64)
+    )
     roi_live = config.has_roi
 
     longs: list[_Trade] = []
@@ -192,6 +209,13 @@ def simulate_symbol(
                 elif p > 0:
                     longs.append(_Trade(i, ts_sec[i], p, _LONG))
                     fees += fee
+            elif strict:
+                from ..exceptions import MaxPositionPerSymbolExceededException
+
+                raise MaxPositionPerSymbolExceededException(
+                    f"buy signal at bar {i} with {len(longs)} open longs"
+                    f" >= max_position_per_symbol={max_pos}"
+                )
         elif sell[i] == 1:
             if len(shorts) < max_pos:
                 if longs:
@@ -199,6 +223,20 @@ def simulate_symbol(
                 elif config.enable_short_position and p > 0:
                     shorts.append(_Trade(i, ts_sec[i], p, _SHORT))
                     fees += fee
+                elif strict and not config.enable_short_position:
+                    from ..exceptions import NoShortPositionAllowedException
+
+                    raise NoShortPositionAllowedException(
+                        f"sell signal at bar {i} would open a short but"
+                        " enable_short_position is False"
+                    )
+            elif strict:
+                from ..exceptions import MaxPositionPerSymbolExceededException
+
+                raise MaxPositionPerSymbolExceededException(
+                    f"sell signal at bar {i} with {len(shorts)} open shorts"
+                    f" >= max_position_per_symbol={max_pos}"
+                )
         # 5. laid back tax
         if not longs and not shorts:
             fees += tax
@@ -208,7 +246,12 @@ def simulate_symbol(
     return mtm, done + longs + shorts
 
 
-def _make_apply_fn(config: PnlCalcConfig, inventory_mode: InventoryMode, output: str):
+def _make_apply_fn(
+    config: PnlCalcConfig,
+    inventory_mode: InventoryMode,
+    output: str,
+    strict: bool = False,
+):
     fee = abs(config.fee_rate)
 
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -218,7 +261,9 @@ def _make_apply_fn(config: PnlCalcConfig, inventory_mode: InventoryMode, output:
         close = pdf["close"].to_numpy(dtype=np.float64)
         buy = pdf["buy"].to_numpy(dtype=np.int64)
         sell = pdf["sell"].to_numpy(dtype=np.int64)
-        mtm, trades = simulate_symbol(ts_sec, close, buy, sell, config, inventory_mode)
+        mtm, trades = simulate_symbol(
+            ts_sec, close, buy, sell, config, inventory_mode, strict=strict
+        )
         symbol = pdf["symbol"].iloc[0]
         if output == "timeline":
             return pd.DataFrame(
@@ -265,22 +310,32 @@ def run_mtm_bookkeeper(
     config: PnlCalcConfig | None = None,
     inventory_mode: InventoryMode = InventoryMode.FIFO,
     output: str = "timeline",
+    strict: bool = False,
 ) -> DataFrame:
     """Distributed full-engine MTM run.
 
     signals: DataFrame(symbol, timestamp[, event_id], close, buy, sell).
     output: "timeline" (per-bar mtm/pnl) or "trades" (archive +
     outstanding, reference Mtm_Result trade lists).
+    strict: raise the reference's public exception types on disallowed
+    opens instead of the reference engine's silent skip (the raise
+    happens inside the executor task; TradeMtmRunner re-raises the
+    typed original driver-side via exceptions.reraise_typed).
     """
     config = config or PnlCalcConfig.get_default()
     if output not in ("timeline", "trades"):
-        raise ValueError("output must be 'timeline' or 'trades'")
+        from ..exceptions import UnSupportedException
+
+        raise UnSupportedException("output must be 'timeline' or 'trades'")
     schema = TIMELINE_SCHEMA if output == "timeline" else TRADES_SCHEMA
     cols = [c for c in ["symbol", "timestamp", "event_id", "close", "buy", "sell"] if c in signals.columns]
     return (
         signals.select(*cols)
         .groupBy("symbol")
-        .applyInPandas(_make_apply_fn(config, inventory_mode, output), schema=schema)
+        .applyInPandas(
+            _make_apply_fn(config, inventory_mode, output, strict=strict),
+            schema=schema,
+        )
     )
 
 

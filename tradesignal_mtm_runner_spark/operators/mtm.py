@@ -85,8 +85,13 @@ def signal_mtm_timeline(
     # domain rule: a position cannot OPEN at a non-positive price (the
     # normalized mtm divides by the entry price). Degenerate buy bars
     # are treated as HOLD; sells (closes) remain valid at any price.
+    # The price gate is NESTED under the buy branch so a buy=1 bar
+    # never falls through to the sell branch — the bookkeeper's
+    # if/elif consumes the buy the same way (bookkeeper.py step 4),
+    # keeping all three engines aligned on buy=sell=1 at close<=0.
     sig = F.when(
-        (F.col(buy_col) == 1) & (F.col(close_col) > 0), F.lit("B")
+        F.col(buy_col) == 1,
+        F.when(F.col(close_col) > 0, F.lit("B")),
     ).when(F.col(sell_col) == 1, F.lit("S"))
     df = signals.withColumn("_sig", sig)
     df = df.withColumn(

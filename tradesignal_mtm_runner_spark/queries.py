@@ -240,8 +240,9 @@ _WCUM = f"{_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 _TIMELINE_SQL = f"""
 WITH {_SIGNALS_SQL},
 s1 AS (
-  -- opens gated on close > 0 (see operators/mtm.py: entry price divides)
-  SELECT *, CASE WHEN buy=1 AND close>0 THEN 'B' WHEN sell=1 THEN 'S' END AS sig FROM signals
+  -- opens gated on close > 0 (see operators/mtm.py: entry price
+  -- divides); buy=1 consumes the bar even when gated to HOLD
+  SELECT *, CASE WHEN buy=1 THEN (CASE WHEN close>0 THEN 'B' END) WHEN sell=1 THEN 'S' END AS sig FROM signals
 ),
 s2 AS (
   SELECT *,

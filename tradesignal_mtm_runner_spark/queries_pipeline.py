@@ -437,7 +437,11 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunking rides the scan at any corpus size."""
     d = _docs(spark, sf_dir)
     t = TX.tokens(F.col("text"))
-    n_chunks = F.floor((F.size(t) - 1) / _CHUNK_STRIDE) + 1
+    # clamp to >=1 chunk: for an empty token array the raw formula
+    # yields 0 and sequence(0, -1) would DESCEND to two rows while the
+    # oracle's range(0, 0) yields none (ADVICE r1) — one empty chunk
+    # per doc keeps both engines aligned
+    n_chunks = F.greatest(F.floor((F.size(t) - 1) / _CHUNK_STRIDE) + 1, F.lit(1))
     chunked = d.select(
         "doc_id",
         F.posexplode(
@@ -462,7 +466,7 @@ WITH toks AS (
 c AS (
   SELECT doc_id, i AS chunk_id,
          t[i * {_CHUNK_STRIDE} + 1 : i * {_CHUNK_STRIDE} + {CHUNK_TOKENS}] AS chunk_toks
-  FROM toks, UNNEST(range(0, CAST(floor((len(t) - 1) / {_CHUNK_STRIDE}) AS BIGINT) + 1)) AS r(i)
+  FROM toks, UNNEST(range(0, greatest(CAST(floor((len(t) - 1) / {_CHUNK_STRIDE}) AS BIGINT) + 1, 1))) AS r(i)
 )
 SELECT doc_id, chunk_id, len(chunk_toks) AS n_tokens,
        array_to_string(chunk_toks, ' ') AS chunk_text

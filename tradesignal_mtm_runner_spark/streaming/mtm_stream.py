@@ -89,10 +89,12 @@ def _make_state_fn(fee_rate: float, laid_back_tax: float):
             bars["timestamp"], bars["event_id"], bars["close"], bars["buy"], bars["sell"]
         ):
             prev_pos = pos
-            # signal resolution — buy wins; opens gated on close > 0
-            # (operators/mtm.py: entry price divides the normalized mtm)
-            if buy == 1 and close > 0:
-                pos = 1
+            # signal resolution — buy wins and CONSUMES the bar even
+            # when the close<=0 price gate makes it a HOLD (same
+            # nesting as operators/mtm.py and bookkeeper.py step 4)
+            if buy == 1:
+                if close > 0:
+                    pos = 1
             elif sell == 1:
                 pos = 0
             opened = int(pos == 1 and prev_pos == 0)
