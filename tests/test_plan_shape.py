@@ -56,12 +56,38 @@ def test_mtm_timeline_codegen(spark):
 
 
 def test_ivf_assignment_is_shuffle_free(spark):
-    """IVF cell assignment must be a projection over literal
-    centroids: the ONLY shuffle allowed is the final top-k window
+    """IVF cell assignment must be a single Arrow pass (closure-held
+    centroids): the ONLY shuffle allowed is the final top-k window
     (+ AQE bookkeeping), and the probe side must broadcast."""
     df = _df(spark, "ann_ivf_topk")
     assert P.exchange_count(df) <= 2
     assert P.broadcast_join_count(df) >= 1
+
+
+def test_ivf_no_literal_blowup_at_realistic_size(spark):
+    """C=256 centroids x dim=128 (VERDICT r1 item 4): the round-1
+    literal-unrolled form put C x dim = 32k literal nodes into the
+    plan and hit codegen pathology; the closure-based assignment must
+    keep the plan small AND execute."""
+    from pyspark.sql import functions as F
+
+    from tradesignal_mtm_runner_spark.operators.similarity import ivf_topk
+
+    emb = spark.range(0, 2000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 128), j -> "
+            "cast(pmod(id * 31 + j * 17, 97) as double) / 97.0 + 0.01)"
+        ).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, num_centroids=256, nprobe=4, k=3)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert len(plan) < 50_000, f"plan string exploded: {len(plan)} chars"
+    rows = out.limit(200).collect()
+    assert len(rows) == 15  # 5 queries x k=3
 
 
 def test_text_quality_rides_the_scan(spark):

@@ -156,3 +156,33 @@ def test_approx_distinct_within_tolerance(spark):
     assert set(exact.index) == set(approx.index)
     rel = ((approx - exact).abs() / exact).max()
     assert rel <= 5 * APPROX_RSD, f"max relative error {rel}"
+
+
+def test_lloyd_training_inertia_is_monotone(spark):
+    """Multi-iteration Lloyd refinement must converge: under cosine
+    similarity the rounded-mean update is spherical k-means, so the
+    inertia sum(1 - best_cos) measured at each iteration's assignment
+    is non-increasing (up to the 1e-6 mean rounding)."""
+    from pyspark.sql import functions as F
+
+    from tradesignal_mtm_runner_spark.operators.similarity import (
+        _centroid,
+        lloyd_train,
+        with_double_vec,
+    )
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    emb = with_double_vec(load_table(spark, SF_SMOKE, "embeddings")).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("_cv")
+    )
+    seed_rows = emb.orderBy("corpus_id").limit(8).collect()
+    cents = [
+        _centroid(int(r["corpus_id"]), [float(x) for x in r["_cv"]])
+        for r in seed_rows
+    ]
+    _, inertia = lloyd_train(emb, cents, iters=4)
+    assert len(inertia) == 4
+    for prev, cur in zip(inertia, inertia[1:]):
+        assert cur <= prev + 1e-4, f"inertia increased: {inertia}"
+    # training must actually improve on the seed assignment
+    assert inertia[-1] < inertia[0]

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -182,6 +183,155 @@ def _centroid(cid: int, w: list[float]) -> tuple[int, list[float], float]:
     return (cid, w, math.sqrt(sq))
 
 
+def _round_half_like_sql(x, digits: int):
+    """Round an ndarray to ``digits`` decimals the way the SQL engines
+    do (scale, round to nearest integer, unscale). Exact .5 scaled
+    fractions round half-to-even here vs half-up in SQL — unreachable
+    from real dot products, and every comparison that follows breaks
+    such ties deterministically anyway."""
+    import numpy as np
+
+    scale = 10.0**digits
+    return np.rint(x * scale) / scale
+
+
+def _assign_cells(
+    df: DataFrame,
+    cents: list[tuple[int, list[float], float]],
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Voronoi-cell assignment as ONE vectorized Arrow pass — the
+    scale-safe replacement for unrolling C x dim centroid literals
+    into the plan (plan/codegen size blows up at realistic IVF sizes,
+    C~4k-65k, dim~768). Centroids travel in the task closure
+    (C x dim float64, ~25 MB even at 4k x 768), cell choice is a
+    numpy loop ACROSS centroids but vectorized across rows, and the
+    dot-product accumulation runs in coordinate order so the rounded
+    cosine is bit-identical to the engines' sequential
+    aggregate/list_dot_product fold. No join, no shuffle.
+
+    nprobe=1 emits (id, vec, cell): the best cell, rounded-cosine
+    argmax with min-centroid-id tie-break. nprobe>1 emits one row per
+    probed cell, nearest first (the query-side fan-out).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_ids = [cid for cid, _, _ in cents]
+    cent_w = [np.asarray(w, dtype=np.float64) for _, w, _ in cents]
+    cent_norm = [n for _, _, n in cents]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("cell_cos", T.DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf[vec_col].to_numpy())  # rows x dim, float64
+            n = E.shape[0]
+            # sequential-in-j folds (bit-identical to the SQL engines)
+            norm_sq = np.zeros(n)
+            for j in range(E.shape[1]):
+                norm_sq += E[:, j] * E[:, j]
+            norm_v = np.sqrt(norm_sq)
+            cos = np.empty((n, len(cents)))
+            for ci, w in enumerate(cent_w):
+                acc = np.zeros(n)
+                for j in range(min(E.shape[1], len(w))):
+                    acc += E[:, j] * w[j]
+                cos[:, ci] = acc / (norm_v * cent_norm[ci])
+            cos = _round_half_like_sql(cos, round_digits)
+            if nprobe == 1:
+                # argmax returns the FIRST max — centroids are sorted
+                # by id ascending, so ties pick the min centroid id
+                best = np.argmax(cos, axis=1)
+                cell = np.asarray(cent_ids)[best]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        vec_col: list(E),
+                        "cell": cell.astype(np.int32),
+                        "cell_cos": cos[np.arange(n), best],
+                    }
+                )
+            else:
+                order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+                ids = pdf[id_col].to_numpy().repeat(nprobe)
+                cells = np.asarray(cent_ids)[order].reshape(-1)
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        vec_col: [v for v in E for _ in range(nprobe)],
+                        "cell": cells.astype(np.int32),
+                        "cell_cos": np.take_along_axis(cos, order, axis=1).reshape(-1),
+                    }
+                )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    ).mapInPandas(fn, schema=out_schema)
+
+
+def lloyd_train(
+    base: DataFrame,
+    cents: list[tuple[int, list[float], float]],
+    iters: int,
+    round_digits: int = 9,
+    mean_round: int = 6,
+    id_col: str = "corpus_id",
+    vec_col: str = "_cv",
+) -> tuple[list[tuple[int, list[float], float]], list[float]]:
+    """k-means (Lloyd) refinement of IVF centroids, distributed:
+    assign every vector to its cell (one Arrow pass, no shuffle),
+    take the per-cell per-dimension MEAN (one partial-agg-friendly
+    groupBy of C tiny rows), collect the C centroids back, repeat.
+    Means are rounded to ``mean_round`` decimals before use so both
+    engines train bit-identical centroids despite differing summation
+    order.
+
+    Under cosine similarity the centroid's scale is irrelevant, so
+    the mean update is exactly spherical k-means — total assigned
+    cosine is non-decreasing across iterations. Returns the trained
+    centroids and the inertia history: ``inertia[i] = sum(1 -
+    best_cos)`` measured at the assignment of iteration i
+    (monotonically non-increasing, pinned by
+    tests/test_scale_patterns.py)."""
+    dim = len(cents[0][1]) if cents else 0
+    inertia: list[float] = []
+    for _ in range(iters):
+        assigned = _assign_cells(base, cents, id_col, vec_col, round_digits)
+        rows = assigned.groupBy("cell").agg(
+            *[
+                F.round(F.avg(F.element_at(F.col(vec_col), j + 1)), mean_round).alias(
+                    f"m{j}"
+                )
+                for j in range(dim)
+            ],
+            F.sum(F.lit(1.0) - F.col("cell_cos")).alias("_inertia"),
+        ).collect()
+        inertia.append(float(sum(r["_inertia"] for r in rows)))
+        # cells that captured no vectors simply drop out (both engines
+        # derive the survivor set from the same assignment)
+        cents = sorted(
+            (
+                _centroid(int(r["cell"]), [float(r[f"m{j}"]) for j in range(dim)])
+                for r in rows
+            ),
+            key=lambda t: t[0],
+        )
+    return cents, inertia
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -199,14 +349,14 @@ def ivf_topk(
     cosine re-rank inside the probed cells.
 
     Centroids are the ``num_centroids`` lowest-id corpus vectors —
-    deterministic seed centroids (a Lloyd refinement would slot in
-    without changing the plan shape). They are collected driver-side
-    (tiny: C x dim doubles) and shipped as literal arrays, so cell
-    assignment and probing are pure per-row projections: NO join and
-    NO shuffle for the partitioning step — the property that matters
-    at 100 TB. The only shuffles left are the candidate join (probe
-    side is queries x nprobe rows -> broadcast) and the final
-    per-query top-k window.
+    deterministic seed centroids. They are collected driver-side
+    (tiny: C x dim doubles) and shipped in the assignment UDF's
+    closure (_assign_cells): cell assignment and probing are one
+    vectorized Arrow pass per row batch — NO join, NO shuffle, and no
+    C x dim literals unrolled into the plan (the round-1 literal form
+    hit codegen/plan-size pathology at realistic IVF sizes). The only
+    shuffles left are the candidate join (probe side is queries x
+    nprobe rows -> broadcast) and the final per-query top-k window.
 
     ``lloyd_iters`` > 0 refines the seed centroids with k-means
     (Lloyd) iterations: assign every corpus vector to its cell, take
@@ -232,79 +382,25 @@ def ivf_topk(
         for row in cent_rows
     ]
 
-    def cell_structs(vec, norm_v):
-        """array<struct<c: rounded cosine, nc: -cent_id, cent>> — max
-        of the struct order = best cell with min-id tie-break."""
-        cells = []
-        for cid, w, wnorm in cents:
-            wa = F.array(*[F.lit(x) for x in w])
-            cos = F.round(
-                _dot(vec, wa) / (norm_v * F.lit(wnorm)), round_digits
-            )
-            cells.append(
-                F.struct(
-                    cos.alias("c"),
-                    F.lit(-cid).alias("nc"),
-                    F.lit(cid).alias("cent"),
-                )
-            )
-        return F.array(*cells)
-
-    base = (
-        with_double_vec(corpus, vec_col)
-        .select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv"))
-        .withColumn("_n", _norm(F.col("_cv")))
+    base = with_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
     )
 
-    dim = len(cents[0][1]) if cents else 0
-    for _ in range(lloyd_iters):
-        assigned = base.withColumn(
-            "cell",
-            F.array_max(cell_structs(F.col("_cv"), F.col("_n"))).getField("cent"),
-        )
-        rows = assigned.groupBy("cell").agg(
-            *[
-                F.round(F.avg(F.element_at(F.col("_cv"), j + 1)), mean_round).alias(
-                    f"m{j}"
-                )
-                for j in range(dim)
-            ]
-        ).collect()
-        # cells that captured no vectors simply drop out (both engines
-        # derive the survivor set from the same assignment)
-        cents = sorted(
-            (
-                _centroid(int(r["cell"]), [float(r[f"m{j}"]) for j in range(dim)])
-                for r in rows
-            ),
-            key=lambda t: t[0],
-        )
-
-    c = base.withColumn(
-        "cell",
-        F.array_max(cell_structs(F.col("_cv"), F.col("_n"))).getField("cent"),
-    ).select("corpus_id", "_cv", "cell")
-    q = (
-        with_double_vec(queries, vec_col)
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-        .withColumn("_n", _norm(F.col("_qv")))
-        .withColumn(
-            "cell",
-            F.explode(
-                F.transform(
-                    F.slice(
-                        F.reverse(
-                            F.array_sort(cell_structs(F.col("_qv"), F.col("_n")))
-                        ),
-                        1,
-                        nprobe,
-                    ),
-                    lambda s: s.getField("cent"),
-                )
-            ),
-        )
-        .select("query_id", "_qv", "cell")
+    cents, _ = lloyd_train(
+        base, cents, lloyd_iters, round_digits=round_digits, mean_round=mean_round
     )
+
+    c = _assign_cells(base, cents, "corpus_id", "_cv", round_digits).drop("cell_cos")
+    q = _assign_cells(
+        with_double_vec(queries, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        ),
+        cents,
+        "query_id",
+        "_qv",
+        round_digits,
+        nprobe=nprobe,
+    ).drop("cell_cos")
     pairs = c.join(F.broadcast(q), on="cell").filter(
         F.col("corpus_id") != F.col("query_id")
     )

@@ -611,15 +611,18 @@ cent AS (SELECT vec_id AS cent_id, e AS w FROM v ORDER BY vec_id LIMIT {IVF_CENT
 # --- C8c IVF with Lloyd-trained centroids ------------------------------------
 
 IVF_MEAN_ROUND = 6
+IVF_LLOYD_ITERS = 3
 
 
 def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with ONE k-means (Lloyd) refinement of the seed
-    centroids: assign -> per-cell per-dimension mean (rounded to 6
-    decimals so both engines train identical centroids) -> re-assign.
-    Training is one groupBy over the corpus per iteration; centroids
-    stay driver-resident literals, so query-time assignment remains a
-    shuffle-free projection."""
+    """IVF ANN with multi-iteration k-means (Lloyd) refinement of the
+    seed centroids: assign -> per-cell per-dimension mean (rounded to
+    6 decimals so both engines train identical centroids) ->
+    re-assign, {IVF_LLOYD_ITERS} times. Training is one Arrow
+    assignment pass + one C-row groupBy per iteration; trained
+    centroids ride the assignment UDF closure, so query-time
+    assignment remains shuffle-free. Convergence (monotone inertia)
+    is pinned in tests/test_scale_patterns.py."""
     from .operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
@@ -631,33 +634,44 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_centroids=IVF_CENTROIDS,
         nprobe=IVF_NPROBE,
         round_digits=R,
-        lloyd_iters=1,
+        lloyd_iters=IVF_LLOYD_ITERS,
         mean_round=IVF_MEAN_ROUND,
     )
 
 
-ANN_IVF_TRAINED_SQL = f"""
-WITH {_V_SQL},
-seed AS (SELECT vec_id AS cent_id, e AS w FROM v ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
-ca0 AS (
+def _lloyd_iter_sql(k: int) -> str:
+    """One oracle-side Lloyd iteration: assign to cent{k-1} (seed for
+    k=0), then per-cell per-dimension rounded means -> cent{k}."""
+    prev = "seed" if k == 0 else f"cent{k - 1}"
+    return f"""
+ca{k} AS (
   SELECT v.vec_id, s.cent_id,
          round(list_dot_product(v.e, s.w)
                / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(s.w, s.w))), {R}) AS cos
-  FROM v CROSS JOIN seed s
+  FROM v CROSS JOIN {prev} s
 ),
-a0 AS (
+a{k} AS (
   SELECT vec_id, cent_id AS cell FROM (
     SELECT vec_id, cent_id,
            row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
-    FROM ca0
+    FROM ca{k}
   ) WHERE rn = 1
 ),
-means AS (
-  SELECT a0.cell, r.i AS i, round(avg(v.e[r.i]), {IVF_MEAN_ROUND}) AS m
-  FROM a0 JOIN v USING (vec_id), UNNEST(range(1, len(v.e) + 1)) AS r(i)
-  GROUP BY a0.cell, r.i
+means{k} AS (
+  SELECT a{k}.cell, r.i AS i, round(avg(v.e[r.i]), {IVF_MEAN_ROUND}) AS m
+  FROM a{k} JOIN v USING (vec_id), UNNEST(range(1, len(v.e) + 1)) AS r(i)
+  GROUP BY a{k}.cell, r.i
 ),
-cent AS (SELECT cell AS cent_id, list(m ORDER BY i) AS w FROM means GROUP BY cell),
+cent{k} AS (SELECT cell AS cent_id, list(m ORDER BY i) AS w FROM means{k} GROUP BY cell)"""
+
+
+_LLOYD_ITERS_SQL = ",".join(_lloyd_iter_sql(k) for k in range(IVF_LLOYD_ITERS))
+
+ANN_IVF_TRAINED_SQL = f"""
+WITH {_V_SQL},
+seed AS (SELECT vec_id AS cent_id, e AS w FROM v ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+{_LLOYD_ITERS_SQL},
+cent AS (SELECT * FROM cent{IVF_LLOYD_ITERS - 1}),
 {_IVF_CA_SQL},
 {_IVF_TAIL_SQL}
 """
