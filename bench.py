@@ -34,7 +34,7 @@ HEADLINERS = [
     "ann_ivf_topk",
     "token_histogram",
     "skew_join_salted",
-    "multimodal_stub",
+    "multimodal_decode",
     "mtm_streaming",
 ]
 

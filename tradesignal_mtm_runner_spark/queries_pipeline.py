@@ -914,20 +914,63 @@ SELECT doc_id, lab AS canonical_id, doc_id = lab AS keep FROM l{DEDUP_CC_ITERS}
 """
 
 
-# --- C11 multimodal stub -----------------------------------------------------
+# --- C11 multimodal decode ---------------------------------------------------
 
-def multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode: image payloads are REAL PNG/JPEG
+    containers (dims written into the header bytes) and the feature
+    pass parses format/width/height straight out of the bytes with a
+    dependency-free parser (operators/multimodal.py). The oracle
+    reconstructs the same container blobs in SQL and derives the
+    expected dims arithmetically — if either the synthesis or the
+    parse is wrong, the hashes/dims mismatch."""
     from .operators.multimodal import attach_payloads, extract_features
 
-    return extract_features(attach_payloads(_docs(spark, sf_dir)))
+    out = extract_features(attach_payloads(_docs(spark, sf_dir)))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_type",
+        "n_bytes",
+        "payload_md5",
+        "img_format",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+    )
 
 
-MULTIMODAL_SQL = """
-SELECT doc_id,
-       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS payload_md5
-FROM documents
+from .operators.multimodal import (  # noqa: E402
+    _JPEG_PREFIX_HEX,
+    _JPEG_SOF_TAIL_HEX,
+    _PNG_IHDR_TAIL_HEX,
+    _PNG_SIG_IHDR_HEX,
+)
+
+MULTIMODAL_SQL = f"""
+WITH p AS (
+  SELECT doc_id, text,
+    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+    CASE
+      WHEN doc_id % 6 = 0 THEN
+        from_hex('{_PNG_SIG_IHDR_HEX}')
+        || from_hex(printf('%08X', doc_id % 640 + 1))
+        || from_hex(printf('%08X', doc_id % 480 + 1))
+        || from_hex('{_PNG_IHDR_TAIL_HEX}') || encode(text)
+      WHEN doc_id % 6 = 3 THEN
+        from_hex('{_JPEG_PREFIX_HEX}')
+        || from_hex(printf('%04X', doc_id % 480 + 1))
+        || from_hex(printf('%04X', doc_id % 640 + 1))
+        || from_hex('{_JPEG_SOF_TAIL_HEX}') || encode(text) || from_hex('FFD9')
+      ELSE encode(text)
+    END AS payload
+  FROM documents
+)
+SELECT doc_id, media_type,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       md5(hex(payload)) AS payload_md5,
+       CASE WHEN doc_id % 6 = 0 THEN 'png' WHEN doc_id % 6 = 3 THEN 'jpeg' END AS img_format,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 640 + 1 AS INT) END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 480 + 1 AS INT) END AS height
+FROM p
 """
 
 
@@ -951,7 +994,7 @@ PIPELINE_QUERIES = {
     "simhash": simhash,
     "simhash_pairs": simhash_pairs,
     "dedup_connected": dedup_connected,
-    "multimodal_stub": multimodal_stub,
+    "multimodal_decode": multimodal_decode,
 }
 
 PIPELINE_ORACLES = {
@@ -974,5 +1017,5 @@ PIPELINE_ORACLES = {
     "simhash": SIMHASH_SQL,
     "simhash_pairs": SIMHASH_PAIRS_SQL,
     "dedup_connected": DEDUP_CONNECTED_SQL,
-    "multimodal_stub": MULTIMODAL_SQL,
+    "multimodal_decode": MULTIMODAL_SQL,
 }
