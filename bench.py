@@ -71,6 +71,32 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
+    # single-group stress: one 500k-bar symbol through the bookkeeper
+    # state machine (the per-task unit of the 100 TB sweep; driver-side
+    # numpy, no Spark overhead in the measurement)
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.config import PnlCalcConfig
+    from tradesignal_mtm_runner_spark.operators.bookkeeper import simulate_symbol
+
+    rng = np.random.default_rng(7)
+    n = 500_000
+    ts = np.arange(n, dtype=np.float64) * 60.0
+    close = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.001, n)))
+    buy = (rng.random(n) < 0.005).astype(np.int64)
+    sell = (rng.random(n) < 0.005).astype(np.int64)
+    cfg = PnlCalcConfig(
+        roi={0: 0.05, 60: 0.02}, stoploss=-0.03, enable_short_position=True,
+        max_position_per_symbol=3, fee_rate=0.001,
+    )
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        simulate_symbol(ts, close, buy, sell, cfg)
+        dt = round(time.time() - t0, 3)
+        best = dt if best is None else min(best, dt)
+    timings["bookkeeper_500k_bars"] = best
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -161,7 +161,14 @@ def simulate_symbol(
         done.append(tr)
         return fee
 
-    for i in range(n):
+    # vectorized idle skip: while FLAT, bars without a signal are pure
+    # tax charges (mtm = -tax, no roi/sl checks possible), so whole
+    # flat stretches fill in one numpy slice instead of Python bars.
+    # sig_idx holds the bar indices that can change position state.
+    sig_idx = np.flatnonzero((buy == 1) | (sell == 1))
+
+    i = 0
+    while i < n:
         p = close[i]
         fees = 0.0
         # 1. mtm over trades opened strictly before this bar
@@ -242,6 +249,32 @@ def simulate_symbol(
             fees += tax
         # 6.
         mtm[i] -= fees
+        # advance; signal-free stretches vectorize when no per-bar
+        # close is possible there:
+        #   flat            -> every bar is just the tax charge
+        #   no roi/stoploss -> open trades only accrue mtm (closes
+        #      happen on signal bars only); accumulate per trade in
+        #      the SAME order as the scalar loop, so bit-identical
+        if not longs and not shorts:
+            k = np.searchsorted(sig_idx, i, side="right")
+            nxt = int(sig_idx[k]) if k < len(sig_idx) else n
+            if nxt > i + 1:
+                mtm[i + 1 : nxt] = -tax
+            i = nxt
+        elif not roi_live and stop == np.inf:
+            k = np.searchsorted(sig_idx, i, side="right")
+            nxt = int(sig_idx[k]) if k < len(sig_idx) else n
+            if nxt > i + 1:
+                seg = np.diff(close[i:nxt])
+                acc = np.zeros(nxt - i - 1, dtype=np.float64)
+                for tr in longs:
+                    acc += seg / tr.entry_price
+                for tr in shorts:
+                    acc -= seg / tr.entry_price
+                mtm[i + 1 : nxt] = acc
+            i = nxt
+        else:
+            i += 1
 
     return mtm, done + longs + shorts
 
