@@ -186,3 +186,98 @@ def test_lloyd_training_inertia_is_monotone(spark):
         assert cur <= prev + 1e-4, f"inertia increased: {inertia}"
     # training must actually improve on the seed assignment
     assert inertia[-1] < inertia[0]
+
+
+def test_approx_quantiles_within_rank_tolerance(spark):
+    """approx_percentile (mergeable sketch, the 100 TB drop-in for
+    exact B13 quantiles) must land within the exact values at
+    q +/- eps, where eps covers the sketch's rank error bound
+    n/accuracy plus slack."""
+    import pyspark.sql.functions as F
+
+    from tradesignal_mtm_runner_spark.queries_analytics import (
+        APPROX_PCT_ACCURACY,
+        QUANTILES,
+        approx_price_quantiles,
+    )
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    approx = (
+        approx_price_quantiles(spark, SF_SMOKE).toPandas().set_index("l_returnflag")
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    n_max = int(approx["n"].max())
+    eps = max(2.0 * n_max / APPROX_PCT_ACCURACY / n_max, 0.002)
+    lo_hi = li.groupBy("l_returnflag").agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {max(q - eps, 0.0)})").alias(
+                f"lo{int(q * 100)}"
+            )
+            for q in QUANTILES
+        ],
+        *[
+            F.expr(f"percentile(l_extendedprice, {min(q + eps, 1.0)})").alias(
+                f"hi{int(q * 100)}"
+            )
+            for q in QUANTILES
+        ],
+    ).toPandas().set_index("l_returnflag")
+    assert set(approx.index) == set(lo_hi.index)
+    for q in QUANTILES:
+        p = f"p{int(q * 100)}"
+        for flag in approx.index:
+            v = approx.loc[flag, p]
+            lo = lo_hi.loc[flag, f"lo{int(q * 100)}"]
+            hi = lo_hi.loc[flag, f"hi{int(q * 100)}"]
+            assert lo - 1e-6 <= v <= hi + 1e-6, (flag, p, v, lo, hi)
+
+
+def test_aqe_splits_injected_skew(spark):
+    """AQE skew-join demonstration (SURVEY §7.10): one key carrying
+    ~90% of a 400k-row build side must be split into multiple tasks by
+    adaptive execution (isSkewJoin in the final plan), pinning the
+    behavior the salted-join docstring claims AQE provides for
+    moderate skew."""
+    import pyspark.sql.functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        )
+    }
+    try:
+        # thresholds low enough that local-scale skew triggers the split
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+
+        big = spark.range(0, 400_000).select(
+            # ~90% of rows hash to key 7, rest spread over 1000 keys
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("attr")
+        )
+        # NOTE: a downstream groupBy(k) would suppress the split (AQE
+        # won't break the join's hash partitioning that the aggregate
+        # requires) — the join itself must be the stage boundary
+        joined = big.join(small, on="k")
+        assert len(joined.collect()) == 400_000  # finalize AQE plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan or "isSkewJoin=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead applied the split
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

@@ -635,6 +635,34 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+APPROX_PCT_ACCURACY = 10_000
+
+
+def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB drop-in for B13: sketch-based approximate per-group
+    quantiles (`approx_percentile`, rank error <= n/accuracy). The
+    sketch is MERGEABLE, so partial aggregation happens map-side and
+    the full per-group sort that exact quantiles require never runs —
+    the shuffle carries one sketch per group per mapper instead of
+    every row. No SQL oracle (sketch internals are engine-specific);
+    tests/test_scale_patterns.py pins every approx value within rank
+    tolerance of the exact B13 quantiles — same pattern as the B19
+    HLL sketch."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.expr(
+                    f"approx_percentile(l_extendedprice, {q}, {APPROX_PCT_ACCURACY})"
+                ),
+                R_MONEY,
+            ).alias(f"p{int(q * 100)}")
+            for q in QUANTILES
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # --- B14: conversion funnel --------------------------------------------------
 
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,6 +844,7 @@ ANALYTICS_QUERIES = {
     "skew_join_salted": skew_join_salted,
     "events_error_burst": events_error_burst,
     "price_quantiles": price_quantiles,
+    "approx_price_quantiles": approx_price_quantiles,
     "events_funnel": events_funnel,
     "value_histogram": value_histogram,
     "q4_order_priority": q4_order_priority,
@@ -825,9 +854,10 @@ ANALYTICS_QUERIES = {
     "rolling_revenue_7d": rolling_revenue_7d,
 }
 
-# approx_distinct_users_daily deliberately has NO oracle entry: HLL
-# estimates are engine-specific; the driver records a rows-only check
-# and the tolerance test bounds the error vs the exact count.
+# approx_distinct_users_daily and approx_price_quantiles deliberately
+# have NO oracle entry: HLL/t-digest sketch estimates are
+# engine-specific; the driver records rows-only checks and the
+# tolerance tests bound the error vs the exact aggregates.
 ANALYTICS_ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
