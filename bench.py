@@ -58,12 +58,12 @@ def main() -> None:
     # JVM/codegen warm-up on a trivial job so q1 doesn't pay the tax
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # best-of-2: this host shows multi-x transient load spikes from
-    # neighbors; the min of two passes reflects the plan cost rather
-    # than whoever was stealing CPU, and pass 2 also absorbs codegen
-    # warm-up
+    # best-of-3: this host shows multi-x transient load spikes from
+    # neighbors, and the streaming query's first run pays state-store
+    # setup; the min of three passes reflects the plan cost rather
+    # than whoever was stealing CPU, with codegen warm-up absorbed
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINERS:
             fn = registry[name]
             t0 = time.time()
