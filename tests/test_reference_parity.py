@@ -184,3 +184,52 @@ def test_trade_archives_match_reference(spark):
                     assert g.loc[i, "exit_price"] == pytest.approx(
                         rt.exit_price, abs=1e-12
                     )
+
+
+def test_worst_price_pick_matches_reference_sort():
+    """The reference's WORST_PRICE close order is sorted(trades)[0]
+    under ProxyTrade.__lt__ (highest entry first for longs, lowest
+    for shorts; trade_reward.py:380 _get_trade_to_close). Our
+    _pick_to_close must select the same trade for random entry-price
+    sets in both directions."""
+    from datetime import datetime
+
+    import numpy as np
+
+    from tradesignal_mtm_runner.models import (
+        Inventory_Mode,
+        LongShort_Enum,
+        ProxyTrade as RefTrade,
+    )
+    from tradesignal_mtm_runner_spark.models import InventoryMode
+    from tradesignal_mtm_runner_spark.operators.bookkeeper import (
+        _LONG,
+        _SHORT,
+        _Trade,
+        _pick_to_close,
+    )
+
+    rng = np.random.default_rng(3)
+    for direction in ("LONG", "SHORT"):
+        for trial in range(20):
+            prices = rng.uniform(50.0, 150.0, size=5).round(4)
+            ref_trades = [
+                RefTrade(
+                    symbol="X",
+                    entry_price=float(p),
+                    unit=1.0,
+                    direction=LongShort_Enum[direction],
+                    entry_datetime=datetime(2024, 1, 1, 0, i),
+                    inventory_mode=Inventory_Mode.WORST_PRICE,
+                    fee_rate=0.0,
+                )
+                for i, p in enumerate(prices)
+            ]
+            ref_pick = sorted(ref_trades)[0].entry_price
+            ours = [
+                _Trade(i, float(i * 60), float(p),
+                       _LONG if direction == "LONG" else _SHORT)
+                for i, p in enumerate(prices)
+            ]
+            idx = _pick_to_close(ours, InventoryMode.WORST_PRICE)
+            assert ours[idx].entry_price == ref_pick, (direction, trial, prices)
