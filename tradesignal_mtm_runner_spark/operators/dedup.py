@@ -253,11 +253,15 @@ def simhash_signatures(
     lo = hex[8:16] parsed base-16 — portable to the DuckDB oracle);
     per bit position the +-1 votes are summed and the sign becomes the
     signature bit. Two BIGINT halves avoid signed-64 overflow in
-    either engine. One explode + one hash-aggregate — map-side
-    combinable, no shuffle beyond the groupBy(id)."""
-    tok = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
-    ).distinct()
+    either engine. Token dedup is ROW-LOCAL (array_distinct before the
+    explode) so the md5 hashing and bit votes all run map-side in the
+    scan stage and the only shuffle is the final per-doc aggregate —
+    a (doc, token) DISTINCT here would both add a shuffle and strand
+    the hashing on AQE-coalesced post-shuffle partitions."""
+    tok = _fan_out(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("w"),
+    )
     hexs = F.md5(F.col("w"))
     h = tok.select(
         id_col,
