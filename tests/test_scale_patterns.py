@@ -281,3 +281,28 @@ def test_aqe_splits_injected_skew(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_embedding_neardup_bucket_cap(spark):
+    """max_bucket drops degenerate hot buckets from candidate
+    generation (B identical vectors -> B^2 pairs otherwise) — the
+    100 TB guard mirroring the MinHash path's cap."""
+    from pyspark.sql import functions as F
+
+    from tradesignal_mtm_runner_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    # 60 identical vectors: one bucket per table holds all of them
+    emb = spark.range(0, 60).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 8), j -> 1.0)").alias("embedding"),
+    )
+    uncapped = embedding_near_dup_pairs(
+        emb, num_planes=4, num_tables=1, cosine_threshold=0.9
+    )
+    capped = embedding_near_dup_pairs(
+        emb, num_planes=4, num_tables=1, cosine_threshold=0.9, max_bucket=50
+    )
+    assert uncapped.count() == 60 * 59 // 2
+    assert capped.count() == 0

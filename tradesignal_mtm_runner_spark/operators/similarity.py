@@ -37,6 +37,18 @@ def with_double_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a small single-file scan across all cores before
+    CPU-heavy per-row vector work (zip_with/aggregate lambdas are
+    interpreted, and a local parquet row group is unsplittable).
+    No-op at cluster scale where the scan already has enough
+    partitions (same rationale as operators/dedup.py:_fan_out)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _plane_weight(table: int, p: int, j: int) -> float:
     """Deterministic hyperplane coordinate: md5("t:p:j") first 8 hex
     chars as uint32, mapped to [-1, 1). Identical formula to the
@@ -67,7 +79,7 @@ def cosine_topk(
 
     queries is expected small (broadcast); the corpus side streams —
     one pass, no shuffle besides the final per-query top-k."""
-    c = with_double_vec(corpus, vec_col).select(
+    c = with_double_vec(_fan_out(corpus), vec_col).select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
     )
     q = with_double_vec(queries, vec_col).select(
@@ -101,7 +113,7 @@ def hyperplane_buckets(
     the sign-bit string across planes. Same formula is expressible in
     the DuckDB oracle, so bucketing is engine-portable. ``table``
     seeds independent hash tables (multi-probe recall)."""
-    d = with_double_vec(df, vec_col)
+    d = with_double_vec(_fan_out(df), vec_col)
 
     # Plane weights are DETERMINISTIC, so hash them once driver-side
     # (hashlib md5 == engine md5 bit-for-bit) and ship literal arrays:
@@ -130,6 +142,7 @@ def embedding_near_dup_pairs(
     num_tables: int = 2,
     cosine_threshold: float = 0.35,
     round_digits: int | None = 9,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed.
 
@@ -139,13 +152,26 @@ def embedding_near_dup_pairs(
     product never materializes — cost is per-bucket, the property a
     100 TB corpus needs. More tables/fewer planes => higher recall.
     Thresholding happens on the ROUNDED cosine so the cut is
-    engine-stable."""
+    engine-stable.
+
+    ``max_bucket`` guards the worst case at scale: a bucket of B rows
+    yields B^2 candidates, so one degenerate bucket (near-constant
+    embeddings, zero vectors) can dwarf the rest of the job. Buckets
+    larger than the cap are dropped from candidate generation in that
+    table — same semantics as the MinHash path
+    (operators/dedup.py:lsh_candidate_pairs); size num_planes so real
+    dup clusters stay under the cap."""
     buckets = None
     for t in range(num_tables):
         bt = hyperplane_buckets(df, id_col, vec_col, num_planes, table=t).select(
             F.col(id_col), F.lit(t).alias("tbl"), "bucket"
         )
         buckets = bt if buckets is None else buckets.unionByName(bt)
+    if max_bucket is not None:
+        sizes = buckets.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        buckets = buckets.join(
+            sizes.filter(F.col("_n") <= max_bucket), on=["tbl", "bucket"]
+        ).drop("_n")
     a = buckets.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
     cand = (
@@ -154,17 +180,45 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    v = with_double_vec(df, vec_col).select(F.col(id_col), F.col(vec_col).alias("_v"))
+    # the exact re-rank is CPU-bound per candidate (interpreted array
+    # lambdas), which AQE's byte-based advisory coalesces onto too few
+    # tasks — an explicit-count repartition of the (tiny, id-only)
+    # candidate list is exempt from coalescing and keeps the scoring
+    # stage wide; the vector lookups ride as broadcast joins when the
+    # corpus is small enough, preserving that partitioning
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    cand = cand.repartition(n_part, "id_a")
+    # norms once per VECTOR (not per pair — a vector appears in many
+    # candidates); same sequential fold as the oracle, so the cosine
+    # stays bit-identical
+    v = (
+        with_double_vec(df, vec_col)
+        .select(F.col(id_col), F.col(vec_col).alias("_v"))
+        .withColumn("_n", _norm(F.col("_v")))
+    )
     scored = (
-        cand.join(v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")), on="id_a")
-        .join(v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")), on="id_b")
+        cand.join(
+            v.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_v").alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
+            on="id_a",
+        )
+        .join(
+            v.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_v").alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            on="id_b",
+        )
         .select(
             "id_a",
             "id_b",
-            (
-                _dot(F.col("_va"), F.col("_vb"))
-                / (_norm(F.col("_va")) * _norm(F.col("_vb")))
-            ).alias("cosine"),
+            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "cosine"
+            ),
         )
     )
     if round_digits is not None:
@@ -382,7 +436,7 @@ def ivf_topk(
         for row in cent_rows
     ]
 
-    base = with_double_vec(corpus, vec_col).select(
+    base = with_double_vec(_fan_out(corpus), vec_col).select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
     )
 
