@@ -44,10 +44,17 @@ def test_results_jsonl_roundtrip(spark, tmp_path):
     n_symbols = summary.count()
     assert len(lines) == n_symbols
 
-    # reference result-shape parity: every queryable field present
+    # reference result-shape parity: every queryable field present,
+    # and the line's key set == Mtm_Result.to_query_dict keys plus
+    # symbol (the reference result object carries no symbol; the
+    # distributed sink needs it as the group key)
+    from tradesignal_mtm_runner_spark import MtmResult
+
+    expected_keys = set(MtmResult(symbol="X").to_query_dict()) | {"symbol"}
     for doc in lines:
         for field in sinks.RESULT_FIELDS:
             assert field in doc, f"missing {field}"
+        assert set(doc) == expected_keys, set(doc) ^ expected_keys
     by_symbol = {d["symbol"]: d for d in lines}
     srow = summary.filter(F.col("symbol") == list(by_symbol)[0]).first()
     doc = by_symbol[srow["symbol"]]

@@ -31,6 +31,8 @@ RESULT_FIELDS = [
     "sharpe_ratio",
     "mkt_start_epoch",
     "mkt_end_epoch",
+    "run_start_epoch",
+    "run_end_epoch",
     "long_trades_archive_size",
     "short_trades_archive_size",
     "long_trades_outstanding_size",
@@ -89,6 +91,10 @@ def mtm_result_lines(
             fields.append(F.lit(meta[name]).alias(name))
         elif name in out.columns:
             fields.append(F.col(name))
+        elif name in ("run_start_epoch", "run_end_epoch"):
+            # distributed sweeps have no per-result run clock; keep the
+            # reference's queryable key set with its 0 default
+            fields.append(F.lit(0).cast("long").alias(name))
     # group cols beyond symbol (e.g. config_id from a sweep) ride along
     fields += [F.col(c) for c in group_cols if c != "symbol"]
     return out.select(F.to_json(F.struct(*fields)).alias("value"))
