@@ -233,3 +233,83 @@ def test_worst_price_pick_matches_reference_sort():
             ]
             idx = _pick_to_close(ours, InventoryMode.WORST_PRICE)
             assert ours[idx].entry_price == ref_pick, (direction, trial, prices)
+
+
+def test_hypothesis_simulate_symbol_matches_reference():
+    """Property-based head-to-head: hypothesis-generated price paths,
+    signal patterns and config families through simulate_symbol (incl.
+    its vectorized idle/no-roi fast paths) vs the reference's pandas
+    loop — per-bar mtm must agree to 1e-9. No Spark in the loop, so
+    dozens of examples stay cheap.
+
+    Runs with compat_multi_close_skip=True: hypothesis originally
+    FOUND the reference's mutate-while-iterating skip biting under
+    maxpos>1 + dense signals (the documented deviation 1 in
+    bookkeeper.py), so exact parity is asserted in compat mode and the
+    default mode's close-all behavior stays our intentional fix."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tradesignal_mtm_runner_spark.config import PnlCalcConfig
+    from tradesignal_mtm_runner_spark.operators.bookkeeper import simulate_symbol
+
+    RefCfg, TradeMtmRunnerRef = _ref_modules()
+
+    config_family = st.sampled_from(
+        [
+            # (roi, stoploss, shorts, maxpos) — includes the families
+            # where the engine's vectorized stretch-skip is active
+            ({0: float("inf")}, float("-inf"), False, 1),
+            ({0: float("inf")}, float("-inf"), True, 2),
+            ({0: 0.03, 30: 0.01}, float("-inf"), False, 1),
+            ({0: float("inf")}, -0.02, True, 1),
+            ({0: 0.05, 60: 0.02}, -0.03, True, 3),
+        ]
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        data=st.data(),
+        n=st.integers(min_value=2, max_value=60),
+        fam=config_family,
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(data, n, fam, seed):
+        roi, stoploss, shorts, maxpos = fam
+        rng = np.random.default_rng(seed)
+        close = np.round(100.0 * np.exp(np.cumsum(rng.normal(0, 0.03, n))), 6)
+        # sparse-to-dense signal densities, incl. long idle stretches
+        p_sig = data.draw(st.sampled_from([0.0, 0.02, 0.3, 0.8]))
+        buy = (rng.random(n) < p_sig).astype(np.int64)
+        sell = (rng.random(n) < p_sig).astype(np.int64)
+
+        idx = pd.date_range("2024-01-01", periods=n, freq="1min")
+        rc = RefCfg.get_default()
+        rc.roi = {int(k): float(v) for k, v in roi.items()}
+        rc.stoploss = stoploss
+        rc.enable_short_position = shorts
+        rc.max_position_per_symbol = maxpos
+        rc.fee_rate = 0.001
+        rc.laid_back_tax = 0.0001
+        ref = TradeMtmRunnerRef(pnl_config=rc).calculate(
+            "H",
+            pd.DataFrame({"close": close, "buy": buy}, index=idx),
+            pd.DataFrame({"sell": sell}, index=idx),
+        )
+
+        cfg = PnlCalcConfig(
+            roi=roi, stoploss=stoploss, enable_short_position=shorts,
+            max_position_per_symbol=maxpos, fee_rate=0.001,
+            laid_back_tax=0.0001,
+        )
+        ts_sec = idx.view("int64") / 1e9
+        mtm, _ = simulate_symbol(
+            np.asarray(ts_sec, dtype=np.float64), close, buy, sell, cfg,
+            compat_multi_close_skip=True,
+        )
+        theirs = np.asarray(ref.pnl_timeline["pnl_ratio"], dtype=float)
+        np.testing.assert_allclose(np.cumsum(mtm), theirs, rtol=0, atol=1e-9)
+
+    check()

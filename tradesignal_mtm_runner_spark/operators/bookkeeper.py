@@ -35,7 +35,11 @@ Known deviations from the reference (documented, intentional):
    while iterating it (trade_reward.py:198,236 + list.remove in the
    close helper), which silently SKIPS the element after each close
    when two trades are eligible in the same bar. We close every
-   eligible trade. The reference's own tests never exercise that path.
+   eligible trade by default. The skip DOES bite with
+   max_position_per_symbol > 1 under dense signals (found by the
+   hypothesis head-to-head); ``compat_multi_close_skip=True``
+   reproduces the reference's behavior bar-for-bar for drop-in users
+   who need bit-parity (property-tested against the reference).
 2. LIFO inventory: the reference's ProxyTrade.__lt__ FIFO/LIFO
    branches compare a trade to ITSELF (models.py:178-186), so its
    heap pop degenerates to list insertion order — reference "LIFO" is
@@ -124,13 +128,17 @@ def simulate_symbol(
     config: PnlCalcConfig,
     inventory_mode: InventoryMode = InventoryMode.FIFO,
     strict: bool = False,
+    compat_multi_close_skip: bool = False,
 ) -> tuple[np.ndarray, list[_Trade]]:
     """Single-symbol state machine. ts_sec: float seconds since epoch,
     MUST be sorted ascending. Returns (mtm per bar, all trades).
 
     strict=False (default) keeps the reference's silent-skip semantics
     for disallowed opens; strict=True raises the reference's public
-    exception types instead (see exceptions.py)."""
+    exception types instead (see exceptions.py).
+    compat_multi_close_skip=True replicates the reference's
+    mutate-while-iterating skip in the roi/stoploss close sweeps (see
+    module docstring, deviation 1)."""
     n = len(close)
     mtm = np.zeros(n, dtype=np.float64)
     fee = abs(config.fee_rate)
@@ -192,6 +200,11 @@ def simulate_symbol(
                     k = np.searchsorted(roi_off, ts_sec[i] - tr.entry_ts, side="right") - 1
                     if k >= 0 and pnl > roi_min[k]:
                         fees += close_trade(live, j, i, "ROI")
+                        # compat: the reference's for-loop index still
+                        # advances after the remove, skipping the
+                        # element that shifted into this slot
+                        if compat_multi_close_skip:
+                            j += 1
                     else:
                         j += 1
         # 3. stoploss close (longs then shorts)
@@ -203,6 +216,8 @@ def simulate_symbol(
                     pnl = sgn * (p - tr.entry_price) / tr.entry_price
                     if pnl < -stop:
                         fees += close_trade(live, j, i, "STOP_LOSS")
+                        if compat_multi_close_skip:
+                            j += 1
                     else:
                         j += 1
         # 4. signal (buy wins when both set — reference runner_mtm.py:156)
@@ -284,6 +299,7 @@ def _make_apply_fn(
     inventory_mode: InventoryMode,
     output: str,
     strict: bool = False,
+    compat_multi_close_skip: bool = False,
 ):
     fee = abs(config.fee_rate)
 
@@ -295,7 +311,8 @@ def _make_apply_fn(
         buy = pdf["buy"].to_numpy(dtype=np.int64)
         sell = pdf["sell"].to_numpy(dtype=np.int64)
         mtm, trades = simulate_symbol(
-            ts_sec, close, buy, sell, config, inventory_mode, strict=strict
+            ts_sec, close, buy, sell, config, inventory_mode, strict=strict,
+            compat_multi_close_skip=compat_multi_close_skip,
         )
         symbol = pdf["symbol"].iloc[0]
         if output == "timeline":
@@ -379,6 +396,7 @@ def run_mtm_bookkeeper(
     inventory_mode: InventoryMode = InventoryMode.FIFO,
     output: str = "timeline",
     strict: bool = False,
+    compat_multi_close_skip: bool = False,
 ) -> DataFrame:
     """Distributed full-engine MTM run.
 
@@ -403,7 +421,10 @@ def run_mtm_bookkeeper(
     schema = TIMELINE_SCHEMA if output == "timeline" else TRADES_SCHEMA
     cols = [c for c in ["symbol", "timestamp", "event_id", "close", "buy", "sell"] if c in signals.columns]
     order = [c for c in ["symbol", "timestamp", "event_id"] if c in cols]
-    per_group = _make_apply_fn(config, inventory_mode, output, strict=strict)
+    per_group = _make_apply_fn(
+        config, inventory_mode, output, strict=strict,
+        compat_multi_close_skip=compat_multi_close_skip,
+    )
     # explicit partition count: AQE's byte-based coalescing would fold
     # this Python-CPU-bound stage into ~2 tasks (the engine costs CPU
     # per row, not bytes); a user-specified count is exempt from
