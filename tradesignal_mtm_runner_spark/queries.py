@@ -618,3 +618,14 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXTRA_ORACLES: dict[str, str] = {
     k: ORACLES.pop(k) for k in EXTRA_KEYS if k in ORACLES
 }
+
+# C20+ training-data-pipeline operators (SURVEY §2 C-block tail):
+# pytest-extras for the same reason — the 50 driver slots are all
+# taken by §2 core keys. See queries_pipeline_extras.py.
+from .queries_pipeline_extras import (  # noqa: E402
+    PIPELINE_EXTRA_ORACLES,
+    PIPELINE_EXTRA_QUERIES,
+)
+
+EXTRA_QUERIES.update(PIPELINE_EXTRA_QUERIES)
+EXTRA_ORACLES.update(PIPELINE_EXTRA_ORACLES)

@@ -1,0 +1,376 @@
+"""Training-data-pipeline operators beyond the SURVEY §2 core (C20+).
+
+These run through the IDENTICAL DuckDB-oracle harness as the driver
+registry (tests/test_queries_oracle.py), but live in the pytest-extra
+registry because the driver's CORRECTNESS window is capped at the
+first 50 ``queries()`` entries and all 50 slots are taken by SURVEY §2
+keys (see queries.py tail).
+
+Operators (each is what a 100 TB pre-training corpus pipeline runs):
+
+- C20 ``contamination_check`` — benchmark-contamination scan: word
+  k-gram overlap of every train doc against a (small) held-out eval
+  set. Scale shape: eval n-grams are tiny by construction → broadcast
+  semi-side; train side is a row-local shingle explode + one
+  per-doc-key aggregate. No all-pairs, no big-big shuffle join.
+- C21 ``train_val_split`` — deterministic content-independent split
+  by md5(doc_id) hex bucketing (~80/10/10). Row-local, shuffle-free;
+  re-runnable on any subset of the corpus with stable assignment.
+- C22 ``pii_scrub`` — regex PII detection + redaction (emails / SSNs
+  / phone numbers). Row-local regexp_count/regexp_replace, entirely
+  JVM-side (no Python). The testdata corpus is synthetic word-soup
+  with no organic PII, so the query plants a deterministic
+  doc_id-derived contact string on BOTH engines first — the regexes
+  are then exercised against real positives and counted/scrubbed
+  identically by Spark and the DuckDB oracle.
+- C23 ``embedding_quantize`` — symmetric int8 quantization of the
+  embedding column: per-vector scale = max|x|/127, q = ⌊x/scale+0.5⌋
+  (explicit half-up so Spark and DuckDB round identically), with
+  saturation count and reconstruction MSE. Row-local array algebra;
+  the 100 TB point of int8 is 4x less shuffle/storage bytes for the
+  ANN operators (C8/C13/C16) downstream.
+- C24 ``sequence_pack`` — GPT-style sequence packing: concatenate
+  docs in deterministic order and cut at a context-window boundary,
+  reported as per-pack stats. The running token cumsum is windowed
+  PER SOURCE (the natural shard key), so no global single-partition
+  window exists at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as TX
+from .queries_pipeline import SHINGLE_K, _SHINGLES_SQL, _docs, _emb
+
+R = 9
+
+# --- C20 contamination check ------------------------------------------------
+
+EVAL_MOD = 97          # doc_id % EVAL_MOD == 0 -> held-out eval set (~1%)
+CONTAM_MIN = 0.2       # overlap ratio at/above which a doc is flagged
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per train-doc eval-set n-gram overlap (decontamination pass).
+
+    Plan: eval distinct shingles are broadcast (small by construction:
+    ~1% of docs), train shingles are a row-local array (no
+    per-shingle shuffle before the semi join), overlap is one
+    broadcast-join + per-doc count. Output is one row per train doc
+    including zero-overlap docs.
+    """
+    docs = _docs(spark, sf_dir)
+    sh = TX.shingle_set(F.col("text"), SHINGLE_K)
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        "doc_id", sh.alias("_sh")
+    )
+    eval_g = (
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode(sh).alias("g"))
+        .distinct()
+    )
+    overlap = (
+        train.select("doc_id", F.explode("_sh").alias("g"))
+        .join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    ratio = F.when(
+        F.col("n_shingles") > 0,
+        F.round(F.col("n_overlap") / F.col("n_shingles"), R),
+    ).otherwise(F.lit(0.0))
+    return (
+        train.select("doc_id", F.size("_sh").cast("long").alias("n_shingles"))
+        .join(overlap, "doc_id", "left")
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            ratio.alias("contamination"),
+            (ratio >= CONTAM_MIN).cast("long").alias("is_contaminated"),
+        )
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH {_SHINGLES_SQL},
+ev AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0
+),
+tr AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id % {EVAL_MOD} <> 0
+),
+tot AS (
+  SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id
+),
+ov AS (
+  SELECT tr.doc_id, count(*) AS n_overlap
+  FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id
+),
+base AS (
+  SELECT d.doc_id,
+         coalesce(tot.n_shingles, 0) AS n_shingles,
+         coalesce(ov.n_overlap, 0) AS n_overlap
+  FROM documents d
+  LEFT JOIN tot ON d.doc_id = tot.doc_id
+  LEFT JOIN ov ON d.doc_id = ov.doc_id
+  WHERE d.doc_id % {EVAL_MOD} <> 0
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       CASE WHEN n_shingles > 0
+            THEN round(CAST(n_overlap AS DOUBLE) / n_shingles, {R})
+            ELSE 0.0 END AS contamination,
+       CAST(CASE WHEN n_shingles > 0
+                 AND round(CAST(n_overlap AS DOUBLE) / n_shingles, {R})
+                     >= {CONTAM_MIN}
+            THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
+FROM base
+"""
+
+
+# --- C21 deterministic train/val/test split ---------------------------------
+
+# first two md5 hex chars of the doc id: 256 buckets compared
+# lexicographically -> 'cd' = 205/256 ~ 80.1%, 'e6' = 230/256 ~ 89.8%
+TRAIN_HI = "cd"
+VAL_HI = "e6"
+
+
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based split assignment: stable under corpus growth (a doc's
+    split never depends on other rows), shuffle-free, and identical
+    on any engine that has md5."""
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(b < TRAIN_HI, F.lit("train"))
+        .when(b < VAL_HI, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", b.alias("bucket"), split.alias("split")
+    )
+
+
+TRAIN_VAL_SPLIT_SQL = f"""
+SELECT doc_id, lang,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{TRAIN_HI}'
+                 THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{VAL_HI}'
+                 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# --- C22 PII scrub ----------------------------------------------------------
+
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+PII_PHONE = "555-[0-9]{4}"
+
+
+def _augment_text() -> F.Column:
+    """Deterministic doc_id-derived contact string appended to the
+    text so the PII regexes see real positives (the synthetic corpus
+    has none). The DuckDB oracle constructs the identical string."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example phone 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect + redact PII patterns, all JVM-side regex (no UDF).
+    Scrub order matters (emails first: their local part may contain
+    digit runs); counts are taken pre-scrub."""
+    aug = _augment_text()
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL, "[EMAIL]"), PII_SSN, "[SSN]"
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(PII_SSN)).cast("long").alias("n_ssn"),
+        F.regexp_count(aug, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_hash"),
+        F.length(scrubbed).cast("long").alias("scrub_len"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example phone 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789'
+                      ELSE '' END AS a
+  FROM documents
+),
+scrub AS (
+  SELECT doc_id, a,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(a, '{PII_EMAIL}', '[EMAIL]', 'g'),
+             '{PII_SSN}', '[SSN]', 'g'),
+           '{PII_PHONE}', '[PHONE]', 'g') AS s
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(a, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(a, '{PII_SSN}')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(a, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       md5(s) AS scrub_hash,
+       CAST(length(s) AS BIGINT) AS scrub_len
+FROM scrub
+"""
+
+
+# --- C23 int8 embedding quantization ----------------------------------------
+
+Q_EPS = 1e-12
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization. Half-up rounding is
+    spelled out as floor(x/scale + 0.5) so both engines agree
+    bit-for-bit (builtin round() ties differ across engines)."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = _emb(spark, sf_dir).select("vec_id", v.alias("v"))
+    scaled = base.select(
+        "vec_id",
+        "v",
+        F.greatest(
+            F.array_max(F.transform("v", F.abs)) / F.lit(127.0), F.lit(Q_EPS)
+        ).alias("q_scale"),
+    )
+    s = F.col("q_scale")
+    q = lambda x: F.floor(x / s + F.lit(0.5))  # noqa: E731
+    return scaled.select(
+        "vec_id",
+        F.round(s, R).alias("q_scale"),
+        F.size(F.filter("v", lambda x: F.abs(q(x)) == 127))
+        .cast("long")
+        .alias("n_sat"),
+        F.round(
+            F.aggregate(
+                F.transform("v", lambda x: F.pow(x - q(x) * s, F.lit(2.0))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size("v"),
+            R,
+        ).alias("recon_mse"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                  {Q_EPS}) AS q_scale
+  FROM v
+)
+SELECT vec_id,
+       round(q_scale, {R}) AS q_scale,
+       CAST(len(list_filter(v, x -> abs(floor(x / q_scale + 0.5)) = 127))
+            AS BIGINT) AS n_sat,
+       round(list_sum(list_transform(
+               v, x -> pow(x - floor(x / q_scale + 0.5) * q_scale, 2.0)))
+             / len(v), {R}) AS recon_mse
+FROM s
+"""
+
+
+# --- C24 sequence packing ---------------------------------------------------
+
+PACK_CONTEXT = 512
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack docs into context windows: deterministic order (doc_id)
+    within each source shard, cut where the running token count
+    crosses the boundary (a doc belongs to the pack its START offset
+    falls in). The window is partitioned by source — the packing
+    equivalent of per-shard streaming concatenation, so no global
+    ordering is ever materialized."""
+    n = F.size(TX.tokens(F.col("text")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = _docs(spark, sf_dir).select(
+        "source", "doc_id", n.cast("long").alias("n")
+    )
+    c = d.select(
+        "source",
+        "n",
+        F.floor((F.sum("n").over(w) - F.col("n")) / F.lit(float(PACK_CONTEXT)))
+        .cast("long")
+        .alias("pack_id"),
+    )
+    return c.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("pack_tokens"),
+    )
+
+
+SEQUENCE_PACK_SQL = f"""
+WITH d AS (
+  SELECT source, doc_id,
+         len(string_split_regex(trim(text), ' +')) AS n
+  FROM documents
+),
+c AS (
+  SELECT source, n,
+         CAST(floor((sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n)
+                    / {float(PACK_CONTEXT)}) AS BIGINT) AS pack_id
+  FROM d
+)
+SELECT source, pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS pack_tokens
+FROM c
+GROUP BY source, pack_id
+"""
+
+
+PIPELINE_EXTRA_QUERIES = {
+    "contamination_check": contamination_check,
+    "train_val_split": train_val_split,
+    "pii_scrub": pii_scrub,
+    "embedding_quantize": embedding_quantize,
+    "sequence_pack": sequence_pack,
+}
+
+PIPELINE_EXTRA_ORACLES = {
+    "contamination_check": CONTAMINATION_SQL,
+    "train_val_split": TRAIN_VAL_SPLIT_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
+    "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
+    "sequence_pack": SEQUENCE_PACK_SQL,
+}
