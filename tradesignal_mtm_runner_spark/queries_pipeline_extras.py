@@ -359,12 +359,259 @@ GROUP BY source, pack_id
 """
 
 
+# --- C25 composed corpus filter pipeline ------------------------------------
+
+
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END preprocessing decision: every doc gets a keep flag
+    and the FIRST failing stage as its drop reason, composing the
+    individual operators (eval holdout -> exact dedup -> quality ->
+    lang agreement -> contamination) in one plan.
+
+    Scale shape: one md5-hash shuffle for the dup window, one
+    broadcast semi join for contamination, everything else row-local
+    — the stages do NOT serialize into separate passes over the
+    corpus. Thresholds/expressions mirror text_quality / lang_id /
+    dedup_exact / contamination_check exactly (same rounding)."""
+    from .queries_pipeline import (
+        QF_MAX_TOPWORD,
+        QF_MIN_UNIQ,
+        QF_MIN_WORDS,
+    )
+
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    uniq_ratio = F.round(
+        TX.unique_word_count(t).cast("double") / TX.word_count(t), R
+    )
+    topw = F.round(TX.top_word_ratio(t), R)
+    quality_ok = (
+        (TX.word_count(t) >= QF_MIN_WORDS)
+        & (uniq_ratio >= QF_MIN_UNIQ)
+        & (topw <= QF_MAX_TOPWORD)
+    )
+    scores = dict(TX.lang_scores(t))
+    s_en, s_de, s_es, s_fr = scores["en"], scores["de"], scores["es"], scores["fr"]
+    pred = (
+        F.when((s_en >= s_de) & (s_en >= s_es) & (s_en >= s_fr), F.lit("en"))
+        .when((s_de >= s_es) & (s_de >= s_fr), F.lit("de"))
+        .when(s_es >= s_fr, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    lang_ok = pred == F.col("lang")
+    canonical = F.min("doc_id").over(Window.partitionBy(F.md5(t)))
+    contam = contamination_check(spark, sf_dir).select(
+        "doc_id", "is_contaminated"
+    )
+    d = docs.withColumn("_canon", canonical).join(contam, "doc_id", "left")
+    reason = (
+        F.when(F.col("doc_id") % EVAL_MOD == 0, F.lit("eval_holdout"))
+        .when(F.col("doc_id") != F.col("_canon"), F.lit("duplicate"))
+        .when(~quality_ok, F.lit("low_quality"))
+        .when(~lang_ok, F.lit("lang_mismatch"))
+        .when(
+            F.coalesce(F.col("is_contaminated"), F.lit(0)) == 1,
+            F.lit("contaminated"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return d.select(
+        "doc_id",
+        reason.alias("drop_reason"),
+        (reason == "kept").cast("long").alias("keep"),
+    )
+
+
+CORPUS_FILTER_SQL = f"""
+WITH {_SHINGLES_SQL},
+ev AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0
+),
+tr AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id % {EVAL_MOD} <> 0
+),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+ov AS (
+  SELECT tr.doc_id, count(*) AS n_overlap
+  FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id
+),
+contam AS (
+  SELECT tot.doc_id,
+         CASE WHEN tot.n_shingles > 0
+              AND round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
+                        / tot.n_shingles, {R}) >= {CONTAM_MIN}
+              THEN 1 ELSE 0 END AS is_contaminated
+  FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id
+),
+toq AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+),
+q AS (
+  SELECT doc_id,
+         (len(t) >= {{qf_min_words}}
+          AND round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), {R})
+              >= {{qf_min_uniq}}
+          AND round(CAST(list_max(list_transform(list_distinct(t),
+                w -> len(list_filter(t, x -> x = w)))) AS DOUBLE) / len(t),
+                {R}) <= {{qf_max_topword}}) AS quality_ok
+  FROM toq
+),
+l AS (
+  SELECT doc_id,
+         (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+               WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr' END = lang) AS lang_ok
+  FROM (
+    SELECT d.doc_id, d.lang,
+      CAST(len(list_filter(t, w -> list_contains({{sw_en}}, w))) AS DOUBLE) / len(t) AS s_en,
+      CAST(len(list_filter(t, w -> list_contains({{sw_de}}, w))) AS DOUBLE) / len(t) AS s_de,
+      CAST(len(list_filter(t, w -> list_contains({{sw_es}}, w))) AS DOUBLE) / len(t) AS s_es,
+      CAST(len(list_filter(t, w -> list_contains({{sw_fr}}, w))) AS DOUBLE) / len(t) AS s_fr
+    FROM documents d JOIN toq USING (doc_id)
+  )
+),
+dup AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+  FROM documents
+),
+decided AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % {EVAL_MOD} = 0 THEN 'eval_holdout'
+              WHEN d.doc_id <> dup.canon THEN 'duplicate'
+              WHEN NOT q.quality_ok THEN 'low_quality'
+              WHEN NOT l.lang_ok THEN 'lang_mismatch'
+              WHEN coalesce(contam.is_contaminated, 0) = 1 THEN 'contaminated'
+              ELSE 'kept' END AS drop_reason
+  FROM documents d
+  JOIN dup USING (doc_id)
+  JOIN q USING (doc_id)
+  JOIN l USING (doc_id)
+  LEFT JOIN contam USING (doc_id)
+)
+SELECT doc_id, drop_reason,
+       CAST(drop_reason = 'kept' AS BIGINT) AS keep
+FROM decided
+"""
+
+from .queries_pipeline import (  # noqa: E402
+    QF_MAX_TOPWORD as _QF_MAX_TOPWORD,
+    QF_MIN_UNIQ as _QF_MIN_UNIQ,
+    QF_MIN_WORDS as _QF_MIN_WORDS,
+    _SW,
+)
+
+CORPUS_FILTER_SQL = CORPUS_FILTER_SQL.format(
+    qf_min_words=_QF_MIN_WORDS,
+    qf_min_uniq=_QF_MIN_UNIQ,
+    qf_max_topword=_QF_MAX_TOPWORD,
+    sw_en=_SW["en"],
+    sw_de=_SW["de"],
+    sw_es=_SW["es"],
+    sw_fr=_SW["fr"],
+)
+
+
+# --- C26 deterministic stratified sampling ----------------------------------
+
+SAMPLE_RATES = {"en": 0.5, "de": 1.0, "es": 0.25, "fr": 0.1}
+SAMPLE_DEFAULT_RATE = 0.05
+_SAMPLE_BUCKETS = 65536
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rebalancing: keep a doc iff its salted md5
+    bucket falls under the language's rate threshold. Row-local and
+    content-independent (re-runs and corpus growth never flip an
+    existing doc's fate); the filter rides the scan at any scale."""
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("smpl:"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    thr = F.lit(int(SAMPLE_DEFAULT_RATE * _SAMPLE_BUCKETS))
+    for lg, rate in SAMPLE_RATES.items():
+        thr = F.when(F.col("lang") == lg, int(rate * _SAMPLE_BUCKETS)).otherwise(
+            thr
+        )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", bucket.alias("bucket"), thr.alias("_thr"))
+        .filter(F.col("bucket") < F.col("_thr"))
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+_SAMPLE_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{lg}' THEN {int(rate * _SAMPLE_BUCKETS)}"
+    for lg, rate in SAMPLE_RATES.items()
+) + f" ELSE {int(SAMPLE_DEFAULT_RATE * _SAMPLE_BUCKETS)} END"
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang,
+       ('0x' || substr(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+         AS bucket
+FROM documents
+WHERE ('0x' || substr(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+      < {_SAMPLE_CASE}
+"""
+
+
+# --- A14 streaming exact dedup ----------------------------------------------
+
+import itertools as _it
+
+_DEDUP_SINK_SEQ = _it.count()
+STREAM_DEDUP_WATERMARK = "30 days"
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup of the event stream on (user_id,
+    event_type) via dropDuplicatesWithinWatermark: state is bounded
+    by the watermark horizon (the dedup-memory knob at 100 TB — an
+    entry older than the horizon is evictable). Only the key columns
+    are emitted, so replay-equals-batch-DISTINCT exactly; the
+    watermark is set wider than the bounded replay's event-time span
+    so the oracle equivalence is exact."""
+    from .sources import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    dedup = (
+        ev.withWatermark("ts", STREAM_DEDUP_WATERMARK)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    sink = f"stream_dedup_sink_{next(_DEDUP_SINK_SEQ)}"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        F.col("user_id").cast("long").alias("user_id"), "event_type"
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type FROM events
+"""
+
+
 PIPELINE_EXTRA_QUERIES = {
     "contamination_check": contamination_check,
     "train_val_split": train_val_split,
     "pii_scrub": pii_scrub,
     "embedding_quantize": embedding_quantize,
     "sequence_pack": sequence_pack,
+    "corpus_filter_pipeline": corpus_filter_pipeline,
+    "stratified_sample": stratified_sample,
+    "stream_dedup": stream_dedup,
 }
 
 PIPELINE_EXTRA_ORACLES = {
@@ -373,4 +620,7 @@ PIPELINE_EXTRA_ORACLES = {
     "pii_scrub": PII_SCRUB_SQL,
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "sequence_pack": SEQUENCE_PACK_SQL,
+    "corpus_filter_pipeline": CORPUS_FILTER_SQL,
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "stream_dedup": STREAM_DEDUP_SQL,
 }
