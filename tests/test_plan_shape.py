@@ -125,3 +125,52 @@ def test_token_histogram_distributed_topk(spark):
     not a single-partition global-sort window."""
     plan = P.explain_str(_df(spark, "token_histogram"))
     assert "TakeOrderedAndProject" in plan
+
+
+# --- C20+ pipeline extras ---------------------------------------------------
+
+def _xdf(spark, name):
+    from tradesignal_mtm_runner_spark.queries import EXTRA_QUERIES
+
+    return EXTRA_QUERIES[name](spark, SF_SMOKE)
+
+
+def test_row_local_extras_ride_the_scan(spark):
+    """train_val_split / pii_scrub / embedding_quantize /
+    stratified_sample are pure projections+filters: zero shuffles at
+    any scale."""
+    for name in (
+        "train_val_split",
+        "pii_scrub",
+        "embedding_quantize",
+        "stratified_sample",
+    ):
+        assert P.exchange_count(_xdf(spark, name)) == 0, name
+
+
+def test_contamination_eval_side_broadcasts(spark):
+    """The eval n-gram set is small by construction and must be the
+    broadcast side — never a big-big shuffle join against the train
+    shingles."""
+    df = _xdf(spark, "contamination_check")
+    assert P.broadcast_join_count(df) >= 1
+    plan = P.explain_str(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_sequence_pack_window_is_per_source(spark):
+    """The packing cumsum must run per source shard: a global
+    SinglePartition window would serialize the corpus."""
+    plan = P.executed_plan_str(_xdf(spark, "sequence_pack"))
+    assert "SinglePartition" not in plan
+    assert P.exchange_count(_xdf(spark, "sequence_pack")) <= 2
+
+
+def test_corpus_filter_single_pass_shape(spark):
+    """Composition must not multiply scans unboundedly: the decision
+    plan stays a bounded-DAG (broadcast for contamination, one hash
+    window for dup) — and the whole thing still fits in a sane plan."""
+    df = _xdf(spark, "corpus_filter_pipeline")
+    assert P.broadcast_join_count(df) >= 1
+    plan = P.explain_str(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
