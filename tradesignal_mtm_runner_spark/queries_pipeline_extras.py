@@ -560,6 +560,106 @@ WHERE ('0x' || substr(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
 """
 
 
+# --- C27 corpus n-gram counts -----------------------------------------------
+
+NGRAM_MAX_N = 3
+NGRAM_MIN_COUNT = 3
+NGRAM_TOPK = 40
+
+
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram language-model counts (n = 1..3): total
+    occurrences + document frequency, pruned to count >=
+    NGRAM_MIN_COUNT, top-K per n.
+
+    Scale shape: the three n-gram streams are one union of row-local
+    explodes feeding a single two-level aggregate (per-(doc,n,gram)
+    then per-(n,gram)) — both levels partial-aggregate map-side, and
+    doc_freq is a plain count, never a count(DISTINCT) expand. The
+    min-count prune runs BEFORE the per-n rank window (the standard
+    LM-count practice), so the window input is the pruned vocabulary,
+    not the raw corpus; the window partitions by n."""
+    d = _docs(spark, sf_dir)
+    toks = TX.tokens(F.col("text"))
+    streams = [
+        d.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(TX.shingles(toks, n)).alias("ngram"),
+        )
+        for n in range(1, NGRAM_MAX_N + 1)
+    ]
+    grams = streams[0]
+    for s in streams[1:]:
+        grams = grams.unionAll(s)
+    per_doc = grams.groupBy("doc_id", "n", "ngram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    counts = (
+        per_doc.groupBy("n", "ngram")
+        .agg(
+            F.sum("c").alias("total_count"),
+            F.count(F.lit(1)).alias("doc_freq"),
+        )
+        .filter(F.col("total_count") >= NGRAM_MIN_COUNT)
+    )
+    w = Window.partitionBy("n").orderBy(
+        F.desc("total_count"), F.asc("ngram")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= NGRAM_TOPK)
+        .select(
+            F.col("n").cast("int").alias("n"),
+            "ngram",
+            F.col("total_count").cast("long").alias("total_count"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _ngram_stream_sql(n: int) -> str:
+    if n == 1:
+        return """
+  SELECT doc_id, 1 AS n, u.g AS ngram
+  FROM toks, UNNEST(t) AS u(g)"""
+    parts = ", ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+  SELECT doc_id, {n} AS n, u.g AS ngram
+  FROM toks, UNNEST(
+    CASE WHEN len(t) >= {n}
+         THEN list_transform(range(1, len(t) - {n} + 2),
+                             i -> concat_ws(' ', {parts}))
+         ELSE [] END) AS u(g)"""
+
+
+NGRAM_COUNTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+),
+grams AS ({" UNION ALL ".join(_ngram_stream_sql(n) for n in range(1, NGRAM_MAX_N + 1))}),
+per_doc AS (
+  SELECT doc_id, n, ngram, count(*) AS c FROM grams GROUP BY doc_id, n, ngram
+),
+counts AS (
+  SELECT n, ngram, sum(c) AS total_count, count(*) AS doc_freq
+  FROM per_doc GROUP BY n, ngram
+  HAVING sum(c) >= {NGRAM_MIN_COUNT}
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY n
+             ORDER BY total_count DESC, ngram ASC) AS rank
+  FROM counts
+)
+SELECT CAST(n AS INT) AS n, ngram,
+       CAST(total_count AS BIGINT) AS total_count,
+       CAST(doc_freq AS BIGINT) AS doc_freq,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {NGRAM_TOPK}
+"""
+
+
 # --- A14 streaming exact dedup ----------------------------------------------
 
 import itertools as _it
@@ -610,6 +710,7 @@ PIPELINE_EXTRA_QUERIES = {
     "embedding_quantize": embedding_quantize,
     "sequence_pack": sequence_pack,
     "corpus_filter_pipeline": corpus_filter_pipeline,
+    "ngram_counts": ngram_counts,
     "stratified_sample": stratified_sample,
     "stream_dedup": stream_dedup,
 }
@@ -621,6 +722,7 @@ PIPELINE_EXTRA_ORACLES = {
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "sequence_pack": SEQUENCE_PACK_SQL,
     "corpus_filter_pipeline": CORPUS_FILTER_SQL,
+    "ngram_counts": NGRAM_COUNTS_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
 }
