@@ -159,3 +159,29 @@ def test_pii_scrub_finds_planted_positives(spark):
 @pytest.mark.parametrize("context", [PACK_CONTEXT])
 def test_pack_context_positive(context):
     assert context > 0
+
+
+def test_dedup_substring_invariants(spark):
+    """Coverage never exceeds the doc; every exact-duplicate doc (same
+    full text elsewhere in the corpus) must be fully covered (ratio
+    1.0) whenever it is long enough to have spans."""
+    from tradesignal_mtm_runner_spark.queries_pipeline_extras import SPAN_K
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    out = _run(spark, "dedup_substring", SF_MID).cache()
+    assert out.filter(F.col("dup_tokens") > F.col("n_toks")).count() == 0
+    assert out.filter(
+        (F.col("dup_ratio") < 0) | (F.col("dup_ratio") > 1)
+    ).count() == 0
+    docs = load_table(spark, SF_MID, "documents")
+    dup_ids = (
+        docs.groupBy("text")
+        .agg(F.count("*").alias("c"), F.collect_list("doc_id").alias("ids"))
+        .filter(F.col("c") >= 2)
+        .select(F.explode("ids").alias("doc_id"))
+    )
+    short = F.col("n_toks") < SPAN_K
+    not_full = dup_ids.join(out, "doc_id").filter(
+        (~short) & (F.col("dup_ratio") < 1.0)
+    )
+    assert not_full.count() == 0

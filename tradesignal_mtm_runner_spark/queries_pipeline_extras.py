@@ -660,6 +660,153 @@ FROM r WHERE rank <= {NGRAM_TOPK}
 """
 
 
+# --- C28 substring-level dedup ----------------------------------------------
+
+SPAN_K = 8           # tokens per rolling span
+SPAN_FLAG_RATIO = 0.5
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring (span-level) duplication, the hash-based stand-in for
+    the suffix-array dedup of Lee et al. "Deduplicating Training Data
+    Makes Language Models Better": every rolling SPAN_K-token window
+    is hashed; a span occurring >= 2 times corpus-wide is duplicated;
+    per doc, the duplicated windows are merged into maximal intervals
+    and reported as token coverage.
+
+    Scale shape: rolling hashes are ROW-LOCAL (one shingle transform,
+    no per-token explode before hashing); the global duplicate test
+    is one partial-aggregable count per hash; flagged positions come
+    back via an equi-join on the hash; the interval merge is a
+    per-doc window (islands by running max end). Three shuffles
+    total, each keyed well — the hash-count shuffle is the honest
+    price of corpus-wide substring matching (it replaces the
+    suffix array's global sort)."""
+    docs = _docs(spark, sf_dir)
+    toks = TX.tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.posexplode(TX.shingles(toks, SPAN_K)).alias("pos0", "gram"),
+    )
+    spans = base.select(
+        "doc_id",
+        "n_toks",
+        (F.col("pos0") + 1).alias("pos"),  # 1-based, matches the oracle
+        F.md5("gram").alias("h"),
+    )
+    hot = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("h")
+    )
+    flagged = spans.join(hot, "h").select(
+        "doc_id",
+        "n_toks",
+        F.col("pos").alias("start"),
+        (F.col("pos") + SPAN_K - 1).alias("end"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = Window.partitionBy("doc_id").orderBy("start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    isl = flagged.withColumn(
+        "_new",
+        F.when(
+            prev_max_end.isNull() | (F.col("start") > prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn("_isl", F.sum("_new").over(cum))
+    merged = isl.groupBy("doc_id", "_isl").agg(
+        F.first("n_toks").alias("n_toks"),
+        F.count(F.lit(1)).alias("n_grams"),
+        (F.max("end") - F.min("start") + 1).alias("_len"),
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.first("n_toks").alias("_nt"),
+        F.sum("n_grams").cast("long").alias("n_dup_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_regions"),
+        F.sum("_len").cast("long").alias("dup_tokens"),
+    )
+    all_docs = docs.select("doc_id", F.size(toks).cast("long").alias("n_toks"))
+    out = all_docs.join(per_doc.drop("_nt"), "doc_id", "left")
+    ratio = F.round(
+        F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_toks"), R
+    )
+    return out.select(
+        "doc_id",
+        "n_toks",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.coalesce("n_dup_regions", F.lit(0)).cast("long").alias("n_dup_regions"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        ratio.alias("dup_ratio"),
+        (ratio >= SPAN_FLAG_RATIO).cast("long").alias("mostly_duplicated"),
+    )
+
+
+_SPAN_PARTS = ", ".join(f"t[i+{j}]" for j in range(SPAN_K))
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+),
+spans AS (
+  SELECT doc_id, len(t) AS n_toks, u.i AS pos,
+         md5(concat_ws(' ', {_SPAN_PARTS})) AS h
+  FROM toks, UNNEST(
+    CASE WHEN len(t) >= {SPAN_K}
+         THEN range(1, len(t) - {SPAN_K} + 2) ELSE [] END) AS u(i)
+),
+hot AS (
+  SELECT h FROM spans GROUP BY h HAVING count(*) >= 2
+),
+flagged AS (
+  SELECT doc_id, n_toks, pos AS strt, pos + {SPAN_K} - 1 AS e
+  FROM spans JOIN hot USING (h)
+),
+isl AS (
+  SELECT doc_id, n_toks, strt, e,
+         sum(CASE WHEN pme IS NULL OR strt > pme THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY strt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+  FROM (
+    SELECT doc_id, n_toks, strt, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY strt
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS pme
+    FROM flagged
+  )
+),
+merged AS (
+  SELECT doc_id, isl_id, any_value(n_toks) AS n_toks,
+         count(*) AS n_grams, max(e) - min(strt) + 1 AS ln
+  FROM isl GROUP BY doc_id, isl_id
+),
+per_doc AS (
+  SELECT doc_id, sum(n_grams) AS n_dup_grams,
+         count(*) AS n_dup_regions, sum(ln) AS dup_tokens
+  FROM merged GROUP BY doc_id
+),
+alldocs AS (
+  SELECT doc_id, len(string_split_regex(trim(text), ' +')) AS n_toks
+  FROM documents
+)
+SELECT a.doc_id,
+       CAST(a.n_toks AS BIGINT) AS n_toks,
+       CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(p.n_dup_regions, 0) AS BIGINT) AS n_dup_regions,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / a.n_toks, {R})
+         AS dup_ratio,
+       CAST(round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / a.n_toks, {R})
+            >= {SPAN_FLAG_RATIO} AS BIGINT) AS mostly_duplicated
+FROM alldocs a LEFT JOIN per_doc p ON a.doc_id = p.doc_id
+"""
+
+
 # --- A14 streaming exact dedup ----------------------------------------------
 
 import itertools as _it
@@ -711,6 +858,7 @@ PIPELINE_EXTRA_QUERIES = {
     "sequence_pack": sequence_pack,
     "corpus_filter_pipeline": corpus_filter_pipeline,
     "ngram_counts": ngram_counts,
+    "dedup_substring": dedup_substring,
     "stratified_sample": stratified_sample,
     "stream_dedup": stream_dedup,
 }
@@ -723,6 +871,7 @@ PIPELINE_EXTRA_ORACLES = {
     "sequence_pack": SEQUENCE_PACK_SQL,
     "corpus_filter_pipeline": CORPUS_FILTER_SQL,
     "ngram_counts": NGRAM_COUNTS_SQL,
+    "dedup_substring": DEDUP_SUBSTRING_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
 }
