@@ -174,3 +174,22 @@ def test_corpus_filter_single_pass_shape(spark):
     assert P.broadcast_join_count(df) >= 1
     plan = P.explain_str(df)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_q19_disjunction_distributes_to_both_scans(spark):
+    """The OR-of-ANDs predicate must be distributed: part-side
+    conjuncts (brand/size) reach the part scan, the derived quantity
+    envelope reaches the lineitem scan — not evaluated post-join
+    only."""
+    df = _xdf(spark, "q19_disjunctive_pushdown")
+    pushed = " ".join(P.pushed_filters(df))
+    assert "p_brand" in pushed or "p_size" in pushed
+    assert "l_quantity" in pushed
+    assert P.broadcast_join_count(df) >= 1
+
+
+def test_q7_dims_broadcast(spark):
+    df = _xdf(spark, "q7_volume_shipping")
+    assert P.broadcast_join_count(df) >= 3
+    plan = P.explain_str(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

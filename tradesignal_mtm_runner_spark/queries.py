@@ -629,3 +629,12 @@ from .queries_pipeline_extras import (  # noqa: E402
 
 EXTRA_QUERIES.update(PIPELINE_EXTRA_QUERIES)
 EXTRA_ORACLES.update(PIPELINE_EXTRA_ORACLES)
+
+# B22+ TPC-H classics (same driver-window reason)
+from .queries_analytics import (  # noqa: E402
+    ANALYTICS_EXTRA_ORACLES,
+    ANALYTICS_EXTRA_QUERIES,
+)
+
+EXTRA_QUERIES.update(ANALYTICS_EXTRA_QUERIES)
+EXTRA_ORACLES.update(ANALYTICS_EXTRA_ORACLES)

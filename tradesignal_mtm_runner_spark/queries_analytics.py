@@ -879,3 +879,231 @@ ANALYTICS_ORACLES = {
     "revenue_rollup": REVENUE_ROLLUP_SQL,
     "rolling_revenue_7d": ROLLING_REVENUE_SQL,
 }
+
+
+# --- B22-B25: additional TPC-H classics (pytest-extra registry) -------------
+#
+# The driver CORRECTNESS window is full at 50 SURVEY §2 keys, so these
+# run through the identical DuckDB harness in pytest only.
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral shipping volume between two nations by
+    year. 6-way join — lineitem is the only fact; supplier, orders,
+    customer and both nation copies broadcast (orders is fact-sized
+    in real TPC-H; here the o_orderkey join stays a shuffle join only
+    if AQE decides it's too big — both are correct, and the nation
+    filters cut the stream before the aggregate)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(
+            F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R_MONEY
+            ).alias("revenue")
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.col("l_year").cast("int").alias("l_year"),
+            "revenue",
+        )
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, CAST(l_year AS INT) AS l_year,
+       round(sum(volume), {R_MONEY}) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                       AND TIMESTAMP '1996-12-31'
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one ship month. Part
+    broadcasts; the tight date filter reaches the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(
+        F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+            / F.sum(vol),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+Q14_SQL = """
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the quarter's top-revenue supplier. The revenue
+    aggregate is supplier-sized (small); the max cut ranks on the
+    ROUNDED revenue with a supplier-key tiebreak so the winner is
+    engine-stable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                R_MONEY,
+            ).alias("total_revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("total_revenue"), F.asc("supplier_no"))
+    top = rev.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    return top.join(
+        F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")),
+        F.col("supplier_no") == F.col("s_suppkey"),
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), {R_MONEY})
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY total_revenue DESC,
+                               supplier_no ASC) AS rk
+  FROM revenue
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM r JOIN supplier ON supplier_no = s_suppkey
+WHERE rk = 1
+"""
+
+
+def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (adapted to this schema's columns): revenue under an
+    OR-of-ANDs brand/size/quantity predicate. The pushdown showcase:
+    Catalyst distributes the disjunction — part-only conjuncts
+    (brand, size) reach the part scan, the derived quantity envelope
+    reaches the lineitem scan — before the broadcast join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li["l_partkey"] == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 30)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(20, 50)
+            & q.between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R_MONEY
+        ).alias("revenue")
+    )
+
+
+Q19_SQL = f"""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), {R_MONEY}) AS revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND ((p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+        AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#4' AND p_size BETWEEN 20 AND 50
+        AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+ANALYTICS_EXTRA_QUERIES = {
+    "q7_volume_shipping": q7_volume_shipping,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
+}
+
+ANALYTICS_EXTRA_ORACLES = {
+    "q7_volume_shipping": Q7_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q19_disjunctive_pushdown": Q19_SQL,
+}
