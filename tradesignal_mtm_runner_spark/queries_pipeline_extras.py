@@ -807,6 +807,138 @@ FROM alldocs a LEFT JOIN per_doc p ON a.doc_id = p.doc_id
 """
 
 
+# --- C29 BPE merge training --------------------------------------------------
+
+BPE_MERGES = 6
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge training: N_MERGES rounds of
+    (count adjacent symbol pairs over the weighted vocab) -> (merge
+    the most frequent pair everywhere). Output is the learned merge
+    table (step, pair, merged, pair_count).
+
+    Scale shape: training runs on the WEIGHTED VOCAB (word, freq) —
+    one corpus-sized aggregate up front, then each round is one
+    partial-aggregable pair count over the vocab relation plus a
+    row-local merge application. The per-round top-1 is a collected
+    scalar (tiny, like the IVF centroids). Iterations materialize via
+    cache, so round k doesn't replay rounds 1..k-1.
+
+    Determinism contract with the DuckDB oracle (unrolled-CTE
+    mirror): integer pair counts, ties broken on the pair string, and
+    the merge is applied as THREE passes of left-to-right
+    non-overlapping string replace on the space-joined symbol string
+    — both engines scan identically, and 3 passes equal canonical
+    greedy merging for same-pair runs up to length 8 (longer runs
+    don't occur in the corpus; the cap keeps the expression finite
+    for SQL)."""
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = vocab.select(
+        "freq", F.array_join(F.split("word", ""), " ").alias("sym")
+    ).cache()
+    rules = []
+    for step in range(1, BPE_MERGES + 1):
+        t = F.split("sym", " ")
+        pair_arr = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            cur.select("freq", F.explode(pair_arr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, count = top[0]["pair"], int(top[0]["c"])
+        merged = pair.replace(" ", "")
+        rules.append((step, pair, merged, count))
+        pat, rep = F.lit(f" {pair} "), F.lit(f" {merged} ")
+        padded = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+        for _ in range(3):
+            padded = F.replace(padded, pat, rep)
+        nxt = cur.select("freq", F.trim(padded).alias("sym")).cache()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        rules, "step int, pair string, merged string, pair_count long"
+    )
+
+
+def _bpe_iter_sql(k: int) -> str:
+    prev = f"v{k - 1}"
+    rep3 = (
+        "' ' || sym || ' '"
+    )
+    for _ in range(3):
+        rep3 = (
+            f"replace({rep3}, ' ' || r{k}.pair || ' ', "
+            f"' ' || replace(r{k}.pair, ' ', '') || ' ')"
+        )
+    return f"""
+p{k} AS (
+  SELECT pair, sum(freq) AS c,
+         row_number() OVER (ORDER BY sum(freq) DESC, pair ASC) AS rk
+  FROM (
+    SELECT freq, u.p AS pair
+    FROM (SELECT freq, string_split(sym, ' ') AS t FROM {prev}),
+         UNNEST(CASE WHEN len(t) >= 2
+                     THEN list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i+1])
+                     ELSE [] END) AS u(p)
+  )
+  GROUP BY pair
+),
+r{k} AS (SELECT pair, c FROM p{k} WHERE rk = 1),
+v{k} AS (
+  SELECT freq, trim({rep3}) AS sym FROM {prev}, r{k}
+)"""
+
+
+_BPE_ITERS_SQL = ",".join(_bpe_iter_sql(k) for k in range(1, BPE_MERGES + 1))
+
+_BPE_RULES_SQL = "\nUNION ALL\n".join(
+    f"SELECT {k} AS step, pair, replace(pair, ' ', '') AS merged, "
+    f"CAST(c AS BIGINT) AS pair_count FROM r{k}"
+    for k in range(1, BPE_MERGES + 1)
+)
+
+BPE_TRAIN_SQL = f"""
+WITH w AS (
+  SELECT u.w AS word, count(*) AS freq
+  FROM (SELECT string_split_regex(trim(text), ' +') AS t FROM documents),
+       UNNEST(t) AS u(w)
+  WHERE u.w <> ''
+  GROUP BY u.w
+),
+v0 AS (
+  SELECT freq,
+         array_to_string(list_transform(range(1, length(word) + 1),
+                                        i -> substr(word, i, 1)), ' ') AS sym
+  FROM w
+),
+{_BPE_ITERS_SQL}
+SELECT CAST(step AS INT) AS step, pair, merged, pair_count
+FROM ({_BPE_RULES_SQL})
+"""
+
+
 # --- A14 streaming exact dedup ----------------------------------------------
 
 import itertools as _it
@@ -859,6 +991,7 @@ PIPELINE_EXTRA_QUERIES = {
     "corpus_filter_pipeline": corpus_filter_pipeline,
     "ngram_counts": ngram_counts,
     "dedup_substring": dedup_substring,
+    "bpe_train": bpe_train,
     "stratified_sample": stratified_sample,
     "stream_dedup": stream_dedup,
 }
@@ -872,6 +1005,7 @@ PIPELINE_EXTRA_ORACLES = {
     "corpus_filter_pipeline": CORPUS_FILTER_SQL,
     "ngram_counts": NGRAM_COUNTS_SQL,
     "dedup_substring": DEDUP_SUBSTRING_SQL,
+    "bpe_train": BPE_TRAIN_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
 }
