@@ -20,32 +20,21 @@ from pyspark.sql import functions as F
 
 from .config import PnlCalcConfig
 from .models import PROFIT_SLIPPAGE
-from .operators.mtm import extract_trades, mtm_summary, signal_mtm_timeline
-from .sources import load_table, signals_from_events
-
-FEE = 0.001
-TAX = 0.0001
-ROUND = 9
-
-_ORDER = ["timestamp", "event_id"]
-
-
-def _signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return signals_from_events(load_table(spark, sf_dir, "events"))
-
-
-def _cfg() -> PnlCalcConfig:
-    return PnlCalcConfig(
-        roi={0: float("inf")}, stoploss=float("-inf"), fee_rate=FEE, laid_back_tax=TAX
-    )
-
-
-def _timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return signal_mtm_timeline(_signals(spark, sf_dir), _cfg(), order_cols=_ORDER)
-
-
-def r9(c) -> F.Column:
-    return F.round(c, ROUND)
+from .mtm_shared import (  # shared with queries_risk.py — see mtm_shared.py
+    FEE,
+    TAX,
+    ROUND,
+    _ORDER,
+    _SIGNALS_SQL,
+    _TIMELINE_SQL,
+    _W,
+    _WCUM,
+    _cfg,
+    _signals,
+    _timeline,
+    r9,
+)
+from .operators.mtm import extract_trades, mtm_summary
 
 
 # --------------------------------------------------------------------------
@@ -220,62 +209,8 @@ def q_buy_hold_mtm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# DuckDB oracle SQL (shared pipeline fragment)
+# DuckDB oracle SQL (shared fragments imported from mtm_shared.py)
 # --------------------------------------------------------------------------
-
-_SIGNALS_SQL = """
-signals AS (
-  SELECT CAST(user_id AS VARCHAR) AS symbol,
-         ts AS timestamp,
-         event_id,
-         value AS close,
-         CAST(event_type = 'purchase' AS INT) AS buy,
-         CAST(event_type = 'click' AS INT) AS sell
-  FROM events
-)"""
-
-_W = "PARTITION BY symbol ORDER BY timestamp, event_id"
-_WCUM = f"{_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-
-_TIMELINE_SQL = f"""
-WITH {_SIGNALS_SQL},
-s1 AS (
-  -- opens gated on close > 0 (see operators/mtm.py: entry price
-  -- divides); buy=1 consumes the bar even when gated to HOLD
-  SELECT *, CASE WHEN buy=1 THEN (CASE WHEN close>0 THEN 'B' END) WHEN sell=1 THEN 'S' END AS sig FROM signals
-),
-s2 AS (
-  SELECT *,
-    CASE WHEN last_value(sig IGNORE NULLS) OVER ({_WCUM}) = 'B' THEN 1 ELSE 0 END AS position
-  FROM s1
-),
-s3 AS (
-  SELECT *,
-    COALESCE(lag(position) OVER ({_W}), 0) AS prev_pos,
-    close - lag(close) OVER ({_W}) AS price_diff
-  FROM s2
-),
-s4 AS (
-  SELECT *,
-    CASE WHEN position=1 AND prev_pos=0 THEN 1 ELSE 0 END AS opened,
-    CASE WHEN position=0 AND prev_pos=1 THEN 1 ELSE 0 END AS closed
-  FROM s3
-),
-s5 AS (
-  SELECT *,
-    last_value(CASE WHEN opened=1 THEN close END IGNORE NULLS) OVER ({_WCUM}) AS entry_price
-  FROM s4
-),
-s6 AS (
-  SELECT *,
-    COALESCE(prev_pos * price_diff / lag(entry_price) OVER ({_W}), 0)
-      - {FEE} * (opened + closed)
-      - {TAX} * (1 - position) AS mtm_ratio
-  FROM s5
-),
-timeline AS (
-  SELECT *, sum(mtm_ratio) OVER ({_WCUM}) AS pnl_ratio FROM s6
-)"""
 
 _SUMMARY_SQL = f"""
 {_TIMELINE_SQL},
@@ -409,7 +344,7 @@ def q_mtm_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     query shares mtm_timeline's oracle — the strongest check a
     streaming op can get. Multi-micro-batch state carry is covered by
     tests/test_streaming.py."""
-    from .sources import stream_table
+    from .sources import signals_from_events, stream_table
     from .streaming.mtm_stream import streaming_mtm_timeline
 
     sig = signals_from_events(stream_table(spark, sf_dir, "events"))
@@ -638,3 +573,9 @@ from .queries_analytics import (  # noqa: E402
 
 EXTRA_QUERIES.update(ANALYTICS_EXTRA_QUERIES)
 EXTRA_ORACLES.update(ANALYTICS_EXTRA_ORACLES)
+
+# A15-A17 risk/portfolio analytics (same driver-window reason)
+from .queries_risk import RISK_EXTRA_ORACLES, RISK_EXTRA_QUERIES  # noqa: E402
+
+EXTRA_QUERIES.update(RISK_EXTRA_QUERIES)
+EXTRA_ORACLES.update(RISK_EXTRA_ORACLES)
