@@ -185,3 +185,49 @@ def test_dedup_substring_invariants(spark):
         (~short) & (F.col("dup_ratio") < 1.0)
     )
     assert not_full.count() == 0
+
+
+def test_pq_topk_invariants(spark):
+    """Ranks are dense 1..K per query in ascending approx_dist order,
+    distances are non-negative, and PQ recalls a healthy share of the
+    exact brute-force top-k (the codes are quantized seeds, so perfect
+    recall is not expected — but near-zero recall means broken ADC)."""
+    from tradesignal_mtm_runner_spark.queries_pipeline import ANN_TOPK
+
+    out = _run(spark, "ann_pq_topk").cache()
+    per = out.groupBy("query_id").agg(
+        F.count("*").alias("n"), F.min("rank").alias("lo"), F.max("rank").alias("hi")
+    )
+    assert per.filter(
+        (F.col("n") != ANN_TOPK) | (F.col("lo") != 1) | (F.col("hi") != ANN_TOPK)
+    ).count() == 0
+    assert out.filter(F.col("approx_dist") < 0).count() == 0
+    from tradesignal_mtm_runner_spark.queries import QUERIES
+
+    exact = QUERIES["ann_cosine_topk"](spark, SF_SMOKE).select(
+        "query_id", "corpus_id"
+    )
+    hits = out.join(exact, ["query_id", "corpus_id"]).count()
+    total = exact.count()
+    assert hits / total >= 0.2, f"PQ recall {hits}/{total} too low"
+
+
+def test_dedup_semantic_invariants(spark):
+    """Every dropped doc points at a strictly lower id in the SAME
+    cell; keep/drop partitions the corpus; cells come from the seed
+    set."""
+    from tradesignal_mtm_runner_spark.queries_pipeline_extras import SEM_CELLS
+
+    out = _run(spark, "dedup_semantic").cache()
+    dropped = out.filter(~F.col("is_kept"))
+    assert dropped.count() > 0
+    assert dropped.filter(
+        (F.col("dup_of").isNull()) | (F.col("dup_of") >= F.col("vec_id"))
+    ).count() == 0
+    cells = out.join(
+        out.select(F.col("vec_id").alias("dup_of"), F.col("cell").alias("_c2")),
+        "dup_of",
+    )
+    assert cells.filter(F.col("cell") != F.col("_c2")).count() == 0
+    assert out.select("cell").distinct().count() <= SEM_CELLS
+    assert out.filter(F.col("is_kept") != F.col("dup_of").isNull()).count() == 0

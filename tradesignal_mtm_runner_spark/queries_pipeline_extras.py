@@ -939,6 +939,183 @@ FROM ({_BPE_RULES_SQL})
 """
 
 
+# --- C30 product-quantization ANN --------------------------------------------
+
+from .queries_pipeline import ANN_QUERIES, ANN_TOPK, _V_SQL
+
+PQ_M = 4          # subspaces
+PQ_K = 8          # codes per subspace
+EMB_DIM = 64      # testdata embedding dim (oracle needs the literal)
+PQ_SUB = EMB_DIM // PQ_M
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC scoring): corpus compressed to
+    PQ_M codebook codes per vector, queries ship broadcast M x K
+    lookup tables, approx distance = M array lookups per pair. See
+    operators/similarity.pq_topk for the 100 TB plan shape (closure
+    codebooks, no shuffle in encode, code relation ~8 bytes/row)."""
+    from .operators.similarity import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    return pq_topk(
+        emb,
+        queries,
+        k=ANN_TOPK,
+        num_subspaces=PQ_M,
+        num_codes=PQ_K,
+        round_digits=R,
+    )
+
+
+_PQ_DIFF = f"list_transform(range(1, {PQ_SUB + 1}), i -> v.e[cb.m * {PQ_SUB} + i] - cb.w[i])"
+
+ANN_PQ_SQL = f"""
+WITH {_V_SQL},
+seed0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {PQ_K}),
+seed AS (SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS code FROM seed0),
+cb AS (
+  SELECT t.m, s.code,
+         list_transform(range(1, {PQ_SUB + 1}), i -> s.e[t.m * {PQ_SUB} + i]) AS w
+  FROM seed s CROSS JOIN (SELECT range AS m FROM range({PQ_M})) t
+),
+encd AS (
+  SELECT v.vec_id, cb.m, cb.code, {_PQ_DIFF} AS d
+  FROM v CROSS JOIN cb
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY round(list_dot_product(d, d), {R}) ASC, code ASC) AS rn
+    FROM encd
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS query_id, m, code, round(list_dot_product(d, d), {R}) AS dist
+  FROM encd WHERE vec_id < {ANN_QUERIES}
+),
+scored AS (
+  SELECT l.query_id, e.vec_id AS corpus_id, round(sum(l.dist), {R}) AS approx_dist
+  FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code AND e.vec_id != l.query_id
+  GROUP BY l.query_id, e.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_dist ASC, corpus_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, approx_dist, CAST(rank AS INT) AS rank FROM r WHERE rank <= {ANN_TOPK}
+"""
+
+
+# --- C31 SemDeDup-style semantic dedup ---------------------------------------
+
+SEM_CELLS = 8
+SEM_TAU = 0.3
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023 shape): cluster
+    embeddings into Voronoi cells (deterministic seed centroids, one
+    closure-based Arrow assignment pass — no shuffle), then WITHIN each
+    cell drop every doc that has a strictly-lower-id neighbor at
+    rounded cosine >= SEM_TAU. Candidate pairs are per-cell, so the
+    all-pairs product never materializes — per-cell cost is the scale
+    knob (more cells => smaller cells), exactly the property a 100 TB
+    corpus needs. Greedy keep-min-id is the paper's keep-one-per-
+    epsilon-ball rule; transitive-closure canonicalization is the
+    separate dedup_connected operator (C17)."""
+    from .operators.similarity import (
+        _assign_cells,
+        _centroid,
+        _dot,
+        _fan_out,
+        _norm,
+        with_double_vec,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = (
+        with_double_vec(emb, "embedding")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(SEM_CELLS)
+        .collect()
+    )
+    cents = [
+        _centroid(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cent_rows
+    ]
+    base = with_double_vec(_fan_out(emb), "embedding").select(
+        F.col("vec_id"), F.col("embedding").alias("_v")
+    )
+    assigned = _assign_cells(base, cents, "vec_id", "_v", R).drop("cell_cos")
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"), "cell"
+    ).withColumn("_na", _norm(F.col("_va")))
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"), "cell"
+    ).withColumn("_nb", _norm(F.col("_vb")))
+    pairs = (
+        a.join(b, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), R
+            ).alias("_cos"),
+        )
+    )
+    dup = (
+        pairs.filter(F.col("_cos") >= SEM_TAU)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+        .withColumnRenamed("id_b", "vec_id")
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(F.broadcast(dup), on="vec_id", how="left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            "dup_of",
+            F.col("dup_of").isNull().alias("is_kept"),
+        )
+    )
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH {_V_SQL},
+cent AS (SELECT vec_id AS cent_id, e AS w FROM v ORDER BY vec_id LIMIT {SEM_CELLS}),
+ca AS (
+  SELECT v.vec_id, c.cent_id,
+         round(list_dot_product(v.e, c.w)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.w, c.w))), {R}) AS cos
+  FROM v CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM ca
+  ) WHERE rn = 1
+),
+av AS (SELECT a.vec_id, a.cell, v.e FROM assign a JOIN v ON v.vec_id = a.vec_id),
+pr AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         round(list_dot_product(x.e, y.e)
+               / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), {R}) AS c
+  FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id < y.vec_id
+),
+dup AS (SELECT id_b AS vec_id, min(id_a) AS dup_of FROM pr WHERE c >= {SEM_TAU} GROUP BY id_b)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cell, d.dup_of, d.dup_of IS NULL AS is_kept
+FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+"""
+
+
 # --- A14 streaming exact dedup ----------------------------------------------
 
 import itertools as _it
@@ -992,6 +1169,8 @@ PIPELINE_EXTRA_QUERIES = {
     "ngram_counts": ngram_counts,
     "dedup_substring": dedup_substring,
     "bpe_train": bpe_train,
+    "ann_pq_topk": ann_pq_topk,
+    "dedup_semantic": dedup_semantic,
     "stratified_sample": stratified_sample,
     "stream_dedup": stream_dedup,
 }
@@ -1006,6 +1185,8 @@ PIPELINE_EXTRA_ORACLES = {
     "ngram_counts": NGRAM_COUNTS_SQL,
     "dedup_substring": DEDUP_SUBSTRING_SQL,
     "bpe_train": BPE_TRAIN_SQL,
+    "ann_pq_topk": ANN_PQ_SQL,
+    "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
 }
