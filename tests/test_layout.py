@@ -1,0 +1,89 @@
+"""Z-order layout: multi-dimensional file skipping beats single-column
+sort on the off-sort dimension, at equal write cost (one range
+shuffle). See operators/layout.py for the 100 TB rationale."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMOKE
+from tradesignal_mtm_runner_spark.operators.layout import (
+    file_skip_stats,
+    write_zordered,
+    zorder_value,
+)
+from tradesignal_mtm_runner_spark.sources import load_table
+
+N_FILES = 16
+
+
+def _bounds(df, cols):
+    row = df.agg(
+        *[f(c).alias(f"{n}_{c}") for c in cols for n, f in (("lo", F.min), ("hi", F.max))]
+    ).first()
+    return {c: (float(row[f"lo_{c}"]), float(row[f"hi_{c}"])) for c in cols}
+
+
+def test_zorder_skips_on_both_dims(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "value", "event_id")
+    bounds = _bounds(ev, ["user_id", "value"])
+
+    linear = str(tmp_path / "linear")
+    zord = str(tmp_path / "zorder")
+    # single-column clustering: perfect on user_id, blind on value
+    (
+        ev.repartitionByRange(N_FILES, "user_id", "event_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    write_zordered(ev, zord, ["user_id", "value"], bounds, num_files=N_FILES)
+
+    u_lo, u_hi = bounds["user_id"]
+    v_lo, v_hi = bounds["value"]
+    u_span, v_span = u_hi - u_lo, v_hi - v_lo
+    # top-quarter box on user_id; a mid-high band on value (the events
+    # value column is right-skewed, so a band ABOVE the dense mass
+    # isolates the layout effect — a tail box would also get lucky
+    # accidental pruning on the linear layout, a mass box prunes
+    # nothing anywhere)
+    u_box = (u_hi - u_span / 4.0, u_hi)
+    v_box = (v_lo + 0.40 * v_span, v_lo + 0.50 * v_span)
+
+    lin_u, total_lin = file_skip_stats(linear, "user_id", *u_box)
+    lin_v, _ = file_skip_stats(linear, "value", *v_box)
+    z_u, total_z = file_skip_stats(zord, "user_id", *u_box)
+    z_v, _ = file_skip_stats(zord, "value", *v_box)
+
+    assert total_lin >= N_FILES and total_z >= N_FILES
+    # the single-column sort prunes its own dimension near-perfectly...
+    assert lin_u >= total_lin // 2
+    # ...and (almost) nothing on the off-sort one
+    assert lin_v <= total_lin // 8
+    # z-order prunes BOTH dimensions substantially
+    assert z_u >= total_z * 3 // 8, f"zorder user_id skip {z_u}/{total_z}"
+    assert z_v >= total_z // 2, f"zorder value skip {z_v}/{total_z}"
+    assert z_v > lin_v
+
+
+def test_zorder_value_is_jvm_side(spark):
+    """The Morton code compiles into the plan (no Python eval): the
+    physical plan for the z-value projection is pure Project over the
+    scan, inside WholeStageCodegen."""
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "value")
+    z = zorder_value(ev, ["user_id", "value"], {"user_id": (0, 15), "value": (0.0, 330.0)})
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # "*(N)" is the WholeStageCodegen marker in executedPlan toString
+    assert plan.lstrip().startswith("*("), plan[:200]
+
+
+def test_zorder_write_preserves_rows(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "value", "event_id")
+    path = str(tmp_path / "zw")
+    write_zordered(
+        ev, path, ["user_id", "value"], _bounds(ev, ["user_id", "value"]), num_files=8
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    assert sorted(back.columns) == sorted(ev.columns)

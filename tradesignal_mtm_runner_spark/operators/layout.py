@@ -1,0 +1,103 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering for
+file-level skipping.
+
+Why it matters at 100 TB: a parquet scan prunes files/row-groups via
+min-max statistics, but statistics only help when the layout clusters
+the filtered columns. Sorting on ONE column gives perfect pruning on
+that column and none on any other; interleaving the bits of SEVERAL
+columns (Z-ordering, the technique behind Delta/Databricks OPTIMIZE
+ZORDER and Iceberg's sort-order z-curve) gives partial pruning on ALL
+of them — each file covers a small hyper-rectangle of the key space.
+
+Everything here is declarative Column algebra (shift/mask/or), so the
+z-value computation is whole-stage-codegen JVM work; the write is a
+plain repartitionByRange + sortWithinPartitions on the z-value — one
+range shuffle, the same cost as a single-column sort-write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BITS = 16
+
+
+def quantize(col: Column, lo: float, hi: float, bits: int = DEFAULT_BITS) -> Column:
+    """Map a numeric column to an integer grid cell in [0, 2^bits).
+    (lo, hi) are the column's bounds — at scale these come from table
+    statistics / a prior agg, never a per-write full scan."""
+    span = float(hi) - float(lo)
+    if span <= 0:
+        return F.lit(0).cast("long")
+    cells = (1 << bits) - 1
+    scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(span) * F.lit(cells)
+    return F.least(
+        F.greatest(F.round(scaled, 0).cast("long"), F.lit(0)), F.lit(cells)
+    )
+
+
+def interleave_bits(cols: list[Column], bits: int = DEFAULT_BITS) -> Column:
+    """Morton code: bit i of column c lands at position i*len(cols)+c.
+    Pure shift/mask/or Column algebra -> JVM codegen, no UDF."""
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for c, col in enumerate(cols):
+            bit = F.shiftright(col, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + c))
+    return z
+
+
+def zorder_value(
+    df: DataFrame,
+    cols: list[str],
+    bounds: dict[str, tuple[float, float]],
+    bits: int = DEFAULT_BITS,
+) -> DataFrame:
+    """Attach a `_zval` Morton-code column over ``cols`` quantized to
+    ``bits`` bits each using the provided bounds."""
+    qs = [quantize(F.col(c), *bounds[c], bits=bits) for c in cols]
+    return df.withColumn("_zval", interleave_bits(qs, bits=bits))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bounds: dict[str, tuple[float, float]],
+    num_files: int,
+    bits: int = DEFAULT_BITS,
+) -> None:
+    """Z-order-clustered parquet write: range-partition on the Morton
+    code (one shuffle; AQE-compatible) and sort within each file so
+    row-group min-max stats stay tight on every z-ordered column."""
+    (
+        zorder_value(df, cols, bounds, bits=bits)
+        .repartitionByRange(num_files, "_zval")
+        .sortWithinPartitions("_zval")
+        .drop("_zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_skip_stats(path: str, col: str, lo, hi) -> tuple[int, int]:
+    """(skippable, total) parquet row groups for predicate
+    ``col BETWEEN lo AND hi``, judged from footer min-max statistics —
+    exactly the decision a Spark scan (or any lakehouse reader) makes
+    before touching data pages. Driver-side metadata read only."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    skippable = 0
+    ds = pq.ParquetDataset(path)
+    for frag in ds.fragments:
+        md = frag.metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            total += 1
+            if st is not None and st.has_min_max and (st.min > hi or st.max < lo):
+                skippable += 1
+    return skippable, total
