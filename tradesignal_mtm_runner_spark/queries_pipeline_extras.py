@@ -1159,6 +1159,86 @@ SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type FROM events
 """
 
 
+# --- A18 stream-stream interval join -----------------------------------------
+
+_SJOIN_SINK_SEQ = _it.count()
+STREAM_JOIN_WATERMARK = "30 days"
+STREAM_JOIN_HORIZON = "1 hour"
+
+
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join: every purchase joined
+    to the same user's clicks within the following hour. The join
+    condition carries BOTH the key equality and the event-time range,
+    so Structured Streaming can bound each side's state buffer by
+    watermark + horizon — the property that keeps a 100 TB/day
+    stream-stream join's state finite (without the time bound the
+    state grows unboundedly and the join is rejected in append mode).
+    Replay == the batch interval join, which is the DuckDB oracle."""
+    from .sources import stream_table
+
+    p = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_event_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", STREAM_JOIN_WATERMARK)
+    )
+    c = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("c_event_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", STREAM_JOIN_WATERMARK)
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts >= p_ts "
+            f"AND c_ts <= p_ts + INTERVAL {STREAM_JOIN_HORIZON}"
+        ),
+        "inner",
+    )
+    sink = f"stream_join_sink_{next(_SJOIN_SINK_SEQ)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        F.col("p_user").cast("long").alias("user_id"),
+        "p_event_id",
+        "c_event_id",
+        "p_ts",
+        "c_ts",
+        F.round("p_value", R).alias("p_value"),
+    )
+
+
+STREAM_JOIN_SQL = """
+SELECT CAST(p.user_id AS BIGINT) AS user_id,
+       p.event_id AS p_event_id,
+       c.event_id AS c_event_id,
+       p.ts AS p_ts,
+       c.ts AS c_ts,
+       round(p.value, 9) AS p_value
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 PIPELINE_EXTRA_QUERIES = {
     "contamination_check": contamination_check,
     "train_val_split": train_val_split,
@@ -1173,6 +1253,7 @@ PIPELINE_EXTRA_QUERIES = {
     "dedup_semantic": dedup_semantic,
     "stratified_sample": stratified_sample,
     "stream_dedup": stream_dedup,
+    "stream_join": stream_join,
 }
 
 PIPELINE_EXTRA_ORACLES = {
@@ -1189,4 +1270,5 @@ PIPELINE_EXTRA_ORACLES = {
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
+    "stream_join": STREAM_JOIN_SQL,
 }
