@@ -1094,11 +1094,122 @@ WHERE l_partkey = p_partkey
 """
 
 
+# --- B26: CDC latest-wins upsert (lakehouse MERGE shape) ---------------------
+
+def upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert without a table format: a base snapshot (even
+    event_ids) and a change feed (odd event_ids) merge into the
+    latest-wins snapshot per (user_id, event_type) key, version-ordered
+    by (ts, event_id). Implementation is the standard Spark CDC shape:
+    union the two sides, one hash shuffle on the key, per-key
+    row_number desc -> rn=1. At scale the same semantics is available
+    as a partial-aggregable ``max_by(struct(*), version)`` when the
+    version is a scalar; the window form is used here because the
+    (ts, event_id) version is composite and the oracle mirrors it
+    row-for-row."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    changes = ev.filter(F.col("event_id") % 2 == 1)
+    merged = base.unionByName(changes)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.round("value", R_NORM).alias("last_value"),
+            (F.col("event_id") % 2 == 1).alias("from_changes"),
+        )
+    )
+
+
+UPSERT_LATEST_SQL = """
+SELECT user_id, event_type,
+       ts AS last_ts,
+       event_id AS last_event_id,
+       round(value, 9) AS last_value,
+       event_id % 2 = 1 AS from_changes
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --- B27: pairwise symbol correlation ---------------------------------------
+
+CORR_MIN_OBS = 10
+R_CORR = 6  # corr's co-moment accumulation cancels more than plain sums
+
+
+def symbol_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of daily returns between symbols:
+    daily avg price per symbol (one partial-aggregable groupBy), daily
+    return via per-symbol lag window, then a self-equi-join on the day
+    key and one corr aggregate per pair. The join is day-bucketed so
+    the pair blow-up is per-day (symbols_active_that_day^2), never the
+    global all-pairs; pairs below CORR_MIN_OBS common days are
+    dropped."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("user_id").alias("sym"), F.to_date("ts").alias("day")
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    w = Window.partitionBy("sym").orderBy("day")
+    ret = (
+        daily.withColumn("r", F.col("v") / F.lag("v").over(w) - 1)
+        .filter(F.col("r").isNotNull())
+        .select("sym", "day", "r")
+    )
+    a = ret.select(F.col("sym").alias("sym_a"), "day", F.col("r").alias("ra"))
+    b = ret.select(F.col("sym").alias("sym_b"), "day", F.col("r").alias("rb"))
+    pairs = a.join(b, on="day").filter(F.col("sym_a") < F.col("sym_b"))
+    return (
+        pairs.groupBy("sym_a", "sym_b")
+        .agg(
+            F.round(F.corr("ra", "rb"), R_CORR).alias("corr_daily"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+        .filter(F.col("n_obs") >= CORR_MIN_OBS)
+    )
+
+
+SYMBOL_CORRELATION_SQL = f"""
+WITH daily AS (
+  SELECT user_id AS sym, CAST(ts AS DATE) AS day, avg(value) AS v
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+ret AS (
+  SELECT sym, day, v / lag(v) OVER (PARTITION BY sym ORDER BY day) - 1 AS r
+  FROM daily
+)
+SELECT a.sym AS sym_a, b.sym AS sym_b,
+       round(corr(a.r, b.r), {R_CORR}) AS corr_daily,
+       CAST(count(*) AS BIGINT) AS n_obs
+FROM ret a JOIN ret b ON a.day = b.day AND a.sym < b.sym
+WHERE a.r IS NOT NULL AND b.r IS NOT NULL
+GROUP BY a.sym, b.sym
+HAVING count(*) >= {CORR_MIN_OBS}
+"""
+
+
 ANALYTICS_EXTRA_QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
     "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
+    "upsert_latest": upsert_latest,
+    "symbol_correlation": symbol_correlation,
 }
 
 ANALYTICS_EXTRA_ORACLES = {
@@ -1106,4 +1217,6 @@ ANALYTICS_EXTRA_ORACLES = {
     "q14_promo_revenue": Q14_SQL,
     "q15_top_supplier": Q15_SQL,
     "q19_disjunctive_pushdown": Q19_SQL,
+    "upsert_latest": UPSERT_LATEST_SQL,
+    "symbol_correlation": SYMBOL_CORRELATION_SQL,
 }
