@@ -231,3 +231,30 @@ def test_dedup_semantic_invariants(spark):
     assert cells.filter(F.col("cell") != F.col("_c2")).count() == 0
     assert out.select("cell").distinct().count() <= SEM_CELLS
     assert out.filter(F.col("is_kept") != F.col("dup_of").isNull()).count() == 0
+
+
+def test_cms_overestimates_and_ranks(spark):
+    """Count-min property: the sketch estimate never undercounts; the
+    rank column is dense 1..N in descending-estimate order."""
+    out = _run(spark, "token_cms_topk").cache()
+    assert out.filter(F.col("est_count") < F.col("exact_count")).count() == 0
+    rows = out.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    ests = [r["est_count"] for r in rows]
+    assert ests == sorted(ests, reverse=True)
+    out.unpersist()
+
+
+def test_bloom_pass_superset_of_true_matches(spark):
+    """Bloom filters admit false positives, never false negatives:
+    every true match passes, and the measured fp rate stays within a
+    loose multiple of the analytic (1-e^(-kn/m))^k bound."""
+    row = _run(spark, "bloom_prefilter").collect()[0]
+    assert row["n_bloom_pass"] >= row["n_true_match"]
+    assert (
+        row["n_false_pos"] == row["n_bloom_pass"] - row["n_true_match"]
+    )
+    assert row["n_true_match"] > 0 and row["n_false_pos"] >= 0
+    # analytic bound with n = distinct urgent keys ~ n_true orders; the
+    # row-level rate can only be checked loosely (keys repeat per row)
+    assert row["fp_rate"] < 0.5

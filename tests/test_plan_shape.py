@@ -193,3 +193,24 @@ def test_q7_dims_broadcast(spark):
     assert P.broadcast_join_count(df) >= 3
     plan = P.explain_str(df)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_bloom_prefilter_all_joins_broadcast(spark):
+    """The bit set and the true-key set are broadcast; the probe side
+    never shuffles for a join (the only exchange feeds the single-row
+    aggregate)."""
+    df = _xdf(spark, "bloom_prefilter")
+    assert P.broadcast_join_count(df) >= 4  # K bit lookups + true-key mark
+    plan = P.explain_str(df)
+    assert "SortMergeJoin" not in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_cms_sketch_aggregates_partially(spark):
+    """The D x W cell grid must come out of a partial (map-side)
+    aggregate — bounded reduce state is the whole point of the
+    sketch — and the estimation join must broadcast the cells."""
+    df = _xdf(spark, "token_cms_topk")
+    plan = P.explain_str(df)
+    assert "partial_count" in plan, "cell counts must partial-aggregate"
+    assert P.broadcast_join_count(df) >= 2  # cells + candidate set

@@ -1203,6 +1203,134 @@ HAVING count(*) >= {CORR_MIN_OBS}
 """
 
 
+# --- B28: Bloom-filter semi-join prefilter ----------------------------------
+
+BLOOM_M = 16384        # filter bits
+BLOOM_K = 3            # hash functions
+BLOOM_PRIORITY = "1-URGENT"
+
+
+def _bloom_bucket(key, j: int):
+    """Bit position j for a key: md5 is bit-identical across engines."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bf{j}:"), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prefilter for a semi join: build BLOOM_K bit
+    positions per urgent-order key, probe every lineitem row against
+    the bit set, and report pass/true/false-positive counts.
+
+    This is the join-prefilter Spark's own runtime bloom pushdown
+    (spark.sql.optimizer.runtime.bloomFilter.*) automates: when the
+    build side is too large to broadcast raw but its ~M-bit filter is
+    tiny, the probe side is pruned AT THE SCAN, before any shuffle.
+    Plan shape here mirrors that: the bit set (<= BLOOM_M rows after
+    DISTINCT) and the true-key set are broadcast, every join is
+    map-side, and the only shuffle is the final single-row aggregate.
+    Each probe-side lookup joins a DISTINCT bit set, so no row
+    multiplication occurs. False positives are expected by design
+    (~(1-e^(-kn/m))^k, here a few percent) — the aggregate measures
+    them instead of hiding them."""
+    dkeys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == BLOOM_PRIORITY)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    bits = dkeys.select(
+        F.explode(
+            F.array(*[_bloom_bucket(F.col("k"), j) for j in range(BLOOM_K)])
+        ).alias("bucket")
+    ).distinct()
+    probe = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    for j in range(BLOOM_K):
+        bj = F.broadcast(
+            bits.select(
+                F.col("bucket").alias(f"_bk{j}"), F.lit(1).alias(f"_m{j}")
+            )
+        )
+        probe = probe.join(
+            bj, _bloom_bucket(F.col("l_orderkey"), j) == F.col(f"_bk{j}"), "left"
+        )
+    dmark = F.broadcast(
+        dkeys.select(F.col("k").alias("_dk"), F.lit(1).alias("_true"))
+    )
+    probe = probe.join(dmark, F.col("l_orderkey") == F.col("_dk"), "left")
+    bloom_pass = F.lit(True)
+    for j in range(BLOOM_K):
+        bloom_pass = bloom_pass & F.col(f"_m{j}").isNotNull()
+    is_true = F.col("_true").isNotNull()
+    agg = probe.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(bloom_pass, 1).otherwise(0)).cast("long").alias(
+            "n_bloom_pass"
+        ),
+        F.sum(F.when(is_true, 1).otherwise(0)).cast("long").alias(
+            "n_true_match"
+        ),
+        F.sum(F.when(bloom_pass & ~is_true, 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_bloom_pass",
+        "n_true_match",
+        "n_false_pos",
+        F.round(
+            F.col("n_false_pos") / (F.col("n_rows") - F.col("n_true_match")), 9
+        ).alias("fp_rate"),
+    )
+
+
+def _bloom_bucket_sql(key_expr: str, j: int) -> str:
+    return (
+        f"('0x' || substr(md5('bf{j}:' || CAST({key_expr} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {BLOOM_M}"
+    )
+
+
+BLOOM_PREFILTER_SQL = f"""
+WITH dkeys AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '{BLOOM_PRIORITY}'
+),
+bits AS (
+  SELECT DISTINCT {_bloom_bucket_sql("k", 0).replace("bf0", "bf' || j || '")}
+         AS bucket
+  FROM dkeys, range({BLOOM_K}) r(j)
+),
+probe AS (
+  SELECT l_orderkey,
+         {" AND ".join(
+             f"EXISTS (SELECT 1 FROM bits WHERE bucket = "
+             f"{_bloom_bucket_sql('l_orderkey', j)})"
+             for j in range(BLOOM_K)
+         )} AS bloom_pass,
+         EXISTS (SELECT 1 FROM dkeys WHERE k = l_orderkey) AS true_match
+  FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pass,
+       CAST(sum(CASE WHEN true_match THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_match,
+       CAST(sum(CASE WHEN bloom_pass AND NOT true_match THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       round(sum(CASE WHEN bloom_pass AND NOT true_match THEN 1 ELSE 0 END)
+             / CAST(count(*) - sum(CASE WHEN true_match THEN 1 ELSE 0 END)
+                    AS DOUBLE), 9) AS fp_rate
+FROM probe
+"""
+
+
 ANALYTICS_EXTRA_QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q14_promo_revenue": q14_promo_revenue,
@@ -1210,6 +1338,7 @@ ANALYTICS_EXTRA_QUERIES = {
     "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
     "upsert_latest": upsert_latest,
     "symbol_correlation": symbol_correlation,
+    "bloom_prefilter": bloom_prefilter,
 }
 
 ANALYTICS_EXTRA_ORACLES = {
@@ -1219,4 +1348,5 @@ ANALYTICS_EXTRA_ORACLES = {
     "q19_disjunctive_pushdown": Q19_SQL,
     "upsert_latest": UPSERT_LATEST_SQL,
     "symbol_correlation": SYMBOL_CORRELATION_SQL,
+    "bloom_prefilter": BLOOM_PREFILTER_SQL,
 }

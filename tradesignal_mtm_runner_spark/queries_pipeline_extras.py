@@ -1239,6 +1239,140 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+# --- C32 count-min-sketch heavy hitters ------------------------------------
+
+CMS_D = 4              # hash rows
+CMS_W = 1024           # buckets per row
+CMS_PROBE_MOD = 37     # docs with doc_id % 37 == 0 supply the probe vocab
+CMS_TOPK = 50
+
+
+def _cms_bucket(token, j: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{j}:"), token)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % CMS_W
+    )
+
+
+def token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: estimate corpus-wide token
+    frequencies from a fixed D x W cell grid and rank a probe
+    vocabulary by estimate, with the exact count alongside (CMS
+    guarantees est >= exact; the gap is the collision overcount).
+
+    Scale shape: the sketch aggregate's reduce-side state is AT MOST
+    D*W cells no matter the corpus size — the map side emits D
+    (row, bucket) pairs per occurrence but partial aggregation folds
+    each task's stream into <= D*W cells before the shuffle, so the
+    wire cost is ~D*W per task, not D per token. That bounded-state
+    property is what replaces the unbounded-vocabulary shuffle of the
+    exact top-K (C15 token_histogram) at 100 TB. Estimation is a
+    broadcast join of the tiny cell grid against the probe tokens;
+    the exact-count column (kept here to exhibit the overcount) is
+    the one piece a production run would drop."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    pairs = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col("token"), j).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("p")
+    ).select("p.j", "p.bucket")
+    cells = pairs.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    cand = (
+        d.filter(F.col("doc_id") % CMS_PROBE_MOD == 0)
+        .select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    cand_cells = cand.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col("token"), j).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("token", "p.j", "p.bucket")
+    est = (
+        cand_cells.join(F.broadcast(cells), on=["j", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+    )
+    exact = (
+        toks.join(F.broadcast(cand), on="token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    w = Window.orderBy(F.desc("est_count"), F.asc("token"))
+    return (
+        est.join(exact, on="token")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= CMS_TOPK)
+    )
+
+
+def _cms_bucket_sql(token_expr: str) -> str:
+    return (
+        f"('0x' || substr(md5('cms' || j || ':' || {token_expr}), 1, 8))"
+        f"::BIGINT % {CMS_W}"
+    )
+
+
+TOKEN_CMS_SQL = f"""
+WITH toks AS (
+  SELECT u.g AS token
+  FROM (SELECT string_split_regex(trim(text), ' +') AS t FROM documents) d,
+       UNNEST(t) AS u(g)
+),
+cells AS (
+  SELECT j, {_cms_bucket_sql("token")} AS bucket, count(*) AS cnt
+  FROM toks, range({CMS_D}) r(j)
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT u.g AS token
+  FROM (SELECT string_split_regex(trim(text), ' +') AS t
+        FROM documents WHERE doc_id % {CMS_PROBE_MOD} = 0),
+       UNNEST(t) AS u(g)
+),
+est AS (
+  SELECT c.token, CAST(min(cells.cnt) AS BIGINT) AS est_count
+  FROM (SELECT token, j, {_cms_bucket_sql("token")} AS bucket
+        FROM cand, range({CMS_D}) r(j)) c
+  JOIN cells ON cells.j = c.j AND cells.bucket = c.bucket
+  GROUP BY c.token
+),
+exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+  FROM toks WHERE token IN (SELECT token FROM cand)
+  GROUP BY token
+),
+ranked AS (
+  SELECT est.token, est_count, exact_count,
+         CAST(row_number() OVER (ORDER BY est_count DESC, est.token ASC)
+              AS INT) AS rank
+  FROM est JOIN exact ON est.token = exact.token
+)
+SELECT * FROM ranked WHERE rank <= {CMS_TOPK}
+"""
+
+
 PIPELINE_EXTRA_QUERIES = {
     "contamination_check": contamination_check,
     "train_val_split": train_val_split,
@@ -1254,6 +1388,7 @@ PIPELINE_EXTRA_QUERIES = {
     "stratified_sample": stratified_sample,
     "stream_dedup": stream_dedup,
     "stream_join": stream_join,
+    "token_cms_topk": token_cms_topk,
 }
 
 PIPELINE_EXTRA_ORACLES = {
@@ -1271,4 +1406,5 @@ PIPELINE_EXTRA_ORACLES = {
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_join": STREAM_JOIN_SQL,
+    "token_cms_topk": TOKEN_CMS_SQL,
 }
