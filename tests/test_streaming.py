@@ -209,3 +209,63 @@ def test_signal_stream_datasource_replays_exactly(spark, tmp_path):
     # carry extra columns (event_id)
     pd.testing.assert_frame_equal(got[want.columns], want)
     assert n_batches >= 2, f"expected rate-limited multi-batch drain, got {n_batches}"
+
+
+def test_session_window_merges_across_microbatches(spark, tmp_path):
+    """A19: session windows are DYNAMIC — a session open at a
+    micro-batch boundary must extend when the next batch's events land
+    inside its gap. A time-ordered 3-way split guarantees sessions
+    straddle batch boundaries, so parity with the batch run proves the
+    session-merge state logic, not just a single-batch group-by."""
+    from tradesignal_mtm_runner_spark.queries_pipeline_extras import (
+        session_event_stats,
+    )
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "ts", "value")
+    pdf = ev.toPandas().sort_values(["ts", "user_id"]).reset_index(drop=True)
+
+    src = tmp_path / "sess_src"
+    os.makedirs(src)
+    cuts = np.array_split(np.arange(len(pdf)), 3)
+    for i, idx in enumerate(cuts):
+        p = str(src / f"chunk-{i:03d}.parquet")
+        chunk = pdf.iloc[idx].copy()
+        chunk["ts"] = chunk["ts"].astype("datetime64[us]")
+        chunk.to_parquet(p, index=False)
+        t = time.time() - 100 + i * 10
+        os.utime(p, (t, t))
+
+    schema = spark.createDataFrame(pdf.head(1)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sink = "sess_stream_parity"
+    q = (
+        session_event_stats(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    key = ["user_id", "session_start_epoch"]
+    got = spark.table(sink).toPandas().sort_values(key).reset_index(drop=True)
+    want = (
+        session_event_stats(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["user_id"].values == want["user_id"].values).all()
+    assert (
+        got["session_start_epoch"].values == want["session_start_epoch"].values
+    ).all()
+    assert (got["n_events"].values == want["n_events"].values).all()
+    assert np.isclose(
+        got["total_value"].values, want["total_value"].values, rtol=0, atol=1e-9
+    ).all()

@@ -1239,6 +1239,89 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+# --- A19 streaming session windows ------------------------------------------
+
+_SSESS_SINK_SEQ = _it.count()
+SESSION_GAP = "30 minutes"
+STREAM_SESSION_WATERMARK = "10 minutes"
+
+
+def session_event_stats(ev: DataFrame) -> DataFrame:
+    """Per-user session stats via the built-in ``session_window``
+    (dynamic-gap windows merged by the engine, the third streaming
+    window class next to tumbling (A11) and interval join (A18)).
+    Runs unchanged on a stream (watermarked, state = open sessions
+    only once windows close) and on a batch frame — the parity test
+    runs the SAME function both ways. Session start is the first
+    event's time, so the batch oracle is the classic gap-island
+    sessionization (a new session starts when the gap >= the window
+    gap, matching session_window's merge rule: an event extends a
+    session iff it lands strictly inside previous end = last + gap)."""
+    src = ev
+    if ev.isStreaming:
+        src = ev.withWatermark("ts", STREAM_SESSION_WATERMARK)
+    return (
+        src.groupBy(
+            F.session_window(F.col("ts"), SESSION_GAP).alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("tv"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            (F.unix_millis(F.col("w.start")) / 1000)
+            .cast("long")
+            .alias("session_start_epoch"),
+            F.col("n").cast("long").alias("n_events"),
+            F.col("tv").alias("total_value"),
+        )
+    )
+
+
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: session-window aggregation on the event stream. COMPLETE
+    mode + availableNow so the finite replay emits the tail sessions
+    still open at end-of-stream (same contract as A11); on an
+    unbounded run you'd use append mode and let the watermark seal
+    sessions (update mode is unsupported for session windows)."""
+    from .sources import stream_table
+
+    ev = stream_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    sink = f"stream_session_sink_{next(_SSESS_SINK_SEQ)}"
+    q = (
+        session_event_stats(ev)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+STREAM_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
 # --- C32 count-min-sketch heavy hitters ------------------------------------
 
 CMS_D = 4              # hash rows
@@ -1373,6 +1456,85 @@ SELECT * FROM ranked WHERE rank <= {CMS_TOPK}
 """
 
 
+# --- C33 unigram-LM document perplexity -------------------------------------
+
+PPL_KEEP_MAX = 900.0   # CCNet-style keep threshold on unigram perplexity
+
+
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model perplexity per document (the CCNet-style
+    quality signal: word-soup and boilerplate score high, typical prose
+    scores low), with a keep flag at PPL_KEEP_MAX.
+
+    Plan: three partial-aggregable aggregates over one token explode —
+    per-(doc, token) counts, corpus per-token counts, and the corpus
+    total (a 1-row broadcast, same idiom as tf-idf's n_docs) — then a
+    token-keyed equi-join of doc-term counts against the vocabulary
+    relation and one per-doc aggregate. Every stage map-side-combines
+    before its shuffle, and the join key (token) is the natural
+    partitioning, so the shape carries to 100 TB; there the vocabulary
+    relation would be pruned (min-count) or replaced by the C32 CMS
+    estimate, trading exactness for a broadcast-size table. No
+    smoothing is needed: the model is scored on its own training
+    corpus, so every token has nonzero count."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    dt = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("k"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .select("token", (-F.log(F.col("c") / F.col("n_total"))).alias("nll"))
+    )
+    per_doc = (
+        dt.join(vocab, on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            (F.sum(F.col("k") * F.col("nll")) / F.sum("k")).alias("_avg"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("_avg"), R).alias("avg_nll"),
+        F.round(F.exp(F.col("_avg")), 6).alias("perplexity"),
+        (F.exp(F.col("_avg")) <= PPL_KEEP_MAX).alias("is_kept"),
+    )
+
+
+DOC_PERPLEXITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, u.g AS token
+  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+        FROM documents) d,
+       UNNEST(t) AS u(g)
+),
+tot AS (SELECT count(*) AS n_total FROM toks),
+vocab AS (
+  SELECT token, -ln(CAST(count(*) AS DOUBLE) / (SELECT n_total FROM tot))
+         AS nll
+  FROM toks GROUP BY token
+),
+dt AS (
+  SELECT doc_id, token, count(*) AS k FROM toks GROUP BY doc_id, token
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(k) AS BIGINT) AS n_tokens,
+         sum(k * nll) / sum(k) AS avg_raw
+  FROM dt JOIN vocab USING (token)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(avg_raw, {R}) AS avg_nll,
+       round(exp(avg_raw), 6) AS perplexity,
+       exp(avg_raw) <= {PPL_KEEP_MAX} AS is_kept
+FROM per_doc
+"""
+
+
 PIPELINE_EXTRA_QUERIES = {
     "contamination_check": contamination_check,
     "train_val_split": train_val_split,
@@ -1389,6 +1551,8 @@ PIPELINE_EXTRA_QUERIES = {
     "stream_dedup": stream_dedup,
     "stream_join": stream_join,
     "token_cms_topk": token_cms_topk,
+    "doc_perplexity": doc_perplexity,
+    "stream_session": stream_session,
 }
 
 PIPELINE_EXTRA_ORACLES = {
@@ -1407,4 +1571,6 @@ PIPELINE_EXTRA_ORACLES = {
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_join": STREAM_JOIN_SQL,
     "token_cms_topk": TOKEN_CMS_SQL,
+    "doc_perplexity": DOC_PERPLEXITY_SQL,
+    "stream_session": STREAM_SESSION_SQL,
 }
