@@ -87,3 +87,46 @@ def test_zorder_write_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == ev.count()
     assert sorted(back.columns) == sorted(ev.columns)
+
+
+def test_static_and_dynamic_partition_pruning(spark, tmp_path):
+    """Hive-style partitioned layout: (1) a literal predicate on the
+    partition column prunes at PLANNING time (only matching
+    directories are even listed into the scan); (2) a join against a
+    filtered dim prunes at RUNTIME via dynamic partition pruning —
+    the fact scan's partition filter is fed from the dim's broadcast
+    (the mechanism that saves the 100 TB fact scan when the query's
+    selectivity lives on the dim side)."""
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "ev_by_day")
+    ev.write.partitionBy("day").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+
+    # (1) static pruning: the file list itself shrinks
+    some_day = ev.select(F.min("day").alias("d")).first()["d"]
+    pruned = fact.filter(F.col("day") == F.lit(some_day))
+    n_files_pruned = (
+        pruned.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    n_files_total = len(fact.inputFiles())
+    assert 0 < n_files_pruned < n_files_total
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert pruned.count() == ev.filter(F.col("day") == F.lit(some_day)).count()
+
+    # (2) dynamic pruning: dim is an independent tiny relation with a
+    # non-partition-column filter, so the fact-side partition list is
+    # only knowable at runtime
+    days = [r["d"] for r in ev.select(F.col("day").alias("d")).distinct().collect()]
+    dim = spark.createDataFrame(
+        [(d, i % 7) for i, d in enumerate(sorted(days))], "day date, bucket int"
+    )
+    joined = fact.join(dim.filter(F.col("bucket") == 0), on="day")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:500]
+    want = ev.join(
+        dim.filter(F.col("bucket") == 0).select("day"), on="day"
+    ).count()
+    assert joined.count() == want > 0
