@@ -269,3 +269,53 @@ def test_session_window_merges_across_microbatches(spark, tmp_path):
     assert np.isclose(
         got["total_value"].values, want["total_value"].values, rtol=0, atol=1e-9
     ).all()
+
+
+def test_rocksdb_state_store_backend(spark):
+    """The default HDFS-backed state store keeps every key in executor
+    heap — fine locally, a memory wall for 100 TB streaming state. The
+    RocksDB provider (the production backend at scale) must be a pure
+    config swap: same session-window query, same results."""
+    from tradesignal_mtm_runner_spark.queries_pipeline_extras import (
+        STREAM_SESSION_SQL,
+        stream_session,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = (
+            stream_session(spark, SF_SMOKE)
+            .toPandas()
+            .sort_values(["user_id", "session_start_epoch"])
+            .reset_index(drop=True)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    want = (
+        con.execute(STREAM_SESSION_SQL)
+        .df()
+        .sort_values(["user_id", "session_start_epoch"])
+        .reset_index(drop=True)
+    )
+    con.close()
+    assert len(got) == len(want) > 0
+    assert (got["n_events"].values == want["n_events"].values).all()
+    assert np.isclose(
+        got["total_value"].values, want["total_value"].values, rtol=0, atol=1e-9
+    ).all()
