@@ -161,3 +161,17 @@ def test_ms_converters_roundtrip():
 
     dt = datetime(2024, 3, 1, 12, 30, 15)
     assert convert_ms_to_datetime(convert_datetime_to_ms(dt)) == dt
+
+
+def test_runner_satisfies_reference_protocol():
+    """Both runner entry points are structurally ITradeSignalRunner
+    (reference interfaces.py:5), so reference-typed user code accepts
+    them unchanged."""
+    from tradesignal_mtm_runner_spark import ITradeSignalRunner, TradeMtmRunner
+
+    assert isinstance(TradeMtmRunner(), ITradeSignalRunner)
+    from tradesignal_mtm_runner_spark.runner import HyperOptPnlCalculatorAdapter
+
+    assert isinstance(
+        HyperOptPnlCalculatorAdapter(TradeMtmRunner()), ITradeSignalRunner
+    )

@@ -15,4 +15,5 @@ from .exceptions import (  # noqa: F401
     UnSupportedException,
 )
 from .helper import RoiHelper  # noqa: F401
+from .interfaces import ITradeSignalRunner  # noqa: F401
 from .runner import MtmResult, ProxyTrade, TradeMtmRunner  # noqa: F401
