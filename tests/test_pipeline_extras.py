@@ -258,3 +258,24 @@ def test_bloom_pass_superset_of_true_matches(spark):
     # analytic bound with n = distinct urgent keys ~ n_true orders; the
     # row-level rate can only be checked loosely (keys repeat per row)
     assert row["fp_rate"] < 0.5
+
+
+def test_bpe_apply_segmentation_invariants(spark):
+    """Subword counts are conservative: every word yields at least one
+    subword and at most its character count; the per-doc word count
+    agrees with the corpus token count (the vocab join drops nothing)."""
+    out = _run(spark, "bpe_apply").cache()
+    assert out.filter(F.col("n_subtokens") < F.col("n_words")).count() == 0
+    assert out.filter(F.col("avg_sub_per_word") < 1).count() == 0
+    from tradesignal_mtm_runner_spark.queries_pipeline import _docs
+    from tradesignal_mtm_runner_spark.functions import text as TX
+
+    docs = _docs(spark, SF_SMOKE)
+    want = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .count()
+    )
+    got = out.agg(F.sum("n_words")).first()[0]
+    assert got == want
+    out.unpersist()

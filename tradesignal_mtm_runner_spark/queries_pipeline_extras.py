@@ -833,6 +833,16 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy merging for same-pair runs up to length 8 (longer runs
     don't occur in the corpus; the cap keeps the expression finite
     for SQL)."""
+    return spark.createDataFrame(
+        _bpe_learn(spark, sf_dir),
+        "step int, pair string, merged string, pair_count long",
+    )
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The BPE_MERGES training rounds; returns the merge rules
+    [(step, pair, merged, pair_count)] for bpe_train's output and
+    bpe_apply's segmentation chain."""
     docs = _docs(spark, sf_dir)
     vocab = (
         docs.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
@@ -876,9 +886,7 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur.unpersist()
         cur = nxt
     cur.unpersist()
-    return spark.createDataFrame(
-        rules, "step int, pair string, merged string, pair_count long"
-    )
+    return rules
 
 
 def _bpe_iter_sql(k: int) -> str:
@@ -936,6 +944,112 @@ v0 AS (
 {_BPE_ITERS_SQL}
 SELECT CAST(step AS INT) AS step, pair, merged, pair_count
 FROM ({_BPE_RULES_SQL})
+"""
+
+
+# --- C34 BPE apply (tokenize with the trained merges) -------------------------
+
+
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the C29-trained merge table: per doc,
+    the word count, the resulting subword count, and the average
+    subwords-per-word (the compression the tokenizer achieves).
+
+    Scale shape — the standard tokenizer-at-scale layout: segmentation
+    runs once per DISTINCT word (vocab relation, tiny next to the
+    corpus), as a row-local chain of the N trained merges (string
+    replaces, whole-stage codegen, no Python); documents then join the
+    segmented vocab on the word key — one token-keyed equi-join — and
+    aggregate per doc. The merge rules themselves are a driver-side
+    list (N rows, like the IVF centroids), so the apply chain compiles
+    into the plan instead of shuffling a rules table."""
+    rules = _bpe_learn(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    seg = words.select(
+        "word", F.array_join(F.split("word", ""), " ").alias("sym")
+    )
+    for _step, pair, merged, _cnt in rules:
+        pat, rep = F.lit(f" {pair} "), F.lit(f" {merged} ")
+        padded = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+        for _ in range(3):
+            padded = F.replace(padded, pat, rep)
+        seg = seg.select("word", F.trim(padded).alias("sym"))
+    vocab_seg = seg.select(
+        "word", F.size(F.split("sym", " ")).cast("long").alias("n_sub")
+    )
+    docw = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        docw.join(vocab_seg, on="word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subtokens"),
+            F.round(F.sum("n_sub") / F.count(F.lit(1)), R).alias(
+                "avg_sub_per_word"
+            ),
+        )
+    )
+
+
+def _bpe_apply_iter_sql(k: int) -> str:
+    prev = f"a{k - 1}"
+    rep3 = "' ' || sym || ' '"
+    for _ in range(3):
+        rep3 = (
+            f"replace({rep3}, ' ' || r{k}.pair || ' ', "
+            f"' ' || replace(r{k}.pair, ' ', '') || ' ')"
+        )
+    return f"""
+a{k} AS (
+  SELECT word, trim({rep3}) AS sym FROM {prev}, r{k}
+)"""
+
+
+BPE_APPLY_SQL = f"""
+WITH w AS (
+  SELECT u.w AS word, count(*) AS freq
+  FROM (SELECT string_split_regex(trim(text), ' +') AS t FROM documents),
+       UNNEST(t) AS u(w)
+  WHERE u.w <> ''
+  GROUP BY u.w
+),
+v0 AS (
+  SELECT freq,
+         array_to_string(list_transform(range(1, length(word) + 1),
+                                        i -> substr(word, i, 1)), ' ') AS sym
+  FROM w
+),
+{_BPE_ITERS_SQL},
+a0 AS (
+  SELECT word,
+         array_to_string(list_transform(range(1, length(word) + 1),
+                                        i -> substr(word, i, 1)), ' ') AS sym
+  FROM w
+),
+{",".join(_bpe_apply_iter_sql(k) for k in range(1, BPE_MERGES + 1))},
+vocab_seg AS (
+  SELECT word, len(string_split(sym, ' ')) AS n_sub FROM a{BPE_MERGES}
+),
+docw AS (
+  SELECT doc_id, u.w AS word
+  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+        FROM documents),
+       UNNEST(t) AS u(w)
+  WHERE u.w <> ''
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_subtokens,
+       round(CAST(sum(n_sub) AS DOUBLE) / count(*), {R}) AS avg_sub_per_word
+FROM docw JOIN vocab_seg USING (word)
+GROUP BY doc_id
 """
 
 
@@ -1553,6 +1667,7 @@ PIPELINE_EXTRA_QUERIES = {
     "token_cms_topk": token_cms_topk,
     "doc_perplexity": doc_perplexity,
     "stream_session": stream_session,
+    "bpe_apply": bpe_apply,
 }
 
 PIPELINE_EXTRA_ORACLES = {
@@ -1573,4 +1688,5 @@ PIPELINE_EXTRA_ORACLES = {
     "token_cms_topk": TOKEN_CMS_SQL,
     "doc_perplexity": DOC_PERPLEXITY_SQL,
     "stream_session": STREAM_SESSION_SQL,
+    "bpe_apply": BPE_APPLY_SQL,
 }
