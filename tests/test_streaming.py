@@ -319,3 +319,67 @@ def test_rocksdb_state_store_backend(spark):
     assert np.isclose(
         got["total_value"].values, want["total_value"].values, rtol=0, atol=1e-9
     ).all()
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Append mode + watermark: events older than (max event time -
+    delay) arriving AFTER the watermark has advanced must be dropped,
+    not merged — the state-eviction contract that bounds streaming
+    memory. Run 1 processes the recent three quarters of the stream
+    (advancing the checkpointed watermark weeks past the oldest
+    events); run 2 resumes from the checkpoint and replays the oldest
+    quarter, all of it below the persisted watermark. The parquet
+    sink must contain no window older than run 1's horizon — and the
+    replayed rows add nothing."""
+    import pyspark.sql.functions as F
+
+    from tradesignal_mtm_runner_spark import sinks
+    from tradesignal_mtm_runner_spark.sources import load_table
+    from tradesignal_mtm_runner_spark.streaming.windowed import (
+        windowed_event_counts,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    n = len(pdf)
+    early = pdf.iloc[: n // 4].copy()      # oldest quarter
+    bulk = pdf.iloc[n // 4 :].copy()       # recent rows: advance watermark
+
+    src = tmp_path / "late_src"
+    os.makedirs(src)
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def write_chunk(name, frame, age):
+        p = str(src / name)
+        frame = frame.copy()
+        frame["ts"] = frame["ts"].astype("datetime64[us]")
+        frame.to_parquet(p, index=False)
+        t = time.time() - age
+        os.utime(p, (t, t))
+
+    schema = spark.createDataFrame(pdf.head(1)).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = sinks.stream_to_parquet(
+            windowed_event_counts(stream, watermark="10 minutes"), out, ckpt
+        )
+        q.awaitTermination(300)
+
+    write_chunk("bulk.parquet", bulk, 100)
+    run_once()
+    n1 = spark.read.parquet(out).agg(F.sum("n_events")).first()[0] or 0
+    assert 0 < n1 <= len(bulk)
+
+    write_chunk("late.parquet", early, 50)
+    run_once()  # resumes with the persisted watermark -> all rows late
+    back = spark.read.parquet(out)
+    n2 = back.agg(F.sum("n_events")).first()[0] or 0
+    assert n2 == n1, f"late replays leaked into the sink: {n2} != {n1}"
+    # and no emitted window predates the bulk's oldest event
+    bulk_min_epoch = int(bulk["ts"].min().timestamp())
+    oldest = back.agg(F.min("window_start_epoch")).first()[0]
+    assert oldest >= bulk_min_epoch - 60
