@@ -1436,6 +1436,58 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+# --- A20 stream-static enrichment join ---------------------------------------
+
+_SENRICH_SINK_SEQ = _it.count()
+
+
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch of the event stream is
+    enriched against the static customer dim (re-broadcast per batch,
+    so a slowly-changing dim refresh needs no stream restart), then
+    aggregated per (segment, event type). The dim side is bounded, so
+    unlike a stream-stream join there is NO join state to watermark —
+    the only streaming state is the aggregation's. COMPLETE mode +
+    availableNow emits the final counts; the oracle is the plain batch
+    join + group-by."""
+    from .sources import load_table, stream_table
+
+    ev = stream_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), on="user_id")
+    agg = (
+        joined.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    sink = f"stream_enrich_sink_{next(_SENRICH_SINK_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+STREAM_ENRICH_SQL = """
+SELECT c_mktsegment,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment, event_type
+"""
+
+
 # --- C32 count-min-sketch heavy hitters ------------------------------------
 
 CMS_D = 4              # hash rows
@@ -1668,6 +1720,7 @@ PIPELINE_EXTRA_QUERIES = {
     "doc_perplexity": doc_perplexity,
     "stream_session": stream_session,
     "bpe_apply": bpe_apply,
+    "stream_enrich": stream_enrich,
 }
 
 PIPELINE_EXTRA_ORACLES = {
@@ -1689,4 +1742,5 @@ PIPELINE_EXTRA_ORACLES = {
     "doc_perplexity": DOC_PERPLEXITY_SQL,
     "stream_session": STREAM_SESSION_SQL,
     "bpe_apply": BPE_APPLY_SQL,
+    "stream_enrich": STREAM_ENRICH_SQL,
 }
