@@ -1331,6 +1331,148 @@ FROM probe
 """
 
 
+# --- B29: TPC-H Q13-style customer order distribution ------------------------
+
+Q13_EXCL_PRIORITY = "1-URGENT"
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer distribution by order count, INCLUDING zero-order
+    customers (the classic Q13 left-join trap: the priority filter
+    must act as the join condition, not a post-filter, or zero-order
+    customers vanish).
+
+    Scale shape: orders aggregate to per-customer counts FIRST (one
+    partial-aggregable groupBy), and the left join attaches counts to
+    customers afterwards — joining then counting would shuffle every
+    order row per customer; aggregating first shuffles one row per
+    customer. The final distribution is a second tiny aggregate."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    ocnt = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != Q13_EXCL_PRIORITY)
+        .groupBy(F.col("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_cust = cust.join(
+        ocnt, cust.c_custkey == ocnt.o_custkey, "left"
+    ).select(F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+Q13_SQL = f"""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '{Q13_EXCL_PRIORITY}'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --- B30: TPC-H Q17-style small-quantity revenue ------------------------------
+
+Q17_BRAND = "Brand#13"
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost if small-quantity orders (below 20%
+    of the part's average order quantity) were not filled — TPC-H
+    Q17's correlated scalar subquery, decorrelated the way Catalyst
+    would: ONE per-part average aggregate over the brand's lineitems,
+    broadcast back, and a threshold filter. The threshold is rounded
+    on both engines so summation-order ULPs can't flip a row across
+    the comparison."""
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(
+        F.broadcast(parts), li.l_partkey == parts.p_partkey
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresh = brand_li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.round(F.avg("l_quantity") * 0.2, 9).alias("qty_cut")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, R_MONEY).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+Q17_SQL = f"""
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+),
+thresh AS (
+  SELECT l_partkey AS t_partkey, round(avg(l_quantity) * 0.2, 9) AS qty_cut
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, {R_MONEY}) AS avg_yearly
+FROM brand_li JOIN thresh ON l_partkey = t_partkey
+WHERE l_quantity < qty_cut
+"""
+
+
+# --- B31: TPC-H Q22-style idle high-balance customers -------------------------
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: customers with above-average (positive) account
+    balance who have NO orders — Q22's shape: a scalar aggregate
+    broadcast into the filter, then an ANTI join against orders
+    (output bounded by customers, never expanded), then one small
+    aggregate. The average is rounded on both engines before the
+    comparison."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 9).alias("cut")
+    )
+    cands = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("cut")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    idle = cands.join(
+        orders, cands.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return idle.groupBy(F.col("c_nationkey").cast("long").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.round(F.sum("c_acctbal"), R_MONEY).alias("totacctbal"),
+    )
+
+
+Q22_SQL = f"""
+WITH cut AS (
+  SELECT round(avg(c_acctbal), 9) AS cut FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), {R_MONEY}) AS totacctbal
+FROM customer, cut
+WHERE c_acctbal > cut
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
 ANALYTICS_EXTRA_QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q14_promo_revenue": q14_promo_revenue,
@@ -1339,6 +1481,9 @@ ANALYTICS_EXTRA_QUERIES = {
     "upsert_latest": upsert_latest,
     "symbol_correlation": symbol_correlation,
     "bloom_prefilter": bloom_prefilter,
+    "q13_order_distribution": q13_order_distribution,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q22_idle_customers": q22_idle_customers,
 }
 
 ANALYTICS_EXTRA_ORACLES = {
@@ -1349,4 +1494,7 @@ ANALYTICS_EXTRA_ORACLES = {
     "upsert_latest": UPSERT_LATEST_SQL,
     "symbol_correlation": SYMBOL_CORRELATION_SQL,
     "bloom_prefilter": BLOOM_PREFILTER_SQL,
+    "q13_order_distribution": Q13_SQL,
+    "q17_small_qty_revenue": Q17_SQL,
+    "q22_idle_customers": Q22_SQL,
 }
