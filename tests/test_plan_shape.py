@@ -214,3 +214,30 @@ def test_cms_sketch_aggregates_partially(spark):
     plan = P.explain_str(df)
     assert "partial_count" in plan, "cell counts must partial-aggregate"
     assert P.broadcast_join_count(df) >= 2  # cells + candidate set
+
+
+def test_q13_aggregates_before_left_join(spark):
+    """Order counts must aggregate BEFORE joining customers — the join
+    input is one row per customer, not one per order (partial_count
+    upstream of the join, and no order-row blowup at 100 TB)."""
+    df = _xdf(spark, "q13_order_distribution")
+    plan = P.explain_str(df)
+    assert "partial_count" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_q17_threshold_joins_broadcast(spark):
+    """Both the brand part list and the per-part threshold relation
+    are broadcast: the lineitem side never shuffles for a join."""
+    df = _xdf(spark, "q17_small_qty_revenue")
+    assert P.broadcast_join_count(df) >= 2
+    assert "SortMergeJoin" not in P.explain_str(df)
+
+
+def test_q22_anti_join_bounded(spark):
+    """The idle-customer ANTI join's output is bounded by customers;
+    the scalar average arrives via a 1-row broadcast, never a
+    cartesian expansion."""
+    plan = P.explain_str(_xdf(spark, "q22_idle_customers"))
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()
+    assert "CartesianProduct" not in plan
