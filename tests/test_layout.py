@@ -130,3 +130,47 @@ def test_static_and_dynamic_partition_pruning(spark, tmp_path):
         dim.filter(F.col("bucket") == 0).select("day"), on="day"
     ).count()
     assert joined.count() == want > 0
+
+
+def test_compact_files_shrinks_file_count(spark, tmp_path):
+    """200 tiny files compact to the metadata-computed target count
+    with every row preserved — the streaming-sink maintenance job."""
+    from tradesignal_mtm_runner_spark.operators.layout import compact_files
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "value")
+    frag = str(tmp_path / "fragmented")
+    ev.repartition(200).write.mode("overwrite").parquet(frag)
+    import glob
+
+    n_small = len(glob.glob(f"{frag}/*.parquet"))
+    assert n_small >= 150
+
+    compacted = str(tmp_path / "compacted")
+    n_target = compact_files(spark, frag, compacted, target_file_bytes=1 << 20)
+    n_big = len(glob.glob(f"{compacted}/*.parquet"))
+    assert n_big <= max(4, n_target + 1) < n_small
+    back = spark.read.parquet(compacted)
+    assert back.count() == ev.count()
+    assert back.select(F.sum("event_id")).first()[0] == ev.select(
+        F.sum("event_id")
+    ).first()[0]
+
+
+def test_register_views_enables_raw_sql(spark):
+    """The SQL surface: registered views answer raw ANSI SQL with the
+    same result as the DataFrame query (same logical plans under
+    Catalyst)."""
+    from tradesignal_mtm_runner_spark.sources import register_views
+
+    names = register_views(spark, SF_SMOKE)
+    assert "lineitem" in names and "orders" in names
+    got = spark.sql(
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "GROUP BY o_orderpriority"
+    )
+    want = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -101,3 +101,37 @@ def file_skip_stats(path: str, col: str, lo, hi) -> tuple[int, int]:
             if st is not None and st.has_min_max and (st.min > hi or st.max < lo):
                 skippable += 1
     return skippable, total
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a directory of many small
+    parquet files into ~target-size files (the maintenance job every
+    long-lived ingest needs — streaming sinks and hourly batch drops
+    produce kB-scale files whose per-file open/footer/task overhead
+    eventually dominates the scan; the small-files problem).
+
+    File count = ceil(on-disk bytes / target) — sized from driver-side
+    metadata, no data read. The write is one round-robin repartition
+    (plus an optional within-file sort to restore min-max stat
+    tightness for skipping). Returns the output file count."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(dst_path)
+    return n_files

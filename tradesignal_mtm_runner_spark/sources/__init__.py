@@ -47,6 +47,21 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: load_table(spark, sf_dir, n) for n in (names or TPCH_TABLES)}
 
 
+def register_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> list[str]:
+    """Register every table as a temp view so users can work in raw
+    ANSI SQL (`spark.sql("SELECT ... FROM lineitem JOIN orders ...")`)
+    instead of the DataFrame API — same Catalyst plans, same pushdown
+    and pruning, since temp views are just named logical plans over
+    the parquet scans. Returns the registered view names."""
+    out = []
+    for n in names or TPCH_TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+        out.append(n)
+    return out
+
+
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """The same table as an unbounded stream (file source). Schema is
     taken from a batch scan; nanos timestamps get the identical
