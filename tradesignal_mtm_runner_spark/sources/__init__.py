@@ -25,8 +25,15 @@ TPCH_TABLES = [
 ]
 
 
-#: testdata parquet stores TIMESTAMP(NANOS) which Spark has no native
-#: type for — read as long ns and truncate to µs (= DuckDB precision).
+#: Timestamp columns in the testdata that have shipped under several
+#: physical parquet encodings across regenerations:
+#:   * TIMESTAMP(NANOS)   -> Spark has no nanos type; with
+#:     ``nanosAsLong`` it surfaces as bigint nanoseconds,
+#:   * timestamp[us]/[ms] (no tz) -> Spark 4.x reads TIMESTAMP_NTZ,
+#:   * timestamp with tz  -> plain TIMESTAMP (LTZ).
+#: The loader contract is: whatever the file stores, these columns come
+#: out as TIMESTAMP (LTZ, session tz pinned to UTC) with identical
+#: epoch values to DuckDB reading the same file.
 _NANOS_TS_COLUMNS = {
     "events": ["ts"],
     "orders": ["o_orderdate"],
@@ -34,13 +41,35 @@ _NANOS_TS_COLUMNS = {
 }
 
 
+def _normalize_ts(df: DataFrame, name: str) -> DataFrame:
+    """Coerce every known-timestamp column (and any other NTZ column)
+    to plain TIMESTAMP so downstream ``unix_millis``/``unix_micros``/
+    ``withWatermark`` calls work regardless of the file's physical
+    encoding. With the session timezone pinned to UTC the NTZ->LTZ
+    cast is epoch-identical to DuckDB's naive-timestamp reading."""
+    dtypes = dict(df.dtypes)
+    known = set(_NANOS_TS_COLUMNS.get(name, []))
+    for c in df.columns:
+        dt = dtypes[c]
+        if c in known and dt == "bigint":
+            # legacy TIMESTAMP(NANOS)-as-long encoding: ns -> µs
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def _pin_utc(spark: SparkSession) -> None:
+    # Make the NTZ->LTZ cast host-independent (and DuckDB-identical)
+    # even when the caller built its own SparkSession.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _pin_utc(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _NANOS_TS_COLUMNS.get(name, []):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-    return df
+    return _normalize_ts(df, name)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
@@ -67,6 +96,7 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     taken from a batch scan; nanos timestamps get the identical
     long->microsecond conversion as load_table."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _pin_utc(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
     # the file stream source only takes a directory -> scope it to the
     # one table file with pathGlobFilter
@@ -75,10 +105,7 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
-    for c in _NANOS_TS_COLUMNS.get(name, []):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-    return df
+    return _normalize_ts(df, name)
 
 
 SIGNAL_COLUMNS = ["symbol", "timestamp", "close", "buy", "sell"]
