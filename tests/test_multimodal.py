@@ -63,6 +63,107 @@ def test_garbage_and_truncated_bytes_are_null_not_error():
     assert parse_media_header(b"\xff\xd8\xff\xe0\x00\x10JF") == ("jpeg", None, None)
 
 
-def test_pixel_decode_remains_explicit_stub():
+def test_pixel_decode_non_png_remains_explicit_stub():
+    # JPEG/audio/video still have no codec in this container
     with pytest.raises(NotImplementedError):
+        decode_pixels(_jpeg(2, 2), "image")
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"opaque audio bytes", "audio")
+
+
+def test_pixel_decode_header_only_png_is_malformed():
+    # a PNG with IHDR but no IDAT is truncated, not a stub case
+    with pytest.raises(ValueError):
         decode_pixels(_png(2, 2), "image")
+
+
+# --- real PNG codec (stdlib zlib): encode -> decode round trip ------------
+
+
+def test_png_roundtrip_gradient():
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.multimodal import (
+        decode_png_rgb,
+        encode_png_rgb,
+        gradient_pixels,
+    )
+
+    for doc_id in (0, 6, 54, 600, 99996):
+        w, h = doc_id % 16 + 1, doc_id % 12 + 1
+        px = gradient_pixels(doc_id, w, h)
+        blob = encode_png_rgb(px)
+        # complete container: signature + parseable header + IEND
+        assert parse_media_header(blob) == ("png", w, h)
+        assert blob.endswith(b"IEND" + (0xAE426082).to_bytes(4, "big"))
+        back = decode_png_rgb(blob)
+        assert back.shape == (h, w, 3)
+        assert (back == px).all()
+        # analytic channel mean equals the decoded mean (oracle formula)
+        want_r = np.mean(
+            [(doc_id + x + y) % 256 for y in range(h) for x in range(w)]
+        )
+        assert abs(back[:, :, 0].astype(float).mean() - want_r) < 1e-12
+
+
+def test_png_decode_all_filter_types():
+    """Decoder must unfilter None/Sub/Up/Average/Paeth; the encoder only
+    emits Sub/Up, so build rows 0/3/4 with a reference filterer here."""
+    import zlib
+
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.multimodal import (
+        _png_chunk,
+        decode_png_rgb,
+    )
+
+    w, h = 5, 5
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    lines = bytearray()
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        row = px[y].reshape(-1).astype(np.int32)
+        prior = px[y - 1].reshape(-1).astype(np.int32) if y else np.zeros(w * 3, np.int32)
+        out = bytearray([ft])
+        for k in range(w * 3):
+            a = int(row[k - 3]) if k >= 3 else 0
+            b = int(prior[k])
+            c = int(prior[k - 3]) if (y and k >= 3) else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((int(row[k]) - pred) % 256)
+        lines += out
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (decode_png_rgb(blob) == px).all()
+
+
+def test_png_decode_rejects_corruption():
+    from tradesignal_mtm_runner_spark.operators.multimodal import (
+        decode_png_rgb,
+        encode_png_rgb,
+        gradient_pixels,
+    )
+
+    blob = bytearray(encode_png_rgb(gradient_pixels(6, 4, 4)))
+    blob[30] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    with pytest.raises(ValueError):
+        decode_png_rgb(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_png_rgb(b"not a png at all")

@@ -5,24 +5,31 @@ A 100 TB training-data pipeline carries images/audio/video as opaque
 feature-extract as Arrow-batched Python over ``mapInPandas`` — the
 executor-parallel, no-shuffle shape.
 
-The default decode path is REAL: image payloads carry genuine
-PNG/JPEG container headers and ``parse_media_header`` reads the
-format and pixel dimensions straight from the bytes (pure Python, no
-codec libraries). Only full pixel decode (``decode_pixels``) is
-stubbed behind ``NotImplementedError`` because no media codec ships
-in this container; swapping it for PIL/pyav changes nothing about the
-Spark plumbing around it.
+The decode paths are REAL: image payloads carry genuine PNG/JPEG
+container headers and ``parse_media_header`` reads the format and
+pixel dimensions straight from the bytes (pure Python, no codec
+libraries), and PNG payloads additionally decode to actual pixels via
+a stdlib-zlib codec (``encode_png_rgb``/``decode_png_rgb``: chunk
+walk, CRC verification, inflate, scanline unfiltering for all five
+filter types). Only JPEG/audio/video sample decode remains behind
+``NotImplementedError`` because those codecs don't ship in this
+container; plugging PIL/soundfile/pyav into ``decode_pixels`` changes
+nothing about the Spark plumbing around it.
 """
 
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -146,10 +153,128 @@ def parse_media_header(payload: bytes) -> tuple[str | None, int | None, int | No
     return (None, None, None)
 
 
+# ---------------------------------------------------------------------------
+# Real PNG codec (stdlib zlib only): encode + full pixel decode with
+# scanline unfiltering. Covers 8-bit RGB (color type 2); everything a
+# training pipeline needs to treat the image column as real data
+# without shipping PIL in the container.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + zlib.crc32(typ + data).to_bytes(4, "big")
+    )
+
+
+def encode_png_rgb(pixels: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3) uint8 array as a complete, spec-valid PNG
+    (signature + IHDR + IDAT + IEND, correct CRCs). Scanlines alternate
+    filter Sub (even rows) / Up (odd rows) so decoders must actually
+    unfilter — a filter-0-only writer would let a broken decoder pass."""
+    h, w, _ = pixels.shape
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, adaptive, no ilace
+    )
+    px = pixels.astype(np.int16)
+    lines = bytearray()
+    for y in range(h):
+        row = px[y].reshape(-1)  # stride = w*3
+        if y % 2 == 0:  # Sub: subtract left pixel (bpp=3 bytes back)
+            left = np.concatenate([np.zeros(3, np.int16), row[:-3]])
+            lines += bytes([1]) + ((row - left) % 256).astype(np.uint8).tobytes()
+        else:  # Up: subtract the prior raw scanline
+            prior = px[y - 1].reshape(-1)
+            lines += bytes([2]) + ((row - prior) % 256).astype(np.uint8).tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb(payload: bytes) -> np.ndarray:
+    """Full PNG pixel decode: chunk walk with CRC verification, IDAT
+    zlib-inflate, and per-scanline unfiltering for all five filter
+    types (None/Sub/Up/Average/Paeth). Returns an (h, w, 3) uint8
+    array. Raises ValueError on malformed bytes."""
+    b = bytes(payload)
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i, idat, w, h = 8, b"", None, None
+    while i + 12 <= len(b):
+        ln = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + ln]
+        crc = int.from_bytes(b[i + 8 + ln : i + 12 + ln], "big")
+        if zlib.crc32(typ + data) != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            if data[8] != 8 or data[9] != 2:
+                raise ValueError("only 8-bit RGB supported")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    raw = zlib.decompress(idat)
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size does not match dimensions")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        prior = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for k in range(bpp, stride):
+                line[k] = (line[k] + line[k - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            line = bytearray(
+                (np.frombuffer(bytes(line), np.uint8) + prior).astype(np.uint8)
+            )
+        elif ft == 3:  # Average
+            for k in range(stride):
+                left = line[k - bpp] if k >= bpp else 0
+                line[k] = (line[k] + (left + int(prior[k])) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for k in range(stride):
+                a = line[k - bpp] if k >= bpp else 0
+                bb = int(prior[k])
+                c = int(out[y - 1][k - bpp]) if (y and k >= bpp) else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                line[k] = (line[k] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out[y] = np.frombuffer(bytes(line), np.uint8)
+    return out.reshape(h, w, 3)
+
+
 def decode_pixels(payload: bytes, media_type: str):
-    """Full pixel/sample decode hook — plug PIL / soundfile / pyav
-    here. Not available in this container; header-level decode
-    (parse_media_header) is the real default path."""
+    """Full pixel/sample decode. PNG payloads decode for real via the
+    stdlib-zlib codec above; JPEG/audio/video have no codec in this
+    container — plug PIL / soundfile / pyav here (the Spark plumbing
+    around this hook is identical either way)."""
+    b = bytes(payload)
+    if b[:8] == _PNG_SIG:
+        return decode_png_rgb(b)
     raise NotImplementedError(
         f"no {media_type} codec installed; integrate PIL/soundfile/pyav "
         "in decode_pixels for pixel-level features"
@@ -201,3 +326,108 @@ def extract_features(assets: DataFrame, feature_mode: str = "decoded") -> DataFr
             )
 
     return assets.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Pixel-level path: deterministic gradient images as REAL PNGs, then a
+# decode pass that must round-trip the actual bytes. The gradient is a
+# closed-form function of (doc_id, x, y), so a SQL oracle can compute
+# the expected channel means analytically without any codec — if the
+# encoder, the filters, or the unfiltering are wrong, the means drift.
+
+#: output schema of extract_pixel_stats — stable driver-facing contract
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("n_px", LongType()),
+    ]
+)
+
+
+def gradient_pixels(doc_id: int, w: int, h: int) -> np.ndarray:
+    """The deterministic test image: R = (id+x+y)%256, G = (2id+x)%256,
+    B = (3id+y)%256 — mirrored analytically by the SQL oracle."""
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    r = (doc_id + x + y) % 256
+    g = (2 * doc_id + x + 0 * y) % 256
+    b = (3 * doc_id + y + 0 * x) % 256
+    return np.stack(
+        [np.broadcast_to(ch, (h, w)) for ch in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+
+
+def attach_png_pixel_payloads(
+    docs: DataFrame, id_col: str = "doc_id", max_w: int = 16, max_h: int = 12
+) -> DataFrame:
+    """PNG-id subset of ``documents`` (doc_id % 6 == 0, matching the
+    attach_payloads media split) with a complete gradient PNG per row:
+    w = id % max_w + 1, h = id % max_h + 1. Synthesis runs Arrow-batched
+    in ``mapInPandas`` — executor-parallel, no shuffle, images bounded
+    at max_w x max_h so payloads stay a few hundred bytes."""
+    subset = docs.filter(F.col(id_col) % 6 == 0).select(
+        F.col(id_col).cast("long").alias("doc_id")
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        encode_png_rgb(
+                            gradient_pixels(
+                                i, int(i % max_w + 1), int(i % max_h + 1)
+                            )
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return subset.mapInPandas(_synth, schema)
+
+
+def extract_pixel_stats(assets: DataFrame) -> DataFrame:
+    """Decode every PNG payload back to pixels (chunk walk, CRC check,
+    inflate, unfilter) and emit per-image channel means. Arrow-batched
+    ``mapInPandas``: scales with input partitions, no shuffle."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_png_rgb(payload).astype(np.float64)
+                h, w, _ = px.shape
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        round(float(px[:, :, 0].mean()), 9),
+                        round(float(px[:, :, 1].mean()), 9),
+                        round(float(px[:, :, 2].mean()), 9),
+                        w * h,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "mean_r", "mean_g", "mean_b", "n_px",
+                ],
+            )
+
+    return assets.mapInPandas(_stats, PIXEL_STATS_SCHEMA)

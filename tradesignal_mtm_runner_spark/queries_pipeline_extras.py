@@ -1701,7 +1701,60 @@ FROM per_doc
 """
 
 
+# --- C35 multimodal pixel decode (PNG, stdlib-zlib codec) -------------------
+
+
+def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-LEVEL image decode, fully real end-to-end: the PNG-id
+    subset of ``documents`` gets a complete spec-valid PNG payload
+    (gradient image, alternating Sub/Up scanline filters, correct
+    CRCs), and the feature pass decodes the actual bytes back —
+    chunk walk + CRC verify + zlib inflate + unfilter — then reports
+    per-image channel means (operators/multimodal.py).
+
+    The gradient is a closed form of (doc_id, x, y), so the oracle
+    computes the expected means analytically with no codec: any bug in
+    the encoder, the filter math, or the unfiltering shifts the means.
+    Both synthesis and decode run Arrow-batched in ``mapInPandas`` —
+    executor-parallel, no shuffle; at 100 TB this is the decode /
+    feature-extract shape (the real corpus would read payloads from
+    the lake instead of synthesizing them)."""
+    from .operators.multimodal import (
+        attach_png_pixel_payloads,
+        extract_pixel_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return extract_pixel_stats(attach_png_pixel_payloads(docs)).select(
+        "doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "n_px"
+    )
+
+
+MULTIMODAL_PIXELS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 + 1 AS INT) AS width,
+         CAST(doc_id % 12 + 1 AS INT) AS height
+  FROM documents WHERE doc_id % 6 = 0
+),
+px AS (
+  SELECT d.doc_id, d.width, d.height, xs.x, ys.y
+  FROM d
+  JOIN generate_series(0, 15) AS xs(x) ON xs.x < d.width
+  JOIN generate_series(0, 11) AS ys(y) ON ys.y < d.height
+)
+SELECT doc_id, width, height,
+       round(avg((doc_id + x + y) % 256), {R}) AS mean_r,
+       round(avg((2 * doc_id + x) % 256), {R}) AS mean_g,
+       round(avg((3 * doc_id + y) % 256), {R}) AS mean_b,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM px
+GROUP BY doc_id, width, height
+"""
+
+
 PIPELINE_EXTRA_QUERIES = {
+    "multimodal_pixels": multimodal_pixels,
     "contamination_check": contamination_check,
     "train_val_split": train_val_split,
     "pii_scrub": pii_scrub,
@@ -1724,6 +1777,7 @@ PIPELINE_EXTRA_QUERIES = {
 }
 
 PIPELINE_EXTRA_ORACLES = {
+    "multimodal_pixels": MULTIMODAL_PIXELS_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "train_val_split": TRAIN_VAL_SPLIT_SQL,
     "pii_scrub": PII_SCRUB_SQL,
