@@ -36,6 +36,11 @@ HEADLINERS = [
     "skew_join_salted",
     "multimodal_decode",
     "mtm_streaming",
+    # risk/tech-indicator family: first benched in round 4 (the bounded
+    # 20-element EMA array fold had no sf0.1 numbers before)
+    "risk_metrics",
+    "trade_stats",
+    "tech_indicators",
 ]
 
 

@@ -1473,7 +1473,248 @@ GROUP BY c_nationkey
 """
 
 
+# --- B32: TPC-H Q8 national market share --------------------------------------
+
+Q8_REGION = "EUROPE"
+Q8_NATION = "NATION_7"
+Q8_TYPE = "PROMO"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: yearly share of one supplier nation's revenue within a
+    region's market for one part type (reference scope: the analytics
+    surface of SURVEY §2). Shape notes for 100 TB: the two fact tables
+    (lineitem, orders) hash-join on their key; every dimension —
+    part-filtered-by-type, customer's nation→region, supplier's nation
+    — is broadcast, so the big side is shuffled exactly once. The
+    nation table joins twice under different roles; both sides get
+    role-prefixed column names before the join so no ambiguous-column
+    resolution is left to chance."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == Q8_TYPE)
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cust_nation = (
+        _t(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("cn_nationkey"),
+            F.col("n_regionkey").alias("cn_regionkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+            ),
+            F.col("cn_regionkey") == F.col("r_regionkey"),
+        )
+        .select("cn_nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supp_nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nation), cust.c_nationkey == F.col("cn_nationkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nation), supp.s_nationkey == F.col("sn_nationkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(0.0))
+                / F.sum(vol),
+                9,
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(CASE WHEN n2.n_name = '{Q8_NATION}'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 9) AS mkt_share
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_type = '{Q8_TYPE}'
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n1.n_regionkey AND r_name = '{Q8_REGION}'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+# --- B33: TPC-H Q9-style profit by nation and year ---------------------------
+
+Q9_PART_WORD = "gear"
+#: the testdata has no partsupp table, so supply cost is proxied as a
+#: fixed fraction of the part's retail price (same formula on both
+#: engines); the join/agg SHAPE — two facts + three broadcast dims,
+#: profit expression, (nation, year) rollup — is Q9's.
+Q9_COST_FRAC = 0.5
+
+
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted): per supplier-nation per order-year profit
+    over parts whose name contains a word. amount = revenue - cost,
+    cost proxied via p_retailprice (no partsupp in the testdata).
+    lineitem⨝orders is the one big join; part (name-filtered),
+    supplier, nation broadcast. Rounded on both engines."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(Q9_PART_WORD))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(Q9_COST_FRAC) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), R_MONEY).alias("sum_profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - {Q9_COST_FRAC} * p_retailprice * l_quantity),
+             {R_MONEY}) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_name LIKE '%{Q9_PART_WORD}%'
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY 1, 2
+"""
+
+
+# --- B34: TPC-H Q21-style suppliers who kept orders waiting -------------------
+
+#: a lineitem is "late" when it shipped more than this many days after
+#: the order date (the testdata carries no commit/receipt dates, so
+#: ship-lag stands in; the semi+anti double self-correlation is Q21's)
+Q21_LATE_DAYS = 180
+Q21_TOP = 20
+
+
+def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted): suppliers that were the SOLE late shipper
+    on finished multi-supplier orders. Shape: the late fact (l1) is
+    semi-joined against "some other supplier on the order" and
+    anti-joined against "some other supplier was also late" — both
+    correlations stay key-local (hash on l_orderkey), output bounded
+    by l1, never expanded; then one small count-rollup and a
+    deterministic top-N. At 100 TB all three lineitem roles shuffle on
+    the same key, so AQE can pipeline them off one exchange."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {Q21_LATE_DAYS} DAYS"
+    )
+    l1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(late)
+        .select(
+            F.col("l_orderkey").alias("k1"), F.col("l_suppkey").alias("s1")
+        )
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(late)
+        .select(
+            F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+        )
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("k1") == F.col("k2")) & (F.col("s1") != F.col("s2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("k1") == F.col("k3")) & (F.col("s1") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(supp), F.col("s1") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(Q21_TOP)
+    )
+
+
+Q21_SQL = f"""
+WITH l1 AS (
+  SELECT l_orderkey AS k1, l_suppkey AS s1
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l1 JOIN supplier ON s1 = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = k1 AND l2.l_suppkey <> s1)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = k1 AND l3.l_suppkey <> s1
+                    AND o3.o_orderstatus = 'F'
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT {Q21_TOP}
+"""
+
+
 ANALYTICS_EXTRA_QUERIES = {
+    "q8_market_share": q8_market_share,
+    "q9_profit_by_nation": q9_profit_by_nation,
+    "q21_late_suppliers": q21_late_suppliers,
     "q7_volume_shipping": q7_volume_shipping,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
@@ -1487,6 +1728,9 @@ ANALYTICS_EXTRA_QUERIES = {
 }
 
 ANALYTICS_EXTRA_ORACLES = {
+    "q8_market_share": Q8_SQL,
+    "q9_profit_by_nation": Q9_SQL,
+    "q21_late_suppliers": Q21_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q14_promo_revenue": Q14_SQL,
     "q15_top_supplier": Q15_SQL,

@@ -273,8 +273,10 @@ def tech_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     fe = w.rowsBetween(-(EMA_CAP - 1), 0)
 
     diff = F.col("close") - F.lag("close").over(w)
+    # try_divide: a zero close yields NULL (= DuckDB's x/0 semantics)
+    # instead of an ANSI DIVIDE_BY_ZERO — zeros exist at sf0.1+
     base = sig.withColumn("_diff", diff).withColumn(
-        "_ret", F.col("close") / F.lag("close").over(w) - 1
+        "_ret", F.try_divide(F.col("close"), F.lag("close").over(w)) - 1
     )
     gain = F.when(F.col("_diff").isNull(), F.lit(None).cast("double")).otherwise(
         F.greatest(F.col("_diff"), F.lit(0.0))
@@ -295,7 +297,9 @@ def tech_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(loss).over(f14).alias("_al"),
         F.count("_ret").over(f20).alias("_nr"),
         F.stddev_pop("_ret").over(f20).alias("_vol"),
-        (F.col("close") / F.lag("close", 10).over(w) - 1).alias("_roc"),
+        (F.try_divide(F.col("close"), F.lag("close", 10).over(w)) - 1).alias(
+            "_roc"
+        ),
         F.collect_list("close").over(fe).alias("_arr"),
     )
     full20 = F.col("_n20") == 20
