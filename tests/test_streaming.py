@@ -13,6 +13,20 @@ import pandas as pd
 from tests.conftest import SF_SMOKE
 
 
+def test_stream_source_event_time_is_watermarkable(spark):
+    """Every streaming path watermarks on the loader's event-time
+    column, and ``withWatermark`` hard-rejects TIMESTAMP_NTZ — the
+    round-3 regression class where testdata re-encoded as naive
+    timestamp[us] broke every streaming query. Pin the normalized
+    dtype and the watermark's legality at the source, so a loader
+    change that leaks NTZ fails here, not in five query families."""
+    from tradesignal_mtm_runner_spark.sources import stream_table
+
+    sdf = stream_table(spark, SF_SMOKE, "events")
+    assert dict(sdf.dtypes)["ts"] == "timestamp"
+    sdf.withWatermark("ts", "10 minutes")  # raises AnalysisException on NTZ
+
+
 def _signals_pdf(spark):
     from tradesignal_mtm_runner_spark.sources import load_table, signals_from_events
 

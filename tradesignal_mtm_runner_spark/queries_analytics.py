@@ -1711,7 +1711,50 @@ LIMIT {Q21_TOP}
 """
 
 
+# --- B35: semi-structured JSON extraction over events.props ------------------
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the semi-structured ``props`` JSON column
+    and a per-event-type rollup of the extracted field. Uses
+    ``from_json`` with an explicit schema — ONE schema-driven JVM-side
+    parse per row (codegen, no Python), which is the 100 TB shape:
+    schema-on-read without an inference pass, and Catalyst prunes the
+    struct down to the single extracted field. The oracle extracts
+    the same field with DuckDB's JSON operators."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "props")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.withColumn("_k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("_k").cast("long").alias("n_with_k"),
+            F.sum("_k").cast("long").alias("sum_k"),
+            F.round(F.avg("_k"), 9).alias("avg_k"),
+            F.min("_k").cast("int").alias("min_k"),
+            F.max("_k").cast("int").alias("max_k"),
+        )
+    )
+
+
+EVENTS_JSON_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 9) AS avg_k,
+       CAST(min(k) AS INT) AS min_k,
+       CAST(max(k) AS INT) AS max_k
+FROM e GROUP BY event_type
+"""
+
+
 ANALYTICS_EXTRA_QUERIES = {
+    "events_json_extract": events_json_extract,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation": q9_profit_by_nation,
     "q21_late_suppliers": q21_late_suppliers,
@@ -1728,6 +1771,7 @@ ANALYTICS_EXTRA_QUERIES = {
 }
 
 ANALYTICS_EXTRA_ORACLES = {
+    "events_json_extract": EVENTS_JSON_SQL,
     "q8_market_share": Q8_SQL,
     "q9_profit_by_nation": Q9_SQL,
     "q21_late_suppliers": Q21_SQL,
