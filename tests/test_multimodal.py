@@ -167,3 +167,31 @@ def test_png_decode_rejects_corruption():
         decode_png_rgb(bytes(blob))
     with pytest.raises(ValueError):
         decode_png_rgb(b"not a png at all")
+
+
+def test_png_roundtrip_property():
+    """Hypothesis: ANY small RGB image round-trips through the codec
+    bit-exactly (encoder filter choice and decoder unfiltering are
+    inverse for arbitrary pixel content, not just gradients)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tradesignal_mtm_runner_spark.operators.multimodal import (
+        decode_png_rgb,
+        encode_png_rgb,
+    )
+
+    import numpy as np
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=20),
+        h=st.integers(min_value=1, max_value=20),
+        seed=st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def _roundtrip(w: int, h: int, seed: int) -> None:
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert (decode_png_rgb(encode_png_rgb(px)) == px).all()
+
+    _roundtrip()
