@@ -24,6 +24,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from tradesignal_mtm_runner_spark.operators.layout import (  # noqa: E402
     file_skip_stats,
+    quantile_bounds,
     write_zordered,
 )
 from tradesignal_mtm_runner_spark.session import get_spark  # noqa: E402
@@ -62,6 +63,13 @@ def main() -> None:
         p = f"{tmp}/zorder"
         write_zordered(events, p, ["user_id", "value"], bounds, N_FILES)
         layouts["z-order (user_id, value)"] = p
+
+        # same curve, grid clipped to the quantile body: restores
+        # resolution that value's heavy tail wastes under min/max
+        p = f"{tmp}/zorder_q"
+        qb = quantile_bounds(events, ["user_id", "value"])
+        write_zordered(events, p, ["user_id", "value"], qb, N_FILES)
+        layouts["z-order, quantile bounds"] = p
 
         # narrow predicates: ~1% of each dimension's range
         uid_pred = (100, 100 + max(1, int(uid_hi * 0.01)))

@@ -174,3 +174,35 @@ def test_register_views_enables_raw_sql(spark):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_quantile_bounds_clip_the_tail(spark, tmp_path):
+    """quantile_bounds must clip heavy tails: the hi bound for the
+    right-skewed events value column lands well below max(value), the
+    grid still covers the data (clamped, row-count preserved), and the
+    clipped-grid z-order prunes the dense value body at least as well
+    as the min/max grid."""
+    from tradesignal_mtm_runner_spark.operators.layout import quantile_bounds
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "value", "event_id"
+    )
+    qb = quantile_bounds(ev, ["user_id", "value"], clip=0.02)
+    v_max = ev.agg(F.max("value")).first()[0]
+    assert qb["value"][1] < v_max * 0.9, (qb["value"], v_max)
+    assert qb["value"][0] <= qb["value"][1]
+
+    mm = _bounds(ev, ["user_id", "value"])
+    p_mm, p_qb = str(tmp_path / "mm"), str(tmp_path / "qb")
+    write_zordered(ev, p_mm, ["user_id", "value"], mm, num_files=N_FILES)
+    write_zordered(ev, p_qb, ["user_id", "value"], qb, num_files=N_FILES)
+    assert spark.read.parquet(p_qb).count() == ev.count()
+
+    # probe a band inside the dense value body (between the clipped
+    # quantiles), where the clipped grid has strictly finer cells
+    lo, hi = qb["value"]
+    band = (lo + 0.40 * (hi - lo), lo + 0.50 * (hi - lo))
+    skip_mm, tot_mm = file_skip_stats(p_mm, "value", *band)
+    skip_qb, tot_qb = file_skip_stats(p_qb, "value", *band)
+    assert tot_qb >= N_FILES
+    assert skip_qb >= skip_mm, f"quantile grid {skip_qb}/{tot_qb} vs min/max {skip_mm}/{tot_mm}"

@@ -82,6 +82,24 @@ def write_zordered(
     )
 
 
+def quantile_bounds(
+    df: DataFrame, cols: list[str], clip: float = 0.02, rel_err: float = 0.01
+) -> dict[str, tuple[float, float]]:
+    """(lo, hi) quantization bounds per column from the (clip,
+    1-clip) approximate quantiles instead of min/max. Heavy-tailed
+    columns make min/max-linear grids mostly empty — a handful of
+    outliers stretches the range so every file's min-max stays wide
+    and the z-curve stops pruning (measured in docs/PLANS.md §layout).
+    Clipping the grid to the quantile body restores resolution where
+    the data actually lives; out-of-range values clamp to the edge
+    cells via quantize()'s least/greatest. One approx-quantile pass
+    (Greenwald-Khanna, map-side mergeable — no sort, no full scan
+    materialization); at 100 TB run it on a sample or reuse table
+    statistics."""
+    qs = df.stat.approxQuantile(cols, [clip, 1.0 - clip], rel_err)
+    return {c: (float(lo), float(hi)) for c, (lo, hi) in zip(cols, qs)}
+
+
 def file_skip_stats(path: str, col: str, lo, hi) -> tuple[int, int]:
     """(skippable, total) parquet row groups for predicate
     ``col BETWEEN lo AND hi``, judged from footer min-max statistics —

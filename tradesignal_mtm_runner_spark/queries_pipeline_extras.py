@@ -1701,6 +1701,66 @@ FROM per_doc
 """
 
 
+# --- C36 incremental dedup against an existing corpus ------------------------
+
+#: doc_id % INC_MOD == 0 plays the "newly ingested batch"; the rest is
+#: the already-deduplicated base corpus
+INC_MOD = 4
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continual-ingest dedup: a new batch is admitted only where its
+    content hash collides with NEITHER the existing base corpus NOR an
+    earlier document inside the same batch (min-doc_id wins in-batch).
+
+    This is the shape every long-lived training pipeline runs on each
+    crawl drop — never re-deduplicate the whole corpus, only probe the
+    new slice against the standing index. Scale notes: the base side
+    reduces to DISTINCT content hashes (in production, the persisted
+    dedup index — bucketed by hash so the probe is shuffle-free); the
+    probe is a LEFT ANTI join keyed on the hash (output bounded by the
+    new batch); the in-batch tiebreak is one per-hash min-aggregate
+    over the NEW slice only, broadcast-joinable because a crawl drop
+    is small relative to the corpus. Nothing ever scans base content
+    twice and no step is O(corpus x batch)."""
+    d = _docs(spark, sf_dir).select("doc_id", F.md5(F.col("text")).alias("h"))
+    new = d.filter(F.col("doc_id") % INC_MOD == 0)
+    base_hashes = (
+        d.filter(F.col("doc_id") % INC_MOD != 0).select("h").distinct()
+    )
+    vs_base = new.join(base_hashes, "h", "left_anti")
+    first_in_batch = vs_base.groupBy("h").agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    return (
+        new.join(F.broadcast(first_in_batch), "h", "left")
+        .select(
+            "doc_id",
+            (F.col("keep_id") == F.col("doc_id")).alias("is_admitted"),
+            F.when(F.col("keep_id").isNull(), F.lit("dup_of_base"))
+            .when(F.col("keep_id") != F.col("doc_id"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+        .withColumn("is_admitted", F.coalesce("is_admitted", F.lit(False)))
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+new AS (SELECT * FROM d WHERE doc_id % {INC_MOD} = 0),
+base AS (SELECT DISTINCT h FROM d WHERE doc_id % {INC_MOD} != 0),
+vs_base AS (SELECT * FROM new WHERE h NOT IN (SELECT h FROM base)),
+first_in_batch AS (SELECT h, min(doc_id) AS keep_id FROM vs_base GROUP BY h)
+SELECT n.doc_id,
+       COALESCE(f.keep_id = n.doc_id, FALSE) AS is_admitted,
+       CASE WHEN f.keep_id IS NULL THEN 'dup_of_base'
+            WHEN f.keep_id != n.doc_id THEN 'dup_in_batch'
+            ELSE 'new' END AS status
+FROM new n LEFT JOIN first_in_batch f USING (h)
+"""
+
+
 # --- C35 multimodal pixel decode (PNG, stdlib-zlib codec) -------------------
 
 
@@ -1754,6 +1814,7 @@ GROUP BY doc_id, width, height
 
 
 PIPELINE_EXTRA_QUERIES = {
+    "dedup_incremental": dedup_incremental,
     "multimodal_pixels": multimodal_pixels,
     "contamination_check": contamination_check,
     "train_val_split": train_val_split,
@@ -1777,6 +1838,7 @@ PIPELINE_EXTRA_QUERIES = {
 }
 
 PIPELINE_EXTRA_ORACLES = {
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "multimodal_pixels": MULTIMODAL_PIXELS_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "train_val_split": TRAIN_VAL_SPLIT_SQL,
