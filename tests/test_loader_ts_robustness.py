@@ -104,3 +104,49 @@ def test_generic_ntz_column_normalized_for_unknown_table(spark, tmp_path):
     _write_events(str(tmp_path / "mystery.parquet"), "us", None)
     df = load_table(spark, str(tmp_path), "mystery")
     assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_embedding_element_type_drift(spark, tmp_path):
+    """The embeddings column has the same encoding-drift exposure as
+    the timestamp columns: a regeneration could switch list<float> to
+    list<double>. The ANN queries must produce identical results for
+    both (the operators cast to array<double> at the boundary)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(0, 1, (30, 8))
+    dirs = {}
+    for label, typ in [("f32", pa.float32()), ("f64", pa.float64())]:
+        d = tmp_path / label
+        d.mkdir()
+        table = pa.table(
+            {
+                "vec_id": pa.array(range(30), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], type=pa.list_(typ)
+                ),
+                "label": pa.array([i % 3 for i in range(30)], type=pa.int32()),
+            }
+        )
+        pq.write_table(table, str(d / "embeddings.parquet"))
+        dirs[label] = str(d)
+
+    from tradesignal_mtm_runner_spark.queries_pipeline import ann_cosine_topk
+
+    outs = {}
+    for label, d in dirs.items():
+        pdf = (
+            ann_cosine_topk(spark, d)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        outs[label] = pdf
+    a, b = outs["f32"], outs["f64"]
+    assert len(a) == len(b) > 0
+    assert (a["corpus_id"].values == b["corpus_id"].values).all()
+    # f32 storage quantizes the inputs; scores agree to float32 eps
+    assert np.allclose(a["cosine"].values, b["cosine"].values, atol=1e-6)
