@@ -206,3 +206,18 @@ def test_quantile_bounds_clip_the_tail(spark, tmp_path):
     skip_qb, tot_qb = file_skip_stats(p_qb, "value", *band)
     assert tot_qb >= N_FILES
     assert skip_qb >= skip_mm, f"quantile grid {skip_qb}/{tot_qb} vs min/max {skip_mm}/{tot_mm}"
+
+
+def test_quantile_bounds_all_null_column_is_clear_error(spark):
+    """An all-NULL column used to die with an unpack ValueError deep in
+    the zip; it must name the offending column instead (ADVICE r4)."""
+    import pytest as _pytest
+
+    from tradesignal_mtm_runner_spark.operators.layout import quantile_bounds
+
+    df = spark.range(10).selectExpr(
+        "cast(id as double) AS ok", "cast(NULL as double) AS dead"
+    )
+    with _pytest.raises(ValueError, match="dead"):
+        quantile_bounds(df, ["ok", "dead"])
+    assert set(quantile_bounds(df, ["ok"])) == {"ok"}

@@ -195,3 +195,64 @@ def test_png_roundtrip_property():
         assert (decode_png_rgb(encode_png_rgb(px)) == px).all()
 
     _roundtrip()
+
+
+def test_png_decode_bounds_adversarial_payloads():
+    """Untrusted-input hardening (ADVICE r4): huge declared dims, a
+    deflate bomb, and a chunk whose declared length overruns the
+    buffer must all fail fast with ValueError — never allocate
+    h*w-scale memory for a payload that can't back it."""
+    import zlib as _zlib
+
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.multimodal import (
+        MAX_DECODE_PIXELS,
+        decode_png_rgb,
+        encode_png_rgb,
+        gradient_pixels,
+    )
+
+    def _chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + _zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    # 1) adversarial IHDR: 2^31 x 2^31 px declared, tiny body
+    ihdr = (
+        (1 << 31).to_bytes(4, "big")
+        + (1 << 31).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    bomb_dims = sig + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", b"x") + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="too large"):
+        decode_png_rgb(bomb_dims)
+    assert (1 << 31) ** 2 > MAX_DECODE_PIXELS  # the guard is what fired
+
+    # 2) deflate bomb: dims say 2x2 but the stream inflates to 10 MB —
+    # the bounded decompressobj must stop at expected+1 bytes
+    ihdr2 = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    bomb_stream = (
+        sig
+        + _chunk(b"IHDR", ihdr2)
+        + _chunk(b"IDAT", _zlib.compress(b"\x00" * (10 * 1024 * 1024)))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        decode_png_rgb(bomb_stream)
+
+    # 3) chunk length overruns the buffer
+    good = bytearray(encode_png_rgb(gradient_pixels(3, 4, 4)))
+    good[8:12] = (1 << 24).to_bytes(4, "big")  # IHDR claims 16 MB of data
+    with pytest.raises(ValueError, match="exceeds remaining buffer"):
+        decode_png_rgb(bytes(good))
+
+    # 4) a legitimate image still decodes after the hardening
+    px = gradient_pixels(9, 5, 7)
+    assert (decode_png_rgb(encode_png_rgb(px)) == px).all()
+    assert isinstance(px, np.ndarray)

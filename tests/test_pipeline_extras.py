@@ -8,7 +8,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from tests.conftest import SF_SMOKE
-from tradesignal_mtm_runner_spark.queries import EXTRA_QUERIES
+from tradesignal_mtm_runner_spark.queries import ALL_QUERIES
 from tradesignal_mtm_runner_spark.queries_pipeline_extras import (
     EVAL_MOD,
     PACK_CONTEXT,
@@ -21,7 +21,7 @@ SF_MID = "/root/testdata/sf0.01"
 
 
 def _run(spark, name, sf=SF_SMOKE):
-    return EXTRA_QUERIES[name](spark, sf)
+    return ALL_QUERIES[name](spark, sf)
 
 
 def test_split_fractions_and_stability(spark):
@@ -49,7 +49,7 @@ def test_split_fractions_and_stability(spark):
 def test_stratified_sample_rates(spark):
     """Observed per-language keep rates are within binomial noise of
     the configured rates."""
-    docs = EXTRA_QUERIES["train_val_split"](spark, SF_MID).groupBy("lang").count()
+    docs = ALL_QUERIES["train_val_split"](spark, SF_MID).groupBy("lang").count()
     totals = {r["lang"]: r["count"] for r in docs.collect()}
     kept = {
         r["lang"]: r["count"]

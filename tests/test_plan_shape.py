@@ -7,11 +7,11 @@ from __future__ import annotations
 
 from tests.conftest import SF_SMOKE
 from tradesignal_mtm_runner_spark import plans as P
-from tradesignal_mtm_runner_spark.queries import QUERIES
+from tradesignal_mtm_runner_spark.queries import ALL_QUERIES
 
 
 def _df(spark, name):
-    return QUERIES[name](spark, SF_SMOKE)
+    return ALL_QUERIES[name](spark, SF_SMOKE)
 
 
 def test_q6_filters_reach_scan_and_columns_prune(spark):
@@ -130,9 +130,7 @@ def test_token_histogram_distributed_topk(spark):
 # --- C20+ pipeline extras ---------------------------------------------------
 
 def _xdf(spark, name):
-    from tradesignal_mtm_runner_spark.queries import EXTRA_QUERIES
-
-    return EXTRA_QUERIES[name](spark, SF_SMOKE)
+    return ALL_QUERIES[name](spark, SF_SMOKE)
 
 
 def test_row_local_extras_ride_the_scan(spark):
@@ -232,6 +230,30 @@ def test_q17_threshold_joins_broadcast(spark):
     df = _xdf(spark, "q17_small_qty_revenue")
     assert P.broadcast_join_count(df) >= 2
     assert "SortMergeJoin" not in P.explain_str(df)
+
+
+def test_dedup_incremental_no_batch_broadcast_hint(spark):
+    """The in-batch min-aggregate is batch-sized — a bootstrap batch
+    is corpus-sized — so it must carry NO explicit broadcast hint
+    (VERDICT r4 item 2): AQE may still broadcast it at runtime while
+    it measures small, but the static plan must leave that choice to
+    the size estimate, and the sort-merge fallback is co-partitioned
+    on h (the aggregate's own shuffle key)."""
+    df = _xdf(spark, "dedup_incremental")
+    assert P.broadcast_hint_count(df) == 0
+    assert P.exchange_count(df) <= 3
+    plan = P.explain_str(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_q8_hints_only_bounded_dims(spark):
+    """supplier and the type-filtered part slice grow with SF — only
+    the nation/region-derived dims (≤25 rows at any SF) may carry
+    explicit broadcast hints (ADVICE r4)."""
+    df = _xdf(spark, "q8_market_share")
+    assert P.broadcast_hint_count(df) <= 3  # region + cust_nation + supp_nation
+    plan = P.explain_str(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
 def test_q22_anti_join_bounded(spark):

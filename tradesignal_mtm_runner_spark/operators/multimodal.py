@@ -161,6 +161,12 @@ def parse_media_header(payload: bytes) -> tuple[str | None, int | None, int | No
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: decode ceiling: 2^24 px ≈ 50 MB of RGB per image. The decoder runs
+#: inside executor Python workers over untrusted crawled payloads — an
+#: adversarial IHDR (huge declared dims) or a deflate bomb must fail
+#: fast with ValueError, never allocate unbounded memory (ADVICE r4).
+MAX_DECODE_PIXELS = 1 << 24
+
 
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
     return (
@@ -211,6 +217,8 @@ def decode_png_rgb(payload: bytes) -> np.ndarray:
     i, idat, w, h = 8, b"", None, None
     while i + 12 <= len(b):
         ln = int.from_bytes(b[i : i + 4], "big")
+        if ln > len(b) - i - 12:
+            raise ValueError("chunk length exceeds remaining buffer")
         typ = b[i + 4 : i + 8]
         data = b[i + 8 : i + 8 + ln]
         crc = int.from_bytes(b[i + 8 + ln : i + 12 + ln], "big")
@@ -219,18 +227,28 @@ def decode_png_rgb(payload: bytes) -> np.ndarray:
         if typ == b"IHDR":
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
+            if w < 1 or h < 1:
+                raise ValueError("bad dimensions")
+            if w * h > MAX_DECODE_PIXELS:
+                raise ValueError(f"image too large: {w}x{h}")
             if data[8] != 8 or data[9] != 2:
                 raise ValueError("only 8-bit RGB supported")
         elif typ == b"IDAT":
+            if w is None:
+                raise ValueError("IDAT before IHDR")
             idat += data
         elif typ == b"IEND":
             break
         i += 12 + ln
     if w is None or not idat:
         raise ValueError("missing IHDR or IDAT")
-    raw = zlib.decompress(idat)
     bpp, stride = 3, w * 3
-    if len(raw) != h * (stride + 1):
+    # bounded inflate: never allocate more than the dims warrant, no
+    # matter what the (possibly adversarial) deflate stream expands to
+    expected = h * (stride + 1)
+    d = zlib.decompressobj()
+    raw = d.decompress(idat, expected + 1)
+    if len(raw) != expected:
         raise ValueError("IDAT size does not match dimensions")
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0

@@ -46,6 +46,23 @@ def broadcast_join_count(df: DataFrame) -> int:
     return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", explain_str(df)))
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """EXPLICIT broadcast hints in the analyzed logical plan.
+
+    Distinct from broadcast_join_count: a stats-driven broadcast (the
+    side measured under autoBroadcastJoinThreshold, possibly by AQE at
+    runtime) degrades gracefully when the relation grows, while an
+    explicit ``F.broadcast()`` hint is honored unconditionally and
+    OOMs the driver once the hinted side scales past memory. Tests pin
+    this to 0 for any join side that grows with the data."""
+    return len(
+        re.findall(
+            r"ResolvedHint \(strategy=broadcast\)",
+            df._jdf.queryExecution().analyzed().toString(),
+        )
+    )
+
+
 def exchange_count(df: DataFrame) -> int:
     """Shuffle exchanges in the plan (broadcast exchanges excluded)."""
     return len(

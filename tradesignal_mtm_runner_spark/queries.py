@@ -579,3 +579,53 @@ from .queries_risk import RISK_EXTRA_ORACLES, RISK_EXTRA_QUERIES  # noqa: E402
 
 EXTRA_QUERIES.update(RISK_EXTRA_QUERIES)
 EXTRA_ORACLES.update(RISK_EXTRA_ORACLES)
+
+# --- round-5 driver-window rotation (VERDICT r4, next-round item 1) ---------
+# The driver CORRECTNESS harness only ever sees the first 50 queries();
+# everything else is verified by the identical DuckDB harness in pytest.
+# To convert "pytest says green" into "driver says green" for queries that
+# have never crossed the driver's independent window, long-green
+# low-information slots (row-local projections, simple aggregates whose
+# shapes are also exercised by other window keys) rotate OUT to the pytest
+# registry and never-driver-verified keys rotate IN.  Total pytest coverage
+# is unchanged: tests/test_queries_oracle.py runs QUERIES ∪ EXTRA_QUERIES.
+ROTATED_OUT = (
+    "price_movement",
+    "value_histogram",
+    "events_pivot",
+    "distinct_users_daily",
+    "token_count",
+    "doc_fingerprint",
+    "text_stats",
+    "lang_id",
+    "q6_revenue_delta",
+    "token_histogram",
+)
+ROTATED_IN = (
+    "q8_market_share",
+    "q21_late_suppliers",
+    "events_json_extract",
+    "dedup_incremental",
+    "multimodal_pixels",
+    "risk_metrics",
+    "trade_stats",
+    "dedup_substring",
+    "bpe_apply",
+    "dedup_semantic",
+)
+for _k in ROTATED_OUT:
+    EXTRA_QUERIES[_k] = QUERIES.pop(_k)
+    if _k in ORACLES:
+        EXTRA_ORACLES[_k] = ORACLES.pop(_k)
+for _k in ROTATED_IN:
+    QUERIES[_k] = EXTRA_QUERIES.pop(_k)
+    if _k in EXTRA_ORACLES:
+        ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+
+# Rotation-proof merged view for tests and tooling: every registered
+# query regardless of which side of the driver window it sits on.
+ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    **QUERIES,
+    **EXTRA_QUERIES,
+}
+ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

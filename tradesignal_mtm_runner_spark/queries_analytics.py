@@ -1484,12 +1484,16 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: yearly share of one supplier nation's revenue within a
     region's market for one part type (reference scope: the analytics
     surface of SURVEY §2). Shape notes for 100 TB: the two fact tables
-    (lineitem, orders) hash-join on their key; every dimension —
-    part-filtered-by-type, customer's nation→region, supplier's nation
-    — is broadcast, so the big side is shuffled exactly once. The
-    nation table joins twice under different roles; both sides get
-    role-prefixed column names before the join so no ambiguous-column
-    resolution is left to chance."""
+    (lineitem, orders) hash-join on their key; the bounded dimensions
+    (nation→region derivatives: ≤25 rows at every SF) carry explicit
+    broadcast hints.  supplier and the type-filtered part slice GROW
+    WITH SF (~1M suppliers at sf100, more at 100 TB), so they carry no
+    hint — an explicit hint is honored unconditionally and would OOM
+    the driver at scale, while AQE broadcasts them only while their
+    measured size stays under the threshold and degrades to a shuffle
+    join past it. The nation table joins twice under different roles;
+    both sides get role-prefixed column names before the join so no
+    ambiguous-column resolution is left to chance."""
     part = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_type") == Q8_TYPE)
@@ -1524,11 +1528,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cust_nation), cust.c_nationkey == F.col("cn_nationkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(supp_nation), supp.s_nationkey == F.col("sn_nationkey"))
     )
     return (

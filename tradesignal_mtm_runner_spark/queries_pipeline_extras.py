@@ -1720,9 +1720,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup index — bucketed by hash so the probe is shuffle-free); the
     probe is a LEFT ANTI join keyed on the hash (output bounded by the
     new batch); the in-batch tiebreak is one per-hash min-aggregate
-    over the NEW slice only, broadcast-joinable because a crawl drop
-    is small relative to the corpus. Nothing ever scans base content
-    twice and no step is O(corpus x batch)."""
+    over the NEW slice only.  No broadcast hint on that aggregate: a
+    bootstrap or backfill "batch" can be corpus-sized, so the join is
+    left to AQE — and because the aggregate's shuffle key IS the join
+    key ``h``, the sort-merge fallback is co-partitioned (exchange
+    reuse, no extra shuffle; pinned in test_plan_shape).  Nothing ever
+    scans base content twice and no step is O(corpus x batch)."""
     d = _docs(spark, sf_dir).select("doc_id", F.md5(F.col("text")).alias("h"))
     new = d.filter(F.col("doc_id") % INC_MOD == 0)
     base_hashes = (
@@ -1733,7 +1736,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_id")
     )
     return (
-        new.join(F.broadcast(first_in_batch), "h", "left")
+        new.join(first_in_batch, "h", "left")
         .select(
             "doc_id",
             (F.col("keep_id") == F.col("doc_id")).alias("is_admitted"),
@@ -1750,7 +1753,11 @@ DEDUP_INCREMENTAL_SQL = f"""
 WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
 new AS (SELECT * FROM d WHERE doc_id % {INC_MOD} = 0),
 base AS (SELECT DISTINCT h FROM d WHERE doc_id % {INC_MOD} != 0),
-vs_base AS (SELECT * FROM new WHERE h NOT IN (SELECT h FROM base)),
+-- NOT EXISTS, not NOT IN: NOT IN's three-valued logic silently drops
+-- every row when any hash is NULL (nullable text), while Spark's
+-- left_anti keeps null-keyed probe rows — NOT EXISTS matches left_anti.
+vs_base AS (SELECT n.* FROM new n
+            WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.h = n.h)),
 first_in_batch AS (SELECT h, min(doc_id) AS keep_id FROM vs_base GROUP BY h)
 SELECT n.doc_id,
        COALESCE(f.keep_id = n.doc_id, FALSE) AS is_admitted,
