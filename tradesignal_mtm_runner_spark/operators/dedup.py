@@ -415,3 +415,50 @@ def connected_canonical(
         F.col("lab").alias("canonical_id"),
         (F.col(id_col) == F.col("lab")).alias("keep"),
     )
+
+
+# --- incremental-dedup standing index (persisted, bucketed) ------------------
+#
+# The continual-ingest shape behind queries_pipeline_extras.dedup_incremental:
+# the already-deduplicated corpus reduces to a persisted table of DISTINCT
+# content hashes, bucketed on the hash. Each crawl drop then probes that
+# index with a LEFT ANTI join. Bucketing is what makes this sustainable at
+# 100 TB: the index — by far the larger side, the whole corpus's hash set —
+# is NEVER re-shuffled; its bucket files join in place. The batch either
+# pays one shuffle into the index's bucketing (ad-hoc probe) or is staged
+# bucketed on ingest, making the probe fully shuffle-free — and the
+# admitted slice is already bucket-aligned for appending back to the index.
+
+def write_hash_index(
+    hashes: DataFrame,
+    table: str,
+    hash_col: str = "h",
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist DISTINCT content hashes as the standing dedup index,
+    bucketed (and sorted) on the hash column."""
+    from ..sinks import write_bucketed
+
+    write_bucketed(
+        hashes.select(hash_col).distinct(),
+        table,
+        bucket_cols=[hash_col],
+        num_buckets=num_buckets,
+        sort_cols=[hash_col],
+        mode=mode,
+    )
+
+
+def probe_hash_index(
+    spark,
+    batch: DataFrame,
+    table: str,
+    hash_col: str = "h",
+) -> DataFrame:
+    """Rows of ``batch`` whose hash is NOT in the standing index
+    (LEFT ANTI). The bucketed index side reads without any exchange;
+    only the (batch-sized) probe side shuffles — and not even that if
+    the batch was staged bucketed on the same key/bucket count
+    (tests/test_scale_patterns.py pins both plan shapes)."""
+    return batch.join(spark.table(table), hash_col, "left_anti")
