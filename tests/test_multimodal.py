@@ -63,9 +63,10 @@ def test_garbage_and_truncated_bytes_are_null_not_error():
     assert parse_media_header(b"\xff\xd8\xff\xe0\x00\x10JF") == ("jpeg", None, None)
 
 
-def test_pixel_decode_non_png_remains_explicit_stub():
-    # JPEG/audio/video still have no codec in this container
-    with pytest.raises(NotImplementedError):
+def test_pixel_decode_non_image_remains_explicit_stub():
+    # audio/video still have no codec in this container; a header-only
+    # JPEG (no scan) now routes to the real codec and is malformed
+    with pytest.raises(ValueError):
         decode_pixels(_jpeg(2, 2), "image")
     with pytest.raises(NotImplementedError):
         decode_pixels(b"opaque audio bytes", "audio")
@@ -256,3 +257,111 @@ def test_png_decode_bounds_adversarial_payloads():
     px = gradient_pixels(9, 5, 7)
     assert (decode_png_rgb(encode_png_rgb(px)) == px).all()
     assert isinstance(px, np.ndarray)
+
+
+# --- baseline JPEG codec (operators/jpeg.py) --------------------------------
+
+
+def test_jpeg_block_constant_roundtrip_exact():
+    """Block-constant grayscale images have a DC-only spectrum, so
+    with all-ones quantization the codec must round-trip BIT-exactly
+    (the property the analytic SQL oracle stands on)."""
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+    from tradesignal_mtm_runner_spark.operators.multimodal import (
+        block_constant_pixels,
+    )
+
+    for doc_id, w, h in [(3, 1, 1), (9, 7, 5), (15, 16, 12), (21, 13, 9)]:
+        px = block_constant_pixels(doc_id, w, h)
+        dec = decode_jpeg(encode_jpeg_gray(px))
+        assert dec.shape == (h, w, 3)
+        assert (dec[:, :, 0] == px).all() and (dec[:, :, 2] == px).all()
+        assert isinstance(dec, np.ndarray)
+
+
+def test_jpeg_roundtrip_property():
+    """Hypothesis: ANY small grayscale image round-trips within +-2
+    per sample (float DCT/IDCT rounding bound), and restart markers
+    never change the result."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tradesignal_mtm_runner_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=2**32 - 1),
+        rst=st.sampled_from([0, 1, 3]),
+    )
+    def _roundtrip(w: int, h: int, seed: int, rst: int) -> None:
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg_gray(px, restart_interval=rst))
+        err = np.abs(dec[:, :, 0].astype(int) - px.astype(int)).max()
+        assert err <= 2, (w, h, rst, err)
+
+    _roundtrip()
+
+
+def test_jpeg_color_roundtrip_within_tolerance():
+    """4:4:4 color round-trips within the YCbCr-rounding + DCT bound;
+    4:2:0 reproduces chroma-flat images near-exactly (the subsampled
+    MCU layout and upsampling path are the thing under test)."""
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_rgb,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (17, 14, 3)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_rgb(px))
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 4
+
+    flat = np.full((20, 28, 3), 137, dtype=np.uint8)
+    dec420 = decode_jpeg(encode_jpeg_rgb(flat, subsample=True))
+    assert np.abs(dec420.astype(int) - 137).max() <= 2
+
+
+def test_jpeg_decode_rejects_malformed():
+    """Garbage, progressive SOF2, truncated entropy data, and
+    too-large declared dims must all be ValueError, never a wrong
+    image or unbounded allocation."""
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+
+    blob = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
+    sof = blob.find(b"\xff\xc0")
+    assert sof > 0
+    prog = bytearray(blob)
+    prog[sof + 1] = 0xC2  # progressive
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(prog))
+
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(blob[: len(blob) // 2]))  # truncated
+
+    big = bytearray(blob)
+    big[sof + 5 : sof + 7] = (40000).to_bytes(2, "big")  # height
+    big[sof + 7 : sof + 9] = (40000).to_bytes(2, "big")  # width
+    with pytest.raises(ValueError, match="too large"):
+        decode_jpeg(bytes(big), max_pixels=1 << 24)

@@ -8,12 +8,14 @@ executor-parallel, no-shuffle shape.
 The decode paths are REAL: image payloads carry genuine PNG/JPEG
 container headers and ``parse_media_header`` reads the format and
 pixel dimensions straight from the bytes (pure Python, no codec
-libraries), and PNG payloads additionally decode to actual pixels via
-a stdlib-zlib codec (``encode_png_rgb``/``decode_png_rgb``: chunk
-walk, CRC verification, inflate, scanline unfiltering for all five
-filter types). Only JPEG/audio/video sample decode remains behind
+libraries); PNG payloads decode to actual pixels via a stdlib-zlib
+codec (``encode_png_rgb``/``decode_png_rgb``: chunk walk, CRC
+verification, inflate, scanline unfiltering for all five filter
+types); baseline-sequential JPEG decodes via the pure-numpy codec in
+``operators/jpeg.py`` (Huffman entropy decode, dequant, IDCT, chroma
+upsampling). Only audio/video sample decode remains behind
 ``NotImplementedError`` because those codecs don't ship in this
-container; plugging PIL/soundfile/pyav into ``decode_pixels`` changes
+container; plugging soundfile/pyav into ``decode_pixels`` changes
 nothing about the Spark plumbing around it.
 """
 
@@ -286,16 +288,22 @@ def decode_png_rgb(payload: bytes) -> np.ndarray:
 
 
 def decode_pixels(payload: bytes, media_type: str):
-    """Full pixel/sample decode. PNG payloads decode for real via the
-    stdlib-zlib codec above; JPEG/audio/video have no codec in this
-    container — plug PIL / soundfile / pyav here (the Spark plumbing
-    around this hook is identical either way)."""
+    """Full pixel/sample decode to an (h, w, 3) uint8 array. PNG
+    decodes via the stdlib-zlib codec above; baseline-sequential JPEG
+    via the pure-numpy codec in ``operators/jpeg.py`` (Huffman + IDCT,
+    grayscale/4:4:4/4:2:0). Audio/video samples have no codec in this
+    container — plug soundfile / pyav here (the Spark plumbing around
+    this hook is identical either way)."""
     b = bytes(payload)
     if b[:8] == _PNG_SIG:
         return decode_png_rgb(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(b, max_pixels=MAX_DECODE_PIXELS)
     raise NotImplementedError(
-        f"no {media_type} codec installed; integrate PIL/soundfile/pyav "
-        "in decode_pixels for pixel-level features"
+        f"no {media_type} codec installed; integrate soundfile/pyav "
+        "in decode_pixels for sample-level features"
     )
 
 
@@ -357,6 +365,7 @@ def extract_features(assets: DataFrame, feature_mode: str = "decoded") -> DataFr
 PIXEL_STATS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
+        StructField("img_format", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("mean_r", DoubleType()),
@@ -418,20 +427,78 @@ def attach_png_pixel_payloads(
     return subset.mapInPandas(_synth, schema)
 
 
+def block_constant_pixels(doc_id: int, w: int, h: int) -> np.ndarray:
+    """The deterministic JPEG test image: constant within each 8x8
+    DCT block, value (7*id + 5*bx + 11*by) % 256 for block (bx, by).
+    Block-constant content has a DC-only spectrum, so with all-ones
+    quantization the codec round-trips it BIT-exactly — which is what
+    lets the SQL oracle state expected channel means analytically
+    (mirroring gradient_pixels for the PNG path)."""
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    return (
+        np.broadcast_to((7 * doc_id + 5 * (x // 8) + 11 * (y // 8)) % 256, (h, w))
+        .astype(np.uint8)
+    )
+
+
+def attach_jpeg_pixel_payloads(
+    docs: DataFrame, id_col: str = "doc_id", max_w: int = 16, max_h: int = 12
+) -> DataFrame:
+    """JPEG-id subset of ``documents`` (doc_id % 6 == 3, matching the
+    attach_payloads media split) with a complete baseline grayscale
+    JPEG per row: w = id % max_w + 1, h = id % max_h + 1 (covers
+    partial-block padding up to a 2x2 block grid). Same Arrow-batched
+    ``mapInPandas`` synthesis shape as the PNG path."""
+    from .jpeg import encode_jpeg_gray
+
+    subset = docs.filter(F.col(id_col) % 6 == 3).select(
+        F.col(id_col).cast("long").alias("doc_id")
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        encode_jpeg_gray(
+                            block_constant_pixels(
+                                i, int(i % max_w + 1), int(i % max_h + 1)
+                            )
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return subset.mapInPandas(_synth, schema)
+
+
 def extract_pixel_stats(assets: DataFrame) -> DataFrame:
-    """Decode every PNG payload back to pixels (chunk walk, CRC check,
-    inflate, unfilter) and emit per-image channel means. Arrow-batched
-    ``mapInPandas``: scales with input partitions, no shuffle."""
+    """Decode every image payload back to pixels — PNG (chunk walk,
+    CRC check, inflate, unfilter) or baseline JPEG (Huffman, IDCT) —
+    and emit per-image channel means. Arrow-batched ``mapInPandas``:
+    scales with input partitions, no shuffle."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                px = decode_png_rgb(payload).astype(np.float64)
+                fmt = "png" if bytes(payload)[:8] == _PNG_SIG else "jpeg"
+                px = decode_pixels(payload, "image").astype(np.float64)
                 h, w, _ = px.shape
                 rows.append(
                     (
                         int(doc_id),
+                        fmt,
                         w,
                         h,
                         round(float(px[:, :, 0].mean()), 9),
@@ -443,7 +510,7 @@ def extract_pixel_stats(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "width", "height",
+                    "doc_id", "img_format", "width", "height",
                     "mean_r", "mean_g", "mean_b", "n_px",
                 ],
             )

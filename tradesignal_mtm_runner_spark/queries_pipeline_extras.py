@@ -1772,51 +1772,68 @@ FROM new n LEFT JOIN first_in_batch f USING (h)
 
 
 def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pixel-LEVEL image decode, fully real end-to-end: the PNG-id
-    subset of ``documents`` gets a complete spec-valid PNG payload
-    (gradient image, alternating Sub/Up scanline filters, correct
-    CRCs), and the feature pass decodes the actual bytes back —
-    chunk walk + CRC verify + zlib inflate + unfilter — then reports
-    per-image channel means (operators/multimodal.py).
+    """Pixel-LEVEL image decode, fully real end-to-end, across BOTH
+    image codecs: the PNG-id subset of ``documents`` gets a complete
+    spec-valid PNG (gradient image, alternating Sub/Up scanline
+    filters, correct CRCs) and the JPEG-id subset a complete baseline
+    grayscale JPEG (block-constant image, Annex-K Huffman tables,
+    all-ones quantization); the feature pass decodes the actual bytes
+    back — PNG: chunk walk + CRC verify + inflate + unfilter; JPEG:
+    marker walk + Huffman + dequant + IDCT — then reports per-image
+    channel means (operators/multimodal.py, operators/jpeg.py).
 
-    The gradient is a closed form of (doc_id, x, y), so the oracle
-    computes the expected means analytically with no codec: any bug in
-    the encoder, the filter math, or the unfiltering shifts the means.
-    Both synthesis and decode run Arrow-batched in ``mapInPandas`` —
+    Both test images are closed forms of (doc_id, x, y) chosen so the
+    codec round-trip is BIT-exact (the JPEG one is constant per 8x8
+    block, i.e. DC-only spectrum), so the oracle computes expected
+    means analytically with no codec: any bug in either encoder, the
+    filter/Huffman math, or the unfiltering/IDCT shifts the means.
+    Synthesis and decode run Arrow-batched in ``mapInPandas`` —
     executor-parallel, no shuffle; at 100 TB this is the decode /
     feature-extract shape (the real corpus would read payloads from
     the lake instead of synthesizing them)."""
     from .operators.multimodal import (
+        attach_jpeg_pixel_payloads,
         attach_png_pixel_payloads,
         extract_pixel_stats,
     )
 
     docs = _docs(spark, sf_dir)
-    return extract_pixel_stats(attach_png_pixel_payloads(docs)).select(
-        "doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "n_px"
+    assets = attach_png_pixel_payloads(docs).unionByName(
+        attach_jpeg_pixel_payloads(docs)
+    )
+    return extract_pixel_stats(assets).select(
+        "doc_id", "img_format", "width", "height",
+        "mean_r", "mean_g", "mean_b", "n_px",
     )
 
 
 MULTIMODAL_PIXELS_SQL = f"""
 WITH d AS (
   SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0 THEN 'png' ELSE 'jpeg' END AS img_format,
          CAST(doc_id % 16 + 1 AS INT) AS width,
          CAST(doc_id % 12 + 1 AS INT) AS height
-  FROM documents WHERE doc_id % 6 = 0
+  FROM documents WHERE doc_id % 6 = 0 OR doc_id % 6 = 3
 ),
 px AS (
-  SELECT d.doc_id, d.width, d.height, xs.x, ys.y
+  SELECT d.doc_id, d.img_format, d.width, d.height, xs.x, ys.y
   FROM d
   JOIN generate_series(0, 15) AS xs(x) ON xs.x < d.width
   JOIN generate_series(0, 11) AS ys(y) ON ys.y < d.height
 )
-SELECT doc_id, width, height,
-       round(avg((doc_id + x + y) % 256), {R}) AS mean_r,
-       round(avg((2 * doc_id + x) % 256), {R}) AS mean_g,
-       round(avg((3 * doc_id + y) % 256), {R}) AS mean_b,
+SELECT doc_id, img_format, width, height,
+       round(avg(CASE WHEN img_format = 'png' THEN (doc_id + x + y) % 256
+                      ELSE (7 * doc_id + 5 * (x // 8) + 11 * (y // 8)) % 256
+                 END), {R}) AS mean_r,
+       round(avg(CASE WHEN img_format = 'png' THEN (2 * doc_id + x) % 256
+                      ELSE (7 * doc_id + 5 * (x // 8) + 11 * (y // 8)) % 256
+                 END), {R}) AS mean_g,
+       round(avg(CASE WHEN img_format = 'png' THEN (3 * doc_id + y) % 256
+                      ELSE (7 * doc_id + 5 * (x // 8) + 11 * (y // 8)) % 256
+                 END), {R}) AS mean_b,
        CAST(count(*) AS BIGINT) AS n_px
 FROM px
-GROUP BY doc_id, width, height
+GROUP BY doc_id, img_format, width, height
 """
 
 
