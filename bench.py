@@ -41,7 +41,15 @@ HEADLINERS = [
     "risk_metrics",
     "trade_stats",
     "tech_indicators",
+    # production-density strategy grid (round 5): 32 configs x all
+    # symbols through the batched mapInPandas sweep — one run only
+    # (SWEEP_ONCE), it's a throughput measurement, not a latency one
+    "mtm_sweep_scale",
 ]
+
+#: benched once instead of best-of-3 (long-running throughput entries)
+SWEEP_ONCE = {"mtm_sweep_scale"}
+SWEEP_CONFIGS = 32  # grid size of mtm_sweep_scale, for configs/sec
 
 
 def main() -> None:
@@ -71,9 +79,11 @@ def main() -> None:
     # never the whole bench (r03 DNF'd on a single AnalysisException).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for _ in range(3):
+    for rnd in range(3):
         for name in HEADLINERS:
             if name in errors:
+                continue
+            if name in SWEEP_ONCE and rnd > 0:
                 continue
             fn = registry[name]
             t0 = time.time()
@@ -123,6 +133,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if "mtm_sweep_scale" in timings:
+        out["sweep_configs_per_sec"] = round(
+            SWEEP_CONFIGS / timings["mtm_sweep_scale"], 2
+        )
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -335,6 +335,39 @@ def q_mtm_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mtm_sweep_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep at the REAL grid scale: 32 configs (4 roi tiers x 4
+    stoplosses x 2 fee settings) x all symbols in one engine pass —
+    the symbols-x-strategies axis from SURVEY §4 at the density a
+    production backtest sweep actually runs. Purpose-built for the
+    throughput curve of the batched ``mapInPandas`` path (bench.py
+    reports configs/sec); correctness of the machinery is pinned by
+    mtm_param_sweep's cross-checks at 4 configs, so this entry is
+    rows-only. Every (symbol, config) cell is one independent
+    state-machine group behind a single explode+repartition shuffle."""
+    from .operators.bookkeeper import run_mtm_param_sweep, summarize_timeline
+
+    rois = {"roi_inf": float("inf"), "roi_10": 0.10, "roi_5": 0.05, "roi_2": 0.02}
+    stops = {"sl_inf": float("-inf"), "sl_10": -0.10, "sl_5": -0.05, "sl_2": -0.02}
+    configs = {
+        f"{rk}__{sk}__{fk}": PnlCalcConfig(
+            roi={0: rv}, stoploss=sv, fee_rate=fv
+        )
+        for rk, rv in rois.items()
+        for sk, sv in stops.items()
+        for fk, fv in (("fee0", 0.0), ("fee", FEE))
+    }
+    tl = run_mtm_param_sweep(_signals(spark, sf_dir), configs)
+    s = summarize_timeline(tl, group_cols=["symbol", "config_id"])
+    return s.select(
+        "symbol",
+        "config_id",
+        r9(F.col("pnl")).alias("pnl"),
+        r9(F.col("max_drawdown")).alias("max_drawdown"),
+        r9(F.col("sharpe_ratio")).alias("sharpe_ratio"),
+    )
+
+
 _STREAM_SINK_SEQ = iter(range(1_000_000))
 
 
@@ -505,6 +538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mtm_full_engine": q_mtm_full_engine,
     "mtm_full_trades": q_mtm_full_trades,
     "mtm_param_sweep": q_mtm_param_sweep,
+    "mtm_sweep_scale": q_mtm_sweep_scale,
     "drawdown_stats": q_drawdown_stats,
     "resample_ohlc": q_resample_ohlc,
 }
@@ -545,6 +579,7 @@ EXTRA_KEYS = (
     "sharpe_ratio",
     "mtm_full_trades",
     "mtm_param_sweep",
+    "mtm_sweep_scale",
     "simhash",
 )
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

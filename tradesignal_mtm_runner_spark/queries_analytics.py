@@ -13,6 +13,8 @@ values to 9.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1757,8 +1759,50 @@ FROM e GROUP BY event_type
 """
 
 
+# --- B36: streaming twin of the JSON extraction ------------------------------
+
+_JSON_SINK_SEQ = itertools.count()
+
+
+def events_json_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed rollup of a JSON-extracted field ON THE EVENT STREAM:
+    ``readStream`` -> from_json -> watermarked tumbling window. Closes
+    the last batch/stream asymmetry in the registry (every other
+    batch family already has a streaming twin): replaying the finite
+    stream must equal the plain batch group-by, which is the oracle.
+    COMPLETE mode + availableNow so end-of-stream windows emit, same
+    contract as events_stream_window (A11)."""
+    from .sources import stream_table
+    from .streaming.windowed import windowed_json_rollup
+
+    ev = stream_table(spark, sf_dir, "events")
+    sink = f"events_json_sink_{next(_JSON_SINK_SEQ)}"
+    q = (
+        windowed_json_rollup(ev)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+EVENTS_JSON_STREAM_SQL = """
+SELECT CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS window_start_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(CAST(props->>'k' AS INT)) AS BIGINT) AS n_with_k,
+       CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1, event_type
+"""
+
+
 ANALYTICS_EXTRA_QUERIES = {
     "events_json_extract": events_json_extract,
+    "events_json_stream": events_json_stream,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation": q9_profit_by_nation,
     "q21_late_suppliers": q21_late_suppliers,
@@ -1776,6 +1820,7 @@ ANALYTICS_EXTRA_QUERIES = {
 
 ANALYTICS_EXTRA_ORACLES = {
     "events_json_extract": EVENTS_JSON_SQL,
+    "events_json_stream": EVENTS_JSON_STREAM_SQL,
     "q8_market_share": Q8_SQL,
     "q9_profit_by_nation": Q9_SQL,
     "q21_late_suppliers": Q21_SQL,

@@ -24,6 +24,42 @@ WATERMARK = "10 minutes"
 R_VALUE = 4
 
 
+def windowed_json_rollup(
+    events: DataFrame,
+    window: str = WINDOW,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Tumbling-window rollup of a field EXTRACTED FROM THE JSON
+    ``props`` column — the streaming twin of the batch
+    ``events_json_extract`` query (B35). ``from_json`` with an
+    explicit schema is one JVM-side parse per row and works
+    identically on a stream and a batch frame, so schema-on-read
+    costs nothing extra under ``readStream``; the watermark bounds
+    state exactly as in windowed_event_counts."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        src.withColumn("_k", k)
+        .groupBy(F.window(F.col("ts"), window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("_k").cast("long").alias("n_with_k"),
+            F.sum("_k").cast("long").alias("sum_k"),
+        )
+        .select(
+            (F.unix_millis(F.col("w.start")) / 1000).cast("long").alias(
+                "window_start_epoch"
+            ),
+            "event_type",
+            "n_events",
+            "n_with_k",
+            "sum_k",
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = WINDOW,
