@@ -365,3 +365,130 @@ def test_jpeg_decode_rejects_malformed():
     big[sof + 7 : sof + 9] = (40000).to_bytes(2, "big")  # width
     with pytest.raises(ValueError, match="too large"):
         decode_jpeg(bytes(big), max_pixels=1 << 24)
+
+
+# --- WAV/PCM audio codec (operators/wav.py) ---------------------------------
+
+
+def test_wav_roundtrip_property():
+    """Hypothesis: ANY integer PCM clip round-trips bit-exactly at
+    every supported depth/channel layout (PCM is verbatim samples —
+    the exactness the analytic audio oracle stands on)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tradesignal_mtm_runner_spark.operators.wav import (
+        decode_wav_pcm,
+        encode_wav_pcm,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=500),
+        ch=st.integers(min_value=1, max_value=3),
+        bits=st.sampled_from([8, 16, 32]),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def _roundtrip(n, ch, bits, rate, seed):
+        rng = np.random.default_rng(seed)
+        lo, hi = (0, 256) if bits == 8 else (-(2 ** (bits - 1)), 2 ** (bits - 1))
+        s = rng.integers(lo, hi, (n, ch))
+        arr, got_rate = decode_wav_pcm(encode_wav_pcm(s, rate, bits=bits))
+        assert got_rate == rate
+        assert arr.shape == (n, ch)
+        assert (arr.astype(np.int64) == s).all()
+
+    _roundtrip()
+
+
+def test_wav_features_and_rejects():
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.wav import (
+        audio_features,
+        decode_wav_pcm,
+        encode_wav_pcm,
+    )
+
+    f = audio_features(encode_wav_pcm(np.array([0, 5, -3, 0, 0, 2, -1]), 8000))
+    assert f["n_samples"] == 7 and f["peak"] == 5
+    # crossings: +(implicit) -> 5(+) no, -3 yes, 2 yes, -1 yes = 3
+    assert f["zero_crossings"] == 3
+    assert abs(f["mean_sq"] - (25 + 9 + 4 + 1) / 7) < 1e-12
+
+    for bad in (
+        b"not audio",
+        b"RIFF\x10\x00\x00\x00WAVE",  # no chunks
+        encode_wav_pcm(np.arange(100), 8000)[:40],  # truncated data chunk
+    ):
+        with pytest.raises(ValueError):
+            decode_wav_pcm(bad)
+
+    # non-PCM format tag rejected
+    blob = bytearray(encode_wav_pcm(np.arange(10), 8000))
+    tag_at = blob.find(b"fmt ") + 8
+    blob[tag_at] = 3  # IEEE float
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav_pcm(bytes(blob))
+
+    # declared-sample cap enforced before allocation
+    with pytest.raises(ValueError, match="samples"):
+        decode_wav_pcm(encode_wav_pcm(np.arange(100), 8000), max_samples=50)
+
+
+def test_resize_nearest_semantics():
+    """Identity at equal dims; exact integer source-index map both
+    directions (the property the resize oracle restates in SQL)."""
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (5, 7, 3)).astype(np.uint8)
+    assert (resize_nearest(px, 7, 5) == px).all()
+
+    up = resize_nearest(px, 14, 10)
+    assert up.shape == (10, 14, 3)
+    for y in range(10):
+        for x in range(14):
+            assert (up[y, x] == px[(y * 5) // 10, (x * 7) // 14]).all()
+
+    down = resize_nearest(px, 2, 2)
+    assert down.shape == (2, 2, 3)
+    assert (down[0, 0] == px[0, 0]).all()
+    assert (down[1, 1] == px[2, 3]).all()  # (1*5)//2=2, (1*7)//2=3
+
+    with pytest.raises(ValueError):
+        resize_nearest(px, 0, 4)
+
+
+def test_mjpeg_split_and_frame_roundtrip():
+    """MJPEG = concatenated baseline JPEGs; splitting on SOI/EOI is
+    unambiguous (entropy data stuffs every 0xFF) and each frame
+    round-trips bit-exactly for block-constant content."""
+    from tradesignal_mtm_runner_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+    from tradesignal_mtm_runner_spark.operators.multimodal import (
+        frame_pixels,
+        split_mjpeg_frames,
+    )
+
+    doc_id, w, h, n = 20, 5, 9, 4
+    stream = b"".join(
+        encode_jpeg_gray(frame_pixels(doc_id, f, w, h)) for f in range(n)
+    )
+    frames = split_mjpeg_frames(stream)
+    assert len(frames) == n
+    for f, blob in enumerate(frames):
+        assert (decode_jpeg(blob)[:, :, 0] == frame_pixels(doc_id, f, w, h)).all()
+
+    with pytest.raises(ValueError, match="SOI"):
+        split_mjpeg_frames(stream + b"junk")
+    with pytest.raises(ValueError, match="unterminated"):
+        split_mjpeg_frames(stream[:-2])

@@ -13,9 +13,10 @@ codec (``encode_png_rgb``/``decode_png_rgb``: chunk walk, CRC
 verification, inflate, scanline unfiltering for all five filter
 types); baseline-sequential JPEG decodes via the pure-numpy codec in
 ``operators/jpeg.py`` (Huffman entropy decode, dequant, IDCT, chroma
-upsampling). Only audio/video sample decode remains behind
-``NotImplementedError`` because those codecs don't ship in this
-container; plugging soundfile/pyav into ``decode_pixels`` changes
+upsampling); WAV/PCM audio decodes via ``operators/wav.py`` (RIFF
+chunk walk, bit-exact integer samples). Only compressed-video sample
+decode remains behind ``NotImplementedError`` because no video codec
+ships in this container; plugging pyav into ``decode_pixels`` changes
 nothing about the Spark plumbing around it.
 """
 
@@ -302,8 +303,9 @@ def decode_pixels(payload: bytes, media_type: str):
 
         return decode_jpeg(b, max_pixels=MAX_DECODE_PIXELS)
     raise NotImplementedError(
-        f"no {media_type} codec installed; integrate soundfile/pyav "
-        "in decode_pixels for sample-level features"
+        f"no {media_type} codec installed; WAV/PCM audio decodes via "
+        "operators/wav.py (extract_audio_stats); integrate pyav here "
+        "for compressed video"
     )
 
 
@@ -482,6 +484,245 @@ def attach_jpeg_pixel_payloads(
     return subset.mapInPandas(_synth, schema)
 
 
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, c) array to (out_h,
+    out_w, c): source index = floor(dst * src / dst_size) — pure
+    integer mapping (no interpolation rounding), so a SQL oracle can
+    restate the resized image exactly. The standard pre-training
+    normalize-resolution step; runs per image inside the Arrow batch,
+    no shuffle."""
+    h, w = px.shape[:2]
+    if out_w < 1 or out_h < 1:
+        raise ValueError("bad target dimensions")
+    ix = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    iy = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    return px[iy][:, ix]
+
+
+# ---------------------------------------------------------------------------
+# Video: MJPEG (concatenated baseline JPEG frames — the real format
+# motion-JPEG streams and many capture pipelines emit). Frame
+# boundaries are unambiguous: inside entropy-coded data every 0xFF is
+# stuffed (0xFF00) or a marker, so a literal FFD9 is always a real
+# EOI. Frame-SAMPLING decodes only every k-th frame — the standard
+# video-to-training-frames step (decode cost scales with sampled
+# frames, not stream length).
+
+#: output schema of extract_frame_stats — stable driver-facing contract
+FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_gray", DoubleType()),
+    ]
+)
+
+
+def split_mjpeg_frames(payload: bytes) -> list[bytes]:
+    """Split an MJPEG stream into its JPEG frames on SOI/EOI pairs.
+    Raises ValueError on trailing garbage or an unterminated frame."""
+    b = bytes(payload)
+    frames = []
+    i = 0
+    while i < len(b):
+        if b[i : i + 2] != b"\xff\xd8":
+            raise ValueError(f"expected SOI at offset {i}")
+        j = b.find(b"\xff\xd9", i + 2)
+        if j < 0:
+            raise ValueError("unterminated JPEG frame")
+        frames.append(b[i : j + 2])
+        i = j + 2
+    return frames
+
+
+def frame_pixels(doc_id: int, frame: int, w: int, h: int) -> np.ndarray:
+    """Deterministic per-frame test image: block-constant (DC-only,
+    bit-exact through the codec) with a frame term so every frame
+    differs — value (7*id + 13*frame + 5*bx + 11*by) % 256."""
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    v = (7 * doc_id + 13 * frame + 5 * (x // 8) + 11 * (y // 8)) % 256
+    return np.broadcast_to(v, (h, w)).astype(np.uint8)
+
+
+def attach_mjpeg_video_payloads(
+    docs: DataFrame, id_col: str = "doc_id", max_w: int = 16, max_h: int = 12
+) -> DataFrame:
+    """Video-id subset of ``documents`` (doc_id % 3 == 2, matching the
+    attach_payloads media split) with an MJPEG stream per row:
+    n_frames = id % 5 + 2 baseline JPEG frames of w = id % max_w + 1,
+    h = id % max_h + 1. Arrow-batched synthesis like the other
+    modalities."""
+    from .jpeg import encode_jpeg_gray
+
+    subset = docs.filter(F.col(id_col) % 3 == 2).select(
+        F.col(id_col).cast("long").alias("doc_id")
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h = int(i % max_w + 1), int(i % max_h + 1)
+                n = int(i % 5 + 2)
+                payloads.append(
+                    b"".join(
+                        encode_jpeg_gray(frame_pixels(i, f, w, h))
+                        for f in range(n)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return subset.mapInPandas(_synth, schema)
+
+
+def extract_frame_stats(assets: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame-sample each MJPEG payload (every ``every_k``-th frame)
+    and decode ONLY the sampled frames; emit per-sampled-frame gray
+    means. Arrow-batched ``mapInPandas``, no shuffle — at 100 TB the
+    decode bill scales with sampled frames, not stream bytes."""
+    from .jpeg import decode_jpeg
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = split_mjpeg_frames(payload)
+                for fi in range(0, len(frames), every_k):
+                    px = decode_jpeg(
+                        frames[fi], max_pixels=MAX_DECODE_PIXELS
+                    ).astype(np.float64)
+                    h, w, _ = px.shape
+                    rows.append(
+                        (
+                            int(doc_id),
+                            fi,
+                            len(frames),
+                            w,
+                            h,
+                            round(float(px[:, :, 0].mean()), 9),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_frames",
+                    "width", "height", "mean_gray",
+                ],
+            )
+
+    return assets.mapInPandas(_stats, FRAME_STATS_SCHEMA)
+
+
+#: output schema of extract_audio_stats — stable driver-facing contract
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("peak", LongType()),
+        StructField("mean_sq", DoubleType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+#: deterministic test waveform parameters (mirrored by the SQL oracle)
+AUDIO_RATE = 8000
+AUDIO_MAX_N = 240
+AUDIO_MIN_N = 16
+
+
+def sawtooth_samples(doc_id: int, n: int) -> np.ndarray:
+    """The deterministic test clip: s(i) = ((13*id + 7*i) % 2001) -
+    1000 — integer PCM, closed-form in (doc_id, i), crosses zero, and
+    fits 16-bit; the SQL oracle restates every feature analytically."""
+    i = np.arange(n, dtype=np.int64)
+    return (13 * doc_id + 7 * i) % 2001 - 1000
+
+
+def attach_wav_audio_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio-id subset of ``documents`` (doc_id % 3 == 1, matching the
+    attach_payloads media split) with a complete RIFF/WAVE 16-bit PCM
+    payload per row: n = id % AUDIO_MAX_N + AUDIO_MIN_N deterministic
+    sawtooth samples at AUDIO_RATE Hz. Arrow-batched ``mapInPandas``
+    synthesis, same shape as the image paths."""
+    from .wav import encode_wav_pcm
+
+    subset = docs.filter(F.col(id_col) % 3 == 1).select(
+        F.col(id_col).cast("long").alias("doc_id")
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        encode_wav_pcm(
+                            sawtooth_samples(
+                                i, int(i % AUDIO_MAX_N + AUDIO_MIN_N)
+                            ),
+                            sample_rate=AUDIO_RATE,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return subset.mapInPandas(_synth, schema)
+
+
+def extract_audio_stats(assets: DataFrame) -> DataFrame:
+    """Decode every WAV payload back to PCM samples (RIFF chunk walk,
+    fmt validation) and emit per-clip features. Arrow-batched
+    ``mapInPandas``: scales with input partitions, no shuffle."""
+    from .wav import audio_features
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                f = audio_features(payload)
+                rows.append(
+                    (
+                        int(doc_id),
+                        f["n_samples"],
+                        f["sample_rate"],
+                        f["duration_s"],
+                        f["peak"],
+                        f["mean_sq"],
+                        f["zero_crossings"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate", "duration_s",
+                    "peak", "mean_sq", "zero_crossings",
+                ],
+            )
+
+    return assets.mapInPandas(_stats, AUDIO_STATS_SCHEMA)
+
+
 def extract_pixel_stats(assets: DataFrame) -> DataFrame:
     """Decode every image payload back to pixels — PNG (chunk walk,
     CRC check, inflate, unfilter) or baseline JPEG (Huffman, IDCT) —
@@ -505,6 +746,44 @@ def extract_pixel_stats(assets: DataFrame) -> DataFrame:
                         round(float(px[:, :, 1].mean()), 9),
                         round(float(px[:, :, 2].mean()), 9),
                         w * h,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "img_format", "width", "height",
+                    "mean_r", "mean_g", "mean_b", "n_px",
+                ],
+            )
+
+    return assets.mapInPandas(_stats, PIXEL_STATS_SCHEMA)
+
+
+def extract_resized_stats(
+    assets: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """Decode + nearest-neighbor resize to a fixed (out_w, out_h) and
+    emit channel means of the RESIZED image — the resolution-normalize
+    step of an image training pipeline, fused into the same Arrow
+    batch as the decode (one pass over payload bytes, no shuffle)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fmt = "png" if bytes(payload)[:8] == _PNG_SIG else "jpeg"
+                px = decode_pixels(payload, "image")
+                rs = resize_nearest(px, out_w, out_h).astype(np.float64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        fmt,
+                        out_w,
+                        out_h,
+                        round(float(rs[:, :, 0].mean()), 9),
+                        round(float(rs[:, :, 1].mean()), 9),
+                        round(float(rs[:, :, 2].mean()), 9),
+                        out_w * out_h,
                     )
                 )
             yield pd.DataFrame(

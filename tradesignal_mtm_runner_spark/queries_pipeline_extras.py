@@ -1837,9 +1837,207 @@ GROUP BY doc_id, img_format, width, height
 """
 
 
+# --- C38 decode + resize (resolution-normalize) -----------------------------
+
+RESIZE_W = 8
+RESIZE_H = 6
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor resize to a fixed {RESIZE_W}x{RESIZE_H}
+    grid in ONE Arrow pass — the resolution-normalize step every image
+    training pipeline runs between decode and feature/patch
+    extraction. Covers both codec paths (PNG gradients, JPEG
+    block-constant) and both directions (images smaller than the
+    target upscale, larger ones downscale). The source index map is
+    pure integer math (floor(dst*src/dst_size)), so the oracle
+    restates the resized means exactly with no codec."""
+    from .operators.multimodal import (
+        attach_jpeg_pixel_payloads,
+        attach_png_pixel_payloads,
+        extract_resized_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    assets = attach_png_pixel_payloads(docs).unionByName(
+        attach_jpeg_pixel_payloads(docs)
+    )
+    return extract_resized_stats(assets, RESIZE_W, RESIZE_H).select(
+        "doc_id", "img_format", "width", "height",
+        "mean_r", "mean_g", "mean_b", "n_px",
+    )
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0 THEN 'png' ELSE 'jpeg' END AS img_format,
+         CAST(doc_id % 16 + 1 AS BIGINT) AS src_w,
+         CAST(doc_id % 12 + 1 AS BIGINT) AS src_h
+  FROM documents WHERE doc_id % 6 = 0 OR doc_id % 6 = 3
+),
+px AS (
+  SELECT d.doc_id, d.img_format,
+         (xs.x * d.src_w) // {RESIZE_W} AS sx,
+         (ys.y * d.src_h) // {RESIZE_H} AS sy
+  FROM d
+  JOIN generate_series(0, {RESIZE_W - 1}) AS xs(x) ON TRUE
+  JOIN generate_series(0, {RESIZE_H - 1}) AS ys(y) ON TRUE
+)
+SELECT doc_id, img_format,
+       CAST({RESIZE_W} AS INT) AS width,
+       CAST({RESIZE_H} AS INT) AS height,
+       round(avg(CASE WHEN img_format = 'png' THEN (doc_id + sx + sy) % 256
+                      ELSE (7 * doc_id + 5 * (sx // 8) + 11 * (sy // 8)) % 256
+                 END), {R}) AS mean_r,
+       round(avg(CASE WHEN img_format = 'png' THEN (2 * doc_id + sx) % 256
+                      ELSE (7 * doc_id + 5 * (sx // 8) + 11 * (sy // 8)) % 256
+                 END), {R}) AS mean_g,
+       round(avg(CASE WHEN img_format = 'png' THEN (3 * doc_id + sy) % 256
+                      ELSE (7 * doc_id + 5 * (sx // 8) + 11 * (sy // 8)) % 256
+                 END), {R}) AS mean_b,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM px
+GROUP BY doc_id, img_format
+"""
+
+
+# --- C39 video frame-sampling (MJPEG, real JPEG frames) ---------------------
+
+FRAME_EVERY_K = 2
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-LEVEL video decode, fully real: the video-id subset of
+    ``documents`` gets an MJPEG stream (2-6 concatenated baseline
+    JPEG frames, each a block-constant image with a per-frame term),
+    and the feature pass splits the stream on SOI/EOI boundaries and
+    decodes ONLY every {FRAME_EVERY_K}nd frame — the video →
+    training-frames sampling step, where decode cost must scale with
+    sampled frames, not stream length.
+
+    Frame splitting is unambiguous in JPEG (entropy data stuffs every
+    0xFF), the sampled frames are DC-only so the codec round-trips
+    them bit-exactly, and the oracle restates each sampled frame's
+    mean analytically over the (doc, frame, block) closed form. With
+    this, image/audio/VIDEO are all real byte-level decode paths —
+    only compressed codecs (H.264 etc.) remain the declared
+    integration point."""
+    from .operators.multimodal import (
+        attach_mjpeg_video_payloads,
+        extract_frame_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return extract_frame_stats(
+        attach_mjpeg_video_payloads(docs), every_k=FRAME_EVERY_K
+    ).select(
+        "doc_id", "frame_idx", "n_frames", "width", "height", "mean_gray"
+    )
+
+
+MULTIMODAL_FRAMES_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 + 1 AS INT) AS width,
+         CAST(doc_id % 12 + 1 AS INT) AS height,
+         CAST(doc_id % 5 + 2 AS INT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT d.*, f.f AS frame_idx
+  FROM d JOIN generate_series(0, 6) AS f(f)
+    ON f.f < d.n_frames AND f.f % {FRAME_EVERY_K} = 0
+),
+px AS (
+  SELECT fr.doc_id, fr.frame_idx, fr.n_frames, fr.width, fr.height,
+         (7 * fr.doc_id + 13 * fr.frame_idx
+          + 5 * (xs.x // 8) + 11 * (ys.y // 8)) % 256 AS v
+  FROM fr
+  JOIN generate_series(0, 15) AS xs(x) ON xs.x < fr.width
+  JOIN generate_series(0, 11) AS ys(y) ON ys.y < fr.height
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, n_frames,
+       width, height,
+       round(avg(v), {R}) AS mean_gray
+FROM px
+GROUP BY doc_id, frame_idx, n_frames, width, height
+"""
+
+
+# --- C37 multimodal audio decode (WAV/PCM, stdlib codec) --------------------
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-LEVEL audio decode, fully real end-to-end: the audio-id
+    subset of ``documents`` gets a complete RIFF/WAVE 16-bit PCM
+    payload (deterministic sawtooth clip), and the feature pass parses
+    the actual bytes back — RIFF chunk walk, fmt validation, sample
+    extraction — then reports per-clip features (duration, peak, mean
+    square, zero crossings; operators/wav.py).
+
+    PCM is integer samples verbatim, so the round trip is bit-exact
+    and the oracle restates every feature in closed form over
+    (doc_id, i) — any bug in the container math or the sample parse
+    shifts the numbers. Synthesis and decode run Arrow-batched in
+    ``mapInPandas``: executor-parallel, no shuffle, the same plan
+    shape as the image pixel path (C35)."""
+    from .operators.multimodal import (
+        attach_wav_audio_payloads,
+        extract_audio_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return extract_audio_stats(attach_wav_audio_payloads(docs)).select(
+        "doc_id", "n_samples", "sample_rate", "duration_s",
+        "peak", "mean_sq", "zero_crossings",
+    )
+
+
+MULTIMODAL_AUDIO_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 240 + 16 AS BIGINT) AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+  SELECT d.doc_id, d.n, i.i,
+         (13 * d.doc_id + 7 * i.i) % 2001 - 1000 AS v
+  FROM d JOIN generate_series(0, 255) AS i(i) ON i.i < d.n
+),
+sgn AS (
+  SELECT doc_id, n, i, v,
+         CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 END AS sg
+  FROM s
+),
+cr AS (
+  SELECT doc_id, n, i, v, sg,
+         COALESCE(last_value(sg IGNORE NULLS) OVER (
+             PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 1) AS prev_sg
+  FROM sgn
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       -- unrounded: exact-integer sums / n are bit-identical doubles
+       -- on both engines, and round() only risks round-half ties
+       n / 8000.0 AS duration_s,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       avg(CAST(v * v AS DOUBLE)) AS mean_sq,
+       CAST(count(*) FILTER (WHERE sg IS NOT NULL AND sg != prev_sg)
+            AS BIGINT) AS zero_crossings
+FROM cr
+GROUP BY doc_id, n
+"""
+
+
 PIPELINE_EXTRA_QUERIES = {
     "dedup_incremental": dedup_incremental,
     "multimodal_pixels": multimodal_pixels,
+    "multimodal_audio": multimodal_audio,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frames": multimodal_frames,
     "contamination_check": contamination_check,
     "train_val_split": train_val_split,
     "pii_scrub": pii_scrub,
@@ -1864,6 +2062,9 @@ PIPELINE_EXTRA_QUERIES = {
 PIPELINE_EXTRA_ORACLES = {
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "multimodal_pixels": MULTIMODAL_PIXELS_SQL,
+    "multimodal_audio": MULTIMODAL_AUDIO_SQL,
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
+    "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "train_val_split": TRAIN_VAL_SPLIT_SQL,
     "pii_scrub": PII_SCRUB_SQL,
