@@ -492,3 +492,68 @@ def test_mjpeg_split_and_frame_roundtrip():
         split_mjpeg_frames(stream + b"junk")
     with pytest.raises(ValueError, match="unterminated"):
         split_mjpeg_frames(stream[:-2])
+
+
+# --- GIF codec (operators/gif.py) -------------------------------------------
+
+
+def test_gif_roundtrip_property():
+    """GIF is lossless indexed color: ANY grayscale image round-trips
+    bit-exactly, including content that grows the LZW dictionary
+    through several code widths."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tradesignal_mtm_runner_spark.operators.gif import (
+        decode_gif_rgb,
+        encode_gif_gray,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def _roundtrip(w, h, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        dec = decode_gif_rgb(encode_gif_gray(px))
+        assert dec.shape == (h, w, 3)
+        assert (dec[:, :, 0] == px).all() and (dec[:, :, 1] == px).all()
+
+    _roundtrip()
+
+
+def test_gif_header_and_rejects():
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.gif import (
+        decode_gif_rgb,
+        encode_gif_gray,
+    )
+
+    blob = encode_gif_gray(np.zeros((7, 9), np.uint8))
+    # the encoder's container parses with the header-level reader too
+    assert parse_media_header(blob) == ("gif", 9, 7)
+
+    with pytest.raises(ValueError):
+        decode_gif_rgb(b"not a gif")
+    with pytest.raises(ValueError):
+        decode_gif_rgb(blob[:20])  # truncated color table
+
+    # image descriptor sits after the 13-byte header + 768-byte palette
+    # (a .find(b"\x2c") would false-hit palette entry (44,44,44))
+    desc = 13 + 768
+    big = bytearray(encode_gif_gray(np.zeros((4, 4), np.uint8)))
+    assert big[desc] == 0x2C
+    big[desc + 5 : desc + 7] = (60000).to_bytes(2, "little")
+    big[desc + 7 : desc + 9] = (60000).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="too large"):
+        decode_gif_rgb(bytes(big))
+
+    inter = bytearray(encode_gif_gray(np.zeros((4, 4), np.uint8)))
+    inter[desc + 9] = 0x40  # interlace flag
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif_rgb(bytes(inter))

@@ -302,6 +302,10 @@ def decode_pixels(payload: bytes, media_type: str):
         from .jpeg import decode_jpeg
 
         return decode_jpeg(b, max_pixels=MAX_DECODE_PIXELS)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif_rgb
+
+        return decode_gif_rgb(b, max_pixels=MAX_DECODE_PIXELS)
     raise NotImplementedError(
         f"no {media_type} codec installed; WAV/PCM audio decodes via "
         "operators/wav.py (extract_audio_stats); integrate pyav here "
@@ -412,6 +416,56 @@ def attach_png_pixel_payloads(
                     "payload": [
                         encode_png_rgb(
                             gradient_pixels(
+                                i, int(i % max_w + 1), int(i % max_h + 1)
+                            )
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return subset.mapInPandas(_synth, schema)
+
+
+def gif_gradient_pixels(doc_id: int, w: int, h: int) -> np.ndarray:
+    """The deterministic GIF test image (grayscale): value
+    (5*id + 3*x + 7*y) % 256 — distinct from the PNG/JPEG formulas so
+    a crossed-up decode path cannot accidentally match its oracle."""
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    return np.broadcast_to((5 * doc_id + 3 * x + 7 * y) % 256, (h, w)).astype(
+        np.uint8
+    )
+
+
+def attach_gif_pixel_payloads(
+    docs: DataFrame, id_col: str = "doc_id", max_w: int = 16, max_h: int = 12
+) -> DataFrame:
+    """Image-id subset of ``documents`` (doc_id % 6 == 0, same ids as
+    the PNG path — an id can carry several renditions) with a complete
+    single-frame GIF87a per row: gradient grayscale through a 256-gray
+    global color table and real LZW compression (operators/gif.py)."""
+    from .gif import encode_gif_gray
+
+    subset = docs.filter(F.col(id_col) % 6 == 0).select(
+        F.col(id_col).cast("long").alias("doc_id")
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        encode_gif_gray(
+                            gif_gradient_pixels(
                                 i, int(i % max_w + 1), int(i % max_h + 1)
                             )
                         )
@@ -624,6 +678,15 @@ def extract_frame_stats(assets: DataFrame, every_k: int = 2) -> DataFrame:
     return assets.mapInPandas(_stats, FRAME_STATS_SCHEMA)
 
 
+def _sniff_format(payload: bytes) -> str:
+    b = bytes(payload)
+    if b[:8] == _PNG_SIG:
+        return "png"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    return "jpeg"
+
+
 #: output schema of extract_audio_stats — stable driver-facing contract
 AUDIO_STATS_SCHEMA = StructType(
     [
@@ -733,7 +796,7 @@ def extract_pixel_stats(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                fmt = "png" if bytes(payload)[:8] == _PNG_SIG else "jpeg"
+                fmt = _sniff_format(payload)
                 px = decode_pixels(payload, "image").astype(np.float64)
                 h, w, _ = px.shape
                 rows.append(
@@ -771,7 +834,7 @@ def extract_resized_stats(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                fmt = "png" if bytes(payload)[:8] == _PNG_SIG else "jpeg"
+                fmt = _sniff_format(payload)
                 px = decode_pixels(payload, "image")
                 rs = resize_nearest(px, out_w, out_h).astype(np.float64)
                 rows.append(

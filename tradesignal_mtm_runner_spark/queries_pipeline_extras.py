@@ -1902,6 +1902,55 @@ GROUP BY doc_id, img_format
 """
 
 
+# --- C40 GIF pixel decode (LZW, stdlib codec) -------------------------------
+
+
+def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-LEVEL GIF decode, fully real: the image-id subset gets a
+    complete single-frame GIF87a (grayscale gradient through a 256-gray
+    global color table, real variable-width LZW compression with
+    dictionary growth), and the feature pass decodes the actual bytes
+    back — sub-block walk + LZW + palette lookup (operators/gif.py).
+    With PNG (C35), JPEG (C35), and GIF here, every format the header
+    parser recognizes has a full pixel path. The gradient formula is
+    distinct from the PNG/JPEG ones, so a crossed-up decode route
+    cannot accidentally match this oracle."""
+    from .operators.multimodal import (
+        attach_gif_pixel_payloads,
+        extract_pixel_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return extract_pixel_stats(attach_gif_pixel_payloads(docs)).select(
+        "doc_id", "img_format", "width", "height",
+        "mean_r", "mean_g", "mean_b", "n_px",
+    )
+
+
+MULTIMODAL_GIF_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 + 1 AS INT) AS width,
+         CAST(doc_id % 12 + 1 AS INT) AS height
+  FROM documents WHERE doc_id % 6 = 0
+),
+px AS (
+  SELECT d.doc_id, d.width, d.height,
+         (5 * d.doc_id + 3 * xs.x + 7 * ys.y) % 256 AS v
+  FROM d
+  JOIN generate_series(0, 15) AS xs(x) ON xs.x < d.width
+  JOIN generate_series(0, 11) AS ys(y) ON ys.y < d.height
+)
+SELECT doc_id, 'gif' AS img_format, width, height,
+       round(avg(v), {R}) AS mean_r,
+       round(avg(v), {R}) AS mean_g,
+       round(avg(v), {R}) AS mean_b,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM px
+GROUP BY doc_id, width, height
+"""
+
+
 # --- C39 video frame-sampling (MJPEG, real JPEG frames) ---------------------
 
 FRAME_EVERY_K = 2
@@ -2038,6 +2087,7 @@ PIPELINE_EXTRA_QUERIES = {
     "multimodal_audio": multimodal_audio,
     "multimodal_resize": multimodal_resize,
     "multimodal_frames": multimodal_frames,
+    "multimodal_gif": multimodal_gif,
     "contamination_check": contamination_check,
     "train_val_split": train_val_split,
     "pii_scrub": pii_scrub,
@@ -2065,6 +2115,7 @@ PIPELINE_EXTRA_ORACLES = {
     "multimodal_audio": MULTIMODAL_AUDIO_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
+    "multimodal_gif": MULTIMODAL_GIF_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "train_val_split": TRAIN_VAL_SPLIT_SQL,
     "pii_scrub": PII_SCRUB_SQL,
