@@ -45,6 +45,9 @@ HEADLINERS = [
     # symbols through the batched mapInPandas sweep — one run only
     # (SWEEP_ONCE), it's a throughput measurement, not a latency one
     "mtm_sweep_scale",
+    # full pixel codec path (round 5): synthesize + decode real
+    # PNG and JPEG payloads for every image id at the bench SF
+    "multimodal_pixels",
 ]
 
 #: benched once instead of best-of-3 (long-running throughput entries)

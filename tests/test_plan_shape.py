@@ -263,3 +263,22 @@ def test_q22_anti_join_bounded(spark):
     plan = P.explain_str(_xdf(spark, "q22_idle_customers"))
     assert "LeftAnti" in plan or "left_anti" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_multimodal_decode_paths_are_shuffle_free(spark):
+    """Every codec query is synthesis → decode riding the scan in
+    Arrow-batched mapInPandas: ZERO exchanges in the whole plan (the
+    pixel queries union two scan→project→MapInPandas chains — a
+    plan-level union, not a shuffle). At 100 TB payload bytes never
+    move between executors; only per-asset stat rows flow on."""
+    for name in (
+        "multimodal_pixels",
+        "multimodal_audio",
+        "multimodal_resize",
+        "multimodal_frames",
+        "multimodal_gif",
+    ):
+        df = _xdf(spark, name)
+        assert P.exchange_count(df) == 0, name
+        plan = P.explain_str(df)
+        assert "MapInPandas" in plan, name

@@ -42,3 +42,17 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "pnl" in df.columns
+
+
+def test_rotation_invariants():
+    """The round-5 window rotation must keep the registries a clean
+    partition: exactly 50 driver slots, rotated keys on the declared
+    sides, no key on both sides, and every driver key oracled or
+    declared no-oracle."""
+    from tradesignal_mtm_runner_spark import queries as q
+
+    assert len(q.QUERIES) == 50
+    assert set(q.QUERIES).isdisjoint(q.EXTRA_QUERIES)
+    assert set(q.ROTATED_IN) <= set(q.QUERIES)
+    assert set(q.ROTATED_OUT) <= set(q.EXTRA_QUERIES)
+    assert set(q.ALL_QUERIES) == set(q.QUERIES) | set(q.EXTRA_QUERIES)
