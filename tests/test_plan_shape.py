@@ -282,3 +282,13 @@ def test_multimodal_decode_paths_are_shuffle_free(spark):
         assert P.exchange_count(df) == 0, name
         plan = P.explain_str(df)
         assert "MapInPandas" in plan, name
+
+
+def test_feature_hashing_single_aggregate_shuffle(spark):
+    """No vocabulary relation anywhere in the plan: explode + ONE
+    (doc, bucket) aggregate exchange is the entire cost — the
+    hashing trick's reason to exist at 100 TB."""
+    df = _xdf(spark, "doc_feature_hashing")
+    assert P.exchange_count(df) == 1
+    plan = P.explain_str(df)
+    assert "Join" not in plan

@@ -1902,6 +1902,113 @@ GROUP BY doc_id, img_format
 """
 
 
+# --- C41 hashing-trick document vectorizer ----------------------------------
+
+
+def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) vectorizer: every token maps to
+    one of 256 buckets via the first two md5 hex chars — no vocabulary
+    build, no vocabulary broadcast, which is the point at 100 TB: the
+    feature space is fixed before the data is seen, so featurization
+    is a single explode + one (doc, bucket) aggregate with map-side
+    partial counts. Output is the sparse relational form (doc_id,
+    bucket, tf); assembling a dense array per doc is a row-local
+    transform on top. md5 keeps the bucket assignment engine-portable
+    (same trick as train_val_split)."""
+    from .functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    return (
+        t.withColumn("bucket", F.substring(F.md5(F.col("tok")), 1, 2))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+DOC_FEATURE_HASHING_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+  FROM documents
+)
+SELECT doc_id, substr(md5(tok), 1, 2) AS bucket,
+       CAST(count(*) AS BIGINT) AS tf
+FROM t GROUP BY doc_id, bucket
+"""
+
+
+# --- C42 training-mixture weights (temperature sampling) --------------------
+
+#: temperature alpha = 0.5 -> sqrt: correctly-rounded per IEEE-754 on
+#: every engine, so the oracle comparison is not at the mercy of
+#: libm-vs-JVM pow() last-ulp differences
+MIX_SQRT = True
+
+
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture (domain re-weighting) computation: per-language
+    token mass -> temperature-scaled sampling weights w_l ∝ n_l^0.5
+    (multilingual-C4 style upsampling of low-resource slices), plus
+    the natural share and the implied epochs-over-natural factor.
+
+    Scale shape: one corpus aggregate to #languages rows, then global
+    window sums over THAT tiny relation (bounded by the number of
+    languages, never by the corpus) — the single-partition window is
+    deliberate and safe here."""
+    from pyspark.sql import Window
+
+    from .functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    out = (
+        per.withColumn("_s", F.sqrt(F.col("n_tokens").cast("double")))
+        .withColumn("_w", F.col("_s") / F.sum("_s").over(w))
+        .withColumn(
+            "_nat",
+            F.col("n_tokens") / F.sum("n_tokens").over(w).cast("double"),
+        )
+    )
+    # round only at the edge — ratios of rounded intermediates would
+    # diverge from the oracle's unrounded math
+    return out.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("_w"), 9).alias("weight"),
+        F.round(F.col("_nat"), 9).alias("natural_share"),
+        F.round(F.col("_w") / F.col("_nat"), 9).alias("epochs_factor"),
+    )
+
+
+CORPUS_MIXTURE_SQL = """
+WITH per AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+             AS n_tokens
+  FROM documents GROUP BY lang
+),
+x AS (
+  SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS s FROM per
+)
+SELECT lang, n_docs, n_tokens,
+       round(s / sum(s) OVER (), 9) AS weight,
+       round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 9)
+           AS natural_share,
+       round((s / sum(s) OVER ())
+             / (n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE)), 9)
+           AS epochs_factor
+FROM x
+"""
+
+
 # --- C40 GIF pixel decode (LZW, stdlib codec) -------------------------------
 
 
@@ -2088,6 +2195,8 @@ PIPELINE_EXTRA_QUERIES = {
     "multimodal_resize": multimodal_resize,
     "multimodal_frames": multimodal_frames,
     "multimodal_gif": multimodal_gif,
+    "doc_feature_hashing": doc_feature_hashing,
+    "corpus_mixture_weights": corpus_mixture_weights,
     "contamination_check": contamination_check,
     "train_val_split": train_val_split,
     "pii_scrub": pii_scrub,
@@ -2116,6 +2225,8 @@ PIPELINE_EXTRA_ORACLES = {
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "multimodal_gif": MULTIMODAL_GIF_SQL,
+    "doc_feature_hashing": DOC_FEATURE_HASHING_SQL,
+    "corpus_mixture_weights": CORPUS_MIXTURE_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "train_val_split": TRAIN_VAL_SPLIT_SQL,
     "pii_scrub": PII_SCRUB_SQL,
