@@ -307,9 +307,12 @@ def test_ann_recall_floor_vs_exact(spark):
     r_seeded = recall("ann_ivf_topk")
     r_trained = recall("ann_ivf_trained")
     r_pq = recall("ann_pq_topk")
+    r_rerank = recall("ann_pq_rerank")
     assert r_seeded >= 0.70, f"seeded IVF recall collapsed: {r_seeded}"
     assert r_trained >= 0.85, f"trained IVF recall collapsed: {r_trained}"
     assert r_pq >= 0.15, f"PQ recall collapsed: {r_pq}"
+    assert r_rerank >= 0.85, f"PQ+rerank recall collapsed: {r_rerank}"
     assert r_trained >= r_seeded - 0.10, (
         f"Lloyd training degraded recall: {r_trained} < {r_seeded}"
     )
+    assert r_rerank >= r_pq, "exact re-rank must never hurt ADC recall"

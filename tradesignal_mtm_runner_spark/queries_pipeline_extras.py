@@ -1124,6 +1124,103 @@ SELECT query_id, corpus_id, approx_dist, CAST(rank AS INT) AS rank FROM r WHERE 
 """
 
 
+# --- C30b PQ + exact re-rank (the production IVF-PQ retrieval shape) --------
+
+#: ADC shortlist size = k * factor; the re-rank then scores ONLY the
+#: shortlist exactly. The two-stage shape is what production PQ
+#: deployments run: compressed codes prune the corpus, the exact pass
+#: restores ranking quality on a bounded candidate set. 40 here is
+#: sized to THIS oracle's deliberately coarse quantizer (M=4
+#: subspaces x K=8 codes — tiny so the unrolled-SQL oracle stays
+#: tractable): shortlist = 200 of ~5000 vectors (96% pruned) buys
+#: recall@5 0.96 vs 0.20 for ADC alone. A production M=16 x K=256
+#: codebook needs factor ~4-10 for the same recall.
+PQ_RERANK_FACTOR = 40
+
+
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC shortlist (k x {PQ_RERANK_FACTOR} candidates from the
+    compressed codes — cheap, code relation ~bytes/vector) followed by
+    an EXACT cosine re-rank of just that shortlist. Recall vs the
+    brute-force baseline at sf0.01: 0.20 (ADC alone, C30) -> 0.96
+    (floor pinned in tests) while the corpus is still 96% pruned
+    before any exact math — at 100 TB the full vectors for the
+    shortlist arrive via one bounded join, never a corpus scan per
+    query."""
+    from .operators.similarity import _dot, _norm, pq_topk, with_double_vec
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    cand = pq_topk(
+        emb,
+        queries,
+        k=ANN_TOPK * PQ_RERANK_FACTOR,
+        num_subspaces=PQ_M,
+        num_codes=PQ_K,
+        round_digits=R,
+    ).select("query_id", "corpus_id")
+    v = with_double_vec(emb, "embedding").select("vec_id", "embedding")
+    q = v.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_q")
+    )
+    c = v.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("_c")
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "corpus_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_q"), F.col("_c"))
+                / (_norm(F.col("_q")) * _norm(F.col("_c"))),
+                R,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOPK)
+        .select(
+            "query_id",
+            "corpus_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+ANN_PQ_RERANK_SQL = (
+    ANN_PQ_SQL.replace(
+        f"SELECT query_id, corpus_id, approx_dist, CAST(rank AS INT) AS rank "
+        f"FROM r WHERE rank <= {ANN_TOPK}",
+        f""", cand AS (
+  SELECT query_id, corpus_id FROM r
+  WHERE rank <= {ANN_TOPK * PQ_RERANK_FACTOR}
+),
+rr AS (
+  SELECT c.query_id, c.corpus_id,
+         round(list_dot_product(q.e, t.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(t.e, t.e))), {R}) AS cosine
+  FROM cand c
+  JOIN v q ON q.vec_id = c.query_id
+  JOIN v t ON t.vec_id = c.corpus_id
+),
+rr2 AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM rr
+)
+SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank
+FROM rr2 WHERE rank <= {ANN_TOPK}""",
+    )
+)
+
+
 # --- C31 SemDeDup-style semantic dedup ---------------------------------------
 
 SEM_CELLS = 8
@@ -2197,6 +2294,7 @@ PIPELINE_EXTRA_QUERIES = {
     "multimodal_gif": multimodal_gif,
     "doc_feature_hashing": doc_feature_hashing,
     "corpus_mixture_weights": corpus_mixture_weights,
+    "ann_pq_rerank": ann_pq_rerank,
     "contamination_check": contamination_check,
     "train_val_split": train_val_split,
     "pii_scrub": pii_scrub,
@@ -2227,6 +2325,7 @@ PIPELINE_EXTRA_ORACLES = {
     "multimodal_gif": MULTIMODAL_GIF_SQL,
     "doc_feature_hashing": DOC_FEATURE_HASHING_SQL,
     "corpus_mixture_weights": CORPUS_MIXTURE_SQL,
+    "ann_pq_rerank": ANN_PQ_RERANK_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "train_val_split": TRAIN_VAL_SPLIT_SQL,
     "pii_scrub": PII_SCRUB_SQL,
