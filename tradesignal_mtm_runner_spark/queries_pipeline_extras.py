@@ -2036,6 +2036,73 @@ FROM t GROUP BY doc_id, bucket
 """
 
 
+# --- C41b linear quality-classifier inference over hashed features ---------
+
+#: keep threshold on the normalized score in [-1, 1]
+QC_TAU = 0.05
+
+
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear classifier inference over the hashing-trick features —
+    the fastText-style quality-filter shape (CCNet/DCLM corpus
+    filters): score(doc) = Σ_b tf_b · w_b / Σ_b tf_b with a FIXED
+    weight per bucket, keep = score > τ. At 100 TB this is model
+    inference as pure column algebra: the "model" is a deterministic
+    function of the bucket id (here derived from the bucket's hex
+    chars; a real deployment broadcasts a 256-float map — same plan),
+    so scoring adds zero joins and zero shuffles beyond C41's single
+    feature aggregate.
+
+    Exactness: integer weights in [-10, 10] keep Σ tf·w exact in both
+    engines; the ONLY float op is the final division — bit-identical
+    IEEE, no rounding ties."""
+    fh = doc_feature_hashing(spark, sf_dir)
+    w_int = (
+        F.ascii(F.substring(F.col("bucket"), 1, 1)) * 31
+        + F.ascii(F.substring(F.col("bucket"), 2, 1))
+    ) % 21 - 10
+    per = fh.withColumn("_w", w_int).groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("_w")).cast("long").alias("_num"),
+        F.sum("tf").cast("long").alias("n_tokens"),
+    )
+    score = F.col("_num") / (F.lit(10.0) * F.col("n_tokens"))
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        score.alias("score"),
+        (score > QC_TAU).alias("is_kept"),
+    )
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+  FROM documents
+),
+fh AS (
+  SELECT doc_id, substr(md5(tok), 1, 2) AS bucket,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM t GROUP BY doc_id, bucket
+),
+w AS (
+  SELECT *,
+         (ascii(substr(bucket, 1, 1)) * 31
+          + ascii(substr(bucket, 2, 1))) % 21 - 10 AS w_int
+  FROM fh
+),
+per AS (
+  SELECT doc_id,
+         CAST(sum(tf * w_int) AS BIGINT) AS num,
+         CAST(sum(tf) AS BIGINT) AS n_tokens
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       num / (10.0 * n_tokens) AS score,
+       num / (10.0 * n_tokens) > {QC_TAU} AS is_kept
+FROM per
+"""
+
+
 # --- C42 training-mixture weights (temperature sampling) --------------------
 
 #: temperature alpha = 0.5 -> sqrt: correctly-rounded per IEEE-754 on
@@ -2294,6 +2361,7 @@ PIPELINE_EXTRA_QUERIES = {
     "multimodal_gif": multimodal_gif,
     "doc_feature_hashing": doc_feature_hashing,
     "corpus_mixture_weights": corpus_mixture_weights,
+    "quality_classifier_scores": quality_classifier_scores,
     "ann_pq_rerank": ann_pq_rerank,
     "contamination_check": contamination_check,
     "train_val_split": train_val_split,
@@ -2325,6 +2393,7 @@ PIPELINE_EXTRA_ORACLES = {
     "multimodal_gif": MULTIMODAL_GIF_SQL,
     "doc_feature_hashing": DOC_FEATURE_HASHING_SQL,
     "corpus_mixture_weights": CORPUS_MIXTURE_SQL,
+    "quality_classifier_scores": QUALITY_CLASSIFIER_SQL,
     "ann_pq_rerank": ANN_PQ_RERANK_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "train_val_split": TRAIN_VAL_SPLIT_SQL,
