@@ -648,6 +648,18 @@ ROTATED_IN = (
     "bpe_apply",
     "dedup_semantic",
 )
+# Round-6 rotation candidates (never driver-verified as of r5): the
+# remaining pre-r5 extras (q9_profit_by_nation, q7_volume_shipping,
+# q13/q14/q15/q17/q19/q22, upsert_latest, symbol_correlation,
+# bloom_prefilter, contamination_check, train_val_split, pii_scrub,
+# embedding_quantize, sequence_pack, corpus_filter_pipeline,
+# stratified_sample, ngram_counts, bpe_train, ann_pq_topk,
+# token_cms_topk, doc_perplexity, tech_indicators, stream_* family)
+# and every r5-new extra (events_json_stream, multimodal_audio/
+# resize/frames/gif, doc_feature_hashing, corpus_mixture_weights,
+# quality_classifier_scores, ann_pq_rerank). Swap ~10 per round,
+# preferring oracled keys whose plan shape differs from anything
+# already window-verified.
 for _k in ROTATED_OUT:
     EXTRA_QUERIES[_k] = QUERIES.pop(_k)
     if _k in ORACLES:
