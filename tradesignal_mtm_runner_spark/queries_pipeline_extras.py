@@ -1999,6 +1999,46 @@ GROUP BY doc_id, img_format
 """
 
 
+# --- C37b decode-at-ingest: the audio feature pass under readStream ---------
+
+import itertools as _itm
+
+_MM_STREAM_SINK_SEQ = _itm.count()
+
+
+def multimodal_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C37 audio synthesis + decode pass run UNDER THE STREAMING
+    ENGINE: ``readStream`` on documents → payload attach → RIFF/PCM
+    feature extraction, append-mode memory sink, availableNow replay.
+    This is decode-at-ingest — the shape a production pipeline uses to
+    featurize media the moment it lands instead of re-scanning the
+    lake: both mapInPandas stages are STATELESS, so the streaming plan
+    needs no state store, no watermark, and each micro-batch's decode
+    cost is proportional to that batch alone. Replay == batch is the
+    oracle (same closed-form SQL as C37)."""
+    from .operators.multimodal import (
+        attach_wav_audio_payloads,
+        extract_audio_stats,
+    )
+    from .sources import stream_table
+
+    docs = stream_table(spark, sf_dir, "documents")
+    out = extract_audio_stats(attach_wav_audio_payloads(docs)).select(
+        "doc_id", "n_samples", "sample_rate", "duration_s",
+        "peak", "mean_sq", "zero_crossings",
+    )
+    sink = f"mm_stream_sink_{next(_MM_STREAM_SINK_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
 # --- C41 hashing-trick document vectorizer ----------------------------------
 
 
@@ -2359,6 +2399,7 @@ PIPELINE_EXTRA_QUERIES = {
     "multimodal_resize": multimodal_resize,
     "multimodal_frames": multimodal_frames,
     "multimodal_gif": multimodal_gif,
+    "multimodal_stream_decode": multimodal_stream_decode,
     "doc_feature_hashing": doc_feature_hashing,
     "corpus_mixture_weights": corpus_mixture_weights,
     "quality_classifier_scores": quality_classifier_scores,
@@ -2391,6 +2432,8 @@ PIPELINE_EXTRA_ORACLES = {
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "multimodal_gif": MULTIMODAL_GIF_SQL,
+    # replay == batch: the streaming decode shares C37's closed-form oracle
+    "multimodal_stream_decode": MULTIMODAL_AUDIO_SQL,
     "doc_feature_hashing": DOC_FEATURE_HASHING_SQL,
     "corpus_mixture_weights": CORPUS_MIXTURE_SQL,
     "quality_classifier_scores": QUALITY_CLASSIFIER_SQL,
