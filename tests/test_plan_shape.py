@@ -292,3 +292,15 @@ def test_feature_hashing_single_aggregate_shuffle(spark):
     assert P.exchange_count(df) == 1
     plan = P.explain_str(df)
     assert "Join" not in plan
+
+
+def test_incremental_near_probe_is_semi_join(spark):
+    """The band probe must compile to a LEFT SEMI join (output bounded
+    by the batch side) with no cartesian/nested-loop anywhere, and no
+    explicit broadcast hint — the standing index grows with the
+    corpus (same scale rule as dedup_incremental)."""
+    df = _xdf(spark, "dedup_incremental_near")
+    plan = P.explain_str(df)
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert P.broadcast_hint_count(df) == 0

@@ -1865,6 +1865,80 @@ FROM new n LEFT JOIN first_in_batch f USING (h)
 """
 
 
+# --- C36b incremental NEAR-dup: probe a batch's bands vs the corpus ---------
+
+
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continual-ingest NEAR-duplicate screening — the harder sibling
+    of C36's exact-hash probe: the new batch's MinHash BAND signatures
+    probe the standing corpus band index, flagging each new doc with
+    how many of its bands collide with any base document.
+
+    Scale shape mirrors C36: the standing index reduces to DISTINCT
+    (band, band_sig) pairs of the already-ingested corpus (persisted —
+    and bucketable by the band key exactly like the exact-hash index);
+    the probe is one LEFT SEMI join keyed on (band, band_sig), output
+    bounded by |batch| x BANDS rows before the per-doc count. The
+    base corpus is never re-shingled against the batch — no
+    O(corpus x batch) step, no all-pairs. Docs shorter than the
+    shingle width carry no bands and are absent, same contract as the
+    batch near-dup ops (C2/C3)."""
+    from .operators.dedup import lsh_bands_from_wide, minhash_signatures_wide
+    from .queries_pipeline import BANDS, MINHASH_K
+
+    docs = _docs(spark, sf_dir)
+    sig = minhash_signatures_wide(
+        docs, num_hashes=MINHASH_K, shingle_k=SHINGLE_K
+    )
+    bands = lsh_bands_from_wide(sig, num_bands=BANDS, num_hashes=MINHASH_K)
+    new_b = bands.filter(F.col("doc_id") % INC_MOD == 0)
+    base_idx = (
+        bands.filter(F.col("doc_id") % INC_MOD != 0)
+        .select("band", "band_sig")
+        .distinct()
+    )
+    hits = (
+        new_b.join(base_idx, ["band", "band_sig"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit_bands"))
+    )
+    return (
+        new_b.select("doc_id")
+        .distinct()
+        .join(hits, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce("n_hit_bands", F.lit(0)).alias("n_hit_bands"),
+            (F.coalesce("n_hit_bands", F.lit(0)) > 0).alias(
+                "is_near_dup_candidate"
+            ),
+        )
+    )
+
+
+from .queries_pipeline import _BANDS_SQL  # noqa: E402
+
+DEDUP_INCREMENTAL_NEAR_SQL = f"""
+WITH {_BANDS_SQL},
+new_b AS (SELECT * FROM bands WHERE doc_id % {INC_MOD} = 0),
+base_idx AS (
+  SELECT DISTINCT band, band_sig FROM bands WHERE doc_id % {INC_MOD} != 0
+),
+hits AS (
+  SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_hit_bands
+  FROM new_b n
+  WHERE EXISTS (SELECT 1 FROM base_idx b
+                WHERE b.band = n.band AND b.band_sig = n.band_sig)
+  GROUP BY n.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hit_bands, 0) AS n_hit_bands,
+       COALESCE(h.n_hit_bands, 0) > 0 AS is_near_dup_candidate
+FROM (SELECT DISTINCT doc_id FROM new_b) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 # --- C35 multimodal pixel decode (PNG, stdlib-zlib codec) -------------------
 
 
@@ -2394,6 +2468,7 @@ GROUP BY doc_id, n
 
 PIPELINE_EXTRA_QUERIES = {
     "dedup_incremental": dedup_incremental,
+    "dedup_incremental_near": dedup_incremental_near,
     "multimodal_pixels": multimodal_pixels,
     "multimodal_audio": multimodal_audio,
     "multimodal_resize": multimodal_resize,
@@ -2427,6 +2502,7 @@ PIPELINE_EXTRA_QUERIES = {
 
 PIPELINE_EXTRA_ORACLES = {
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "dedup_incremental_near": DEDUP_INCREMENTAL_NEAR_SQL,
     "multimodal_pixels": MULTIMODAL_PIXELS_SQL,
     "multimodal_audio": MULTIMODAL_AUDIO_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
