@@ -1221,6 +1221,70 @@ FROM rr2 WHERE rank <= {ANN_TOPK}""",
 )
 
 
+# --- C44 embedding-space outlier screening ----------------------------------
+
+#: per-dimension centroid rounding (same trick as the Lloyd training:
+#: both engines round the corpus means so the downstream cosine math
+#: starts from identical literals, immune to summation-order drift)
+OUT_MEAN_ROUND = 6
+#: flag vectors whose cosine to the corpus centroid is below this
+OUT_TAU = 0.5
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screening — the embedding-side analog
+    of the text quality filters: score every vector by cosine to the
+    CORPUS CENTROID and flag the far tail (mis-embedded, corrupt, or
+    off-distribution items; the cheap first pass before anything like
+    per-cluster filtering). Scale shape: one per-dimension avg
+    aggregate reduces the corpus to EMB_DIM rows, the rounded centroid
+    rides the scoring expression as a literal (closure, no join, no
+    shuffle — same pattern as IVF assignment), so the scoring pass is
+    a pure projection over the scan."""
+    from .operators.similarity import _dot, _norm, with_double_vec
+
+    v = with_double_vec(_emb(spark, sf_dir), "embedding")
+    mean_rows = (
+        v.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("x"), OUT_MEAN_ROUND).alias("m"))
+        .collect()
+    )
+    mean = [0.0] * EMB_DIM
+    for r in mean_rows:
+        mean[int(r["pos"])] = float(r["m"])
+    c = F.array(*[F.lit(x) for x in mean])
+    cos = F.round(
+        _dot(F.col("embedding"), c) / (_norm(F.col("embedding")) * _norm(c)),
+        R,
+    )
+    return v.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        cos.alias("centroid_cos"),
+        (cos < OUT_TAU).alias("is_outlier"),
+    )
+
+
+EMBEDDING_OUTLIERS_SQL = f"""
+WITH {_V_SQL},
+m AS (
+  SELECT r.i AS pos, round(avg(v.e[r.i]), {OUT_MEAN_ROUND}) AS m
+  FROM v, UNNEST(range(1, {EMB_DIM} + 1)) AS r(i)
+  GROUP BY r.i
+),
+c AS (SELECT list(m ORDER BY pos) AS w FROM m),
+scored AS (
+  SELECT v.vec_id,
+         round(list_dot_product(v.e, c.w)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(c.w, c.w))), {R}) AS centroid_cos
+  FROM v CROSS JOIN c
+)
+SELECT vec_id, centroid_cos, centroid_cos < {OUT_TAU} AS is_outlier
+FROM scored
+"""
+
+
 # --- C31 SemDeDup-style semantic dedup ---------------------------------------
 
 SEM_CELLS = 8
@@ -2479,6 +2543,7 @@ PIPELINE_EXTRA_QUERIES = {
     "corpus_mixture_weights": corpus_mixture_weights,
     "quality_classifier_scores": quality_classifier_scores,
     "ann_pq_rerank": ann_pq_rerank,
+    "embedding_outliers": embedding_outliers,
     "contamination_check": contamination_check,
     "train_val_split": train_val_split,
     "pii_scrub": pii_scrub,
@@ -2514,6 +2579,7 @@ PIPELINE_EXTRA_ORACLES = {
     "corpus_mixture_weights": CORPUS_MIXTURE_SQL,
     "quality_classifier_scores": QUALITY_CLASSIFIER_SQL,
     "ann_pq_rerank": ANN_PQ_RERANK_SQL,
+    "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "train_val_split": TRAIN_VAL_SPLIT_SQL,
     "pii_scrub": PII_SCRUB_SQL,
