@@ -22,8 +22,11 @@ def test_q6_filters_reach_scan_and_columns_prune(spark):
 
 
 def test_q5_small_dims_broadcast(spark):
+    """nation/region carry explicit hints (bounded dims); supplier
+    grows with SF so its broadcast is stats-driven at this SF."""
     df = _df(spark, "q5_local_supplier")
-    assert P.broadcast_join_count(df) >= 3, "nation/region/supplier must broadcast"
+    assert P.broadcast_join_count(df) >= 3
+    assert P.broadcast_hint_count(df) <= 2  # nation + region only
     assert P.exchange_count(df) <= 2
 
 
@@ -186,19 +189,28 @@ def test_q19_disjunction_distributes_to_both_scans(spark):
     assert P.broadcast_join_count(df) >= 1
 
 
-def test_q7_dims_broadcast(spark):
+def test_q7_hints_only_bounded_dims(spark):
+    """q8 principle (VERDICT r5 item 1): supplier, orders and
+    customer all grow with SF — only the two nation copies (≤25 rows
+    at any SF) may carry explicit broadcast hints. At this SF the
+    stats estimate still broadcasts the small sides, so the physical
+    plan keeps its map-side joins without any unconditional hint."""
     df = _xdf(spark, "q7_volume_shipping")
-    assert P.broadcast_join_count(df) >= 3
+    assert P.broadcast_hint_count(df) <= 2  # n1 + n2 only
+    assert P.broadcast_join_count(df) >= 3  # stats-driven at smoke SF
     plan = P.explain_str(df)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
 def test_bloom_prefilter_all_joins_broadcast(spark):
-    """The bit set and the true-key set are broadcast; the probe side
-    never shuffles for a join (the only exchange feeds the single-row
-    aggregate)."""
+    """The bit set (bounded by BLOOM_M at any SF) is hint-broadcast
+    per probe; the true-key mark grows with SF so it carries NO hint
+    (stats still broadcast it at this SF). The probe side never
+    shuffles for a join — the only exchange feeds the single-row
+    aggregate."""
     df = _xdf(spark, "bloom_prefilter")
-    assert P.broadcast_join_count(df) >= 4  # K bit lookups + true-key mark
+    assert P.broadcast_hint_count(df) == 3  # BLOOM_K bit lookups only
+    assert P.broadcast_join_count(df) >= 4  # + stats-driven true-key mark
     plan = P.explain_str(df)
     assert "SortMergeJoin" not in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
@@ -224,12 +236,17 @@ def test_q13_aggregates_before_left_join(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
-def test_q17_threshold_joins_broadcast(spark):
-    """Both the brand part list and the per-part threshold relation
-    are broadcast: the lineitem side never shuffles for a join."""
+def test_q17_no_scaling_hints(spark):
+    """q8 principle (VERDICT r5 item 1): the brand part slice AND the
+    per-part threshold relation both grow with SF, so neither may
+    carry an explicit hint. Stats/AQE still broadcast both at this SF
+    (the lineitem side stays map-side), but the static plan must
+    leave that choice to the size estimate."""
     df = _xdf(spark, "q17_small_qty_revenue")
-    assert P.broadcast_join_count(df) >= 2
-    assert "SortMergeJoin" not in P.explain_str(df)
+    assert P.broadcast_hint_count(df) == 0
+    assert P.broadcast_join_count(df) >= 2  # stats-driven at smoke SF
+    plan = P.explain_str(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
 def test_dedup_incremental_no_batch_broadcast_hint(spark):
@@ -254,6 +271,50 @@ def test_q8_hints_only_bounded_dims(spark):
     assert P.broadcast_hint_count(df) <= 3  # region + cust_nation + supp_nation
     plan = P.explain_str(df)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# Per-query budget of EXPLICIT broadcast hints: only relations whose
+# size is bounded at ANY scale factor may carry one — nation/region
+# (≤25 rows by TPC-H construction), provably-1-row scalars (q15's
+# ranked winner, q22's average), and the BLOOM_M-bounded bit set.
+# Everything that grows with SF (supplier/customer/part/orders slices,
+# per-part aggregates, true-key sets) must leave the join strategy to
+# size estimates / AQE, which degrade gracefully where a hint OOMs.
+_HINT_BUDGET = {
+    "q1_pricing_summary": 0,
+    "q3_shipping_priority": 0,
+    "q4_order_priority": 0,
+    "q5_local_supplier": 2,      # nation + region
+    "q6_revenue_delta": 0,
+    "q7_volume_shipping": 2,     # both nation copies
+    "q8_market_share": 3,        # region + cust_nation + supp_nation
+    "q9_profit_by_nation": 1,    # nation
+    "q10_returned_items": 1,     # nation
+    "q13_order_distribution": 0,
+    "q14_promo_revenue": 0,
+    "q15_top_supplier": 1,       # the 1-row ranked winner
+    "q17_small_qty_revenue": 0,
+    "q18_large_orders": 0,
+    "q19_disjunctive_pushdown": 0,
+    "q21_late_suppliers": 0,
+    "q22_idle_customers": 1,     # the 1-row scalar average
+    "top_customers_window": 1,   # nation
+    "bloom_prefilter": 3,        # BLOOM_K probes of the BLOOM_M-bounded bit set
+}
+
+
+def test_tpch_family_hints_only_bounded_dims(spark):
+    """Family-wide q8 principle (VERDICT r5 item 1): every TPC-H-style
+    query's explicit-hint count stays within its bounded-dim budget,
+    and none plans a nested-loop/cartesian."""
+    for name, budget in _HINT_BUDGET.items():
+        df = _xdf(spark, name)
+        n = P.broadcast_hint_count(df)
+        assert n <= budget, f"{name}: {n} explicit hints > budget {budget}"
+        plan = P.explain_str(df)
+        assert "CartesianProduct" not in plan, name
+        if name != "q22_idle_customers":  # its 1-row scalar crossJoin is a BNLJ
+            assert "NestedLoop" not in plan, name
 
 
 def test_q22_anti_join_bounded(spark):

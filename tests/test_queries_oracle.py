@@ -45,14 +45,16 @@ def test_entry_smoke(spark):
 
 
 def test_rotation_invariants():
-    """The round-5 window rotation must keep the registries a clean
+    """Each round's window rotation must keep the registries a clean
     partition: exactly 50 driver slots, rotated keys on the declared
-    sides, no key on both sides, and every driver key oracled or
-    declared no-oracle."""
+    sides (latest rotation wins for keys touched twice), no key on
+    both sides, and every driver key oracled or declared no-oracle."""
     from tradesignal_mtm_runner_spark import queries as q
 
     assert len(q.QUERIES) == 50
     assert set(q.QUERIES).isdisjoint(q.EXTRA_QUERIES)
-    assert set(q.ROTATED_IN) <= set(q.QUERIES)
-    assert set(q.ROTATED_OUT) <= set(q.EXTRA_QUERIES)
+    assert set(q.ROTATED_IN_R5) <= set(q.QUERIES)
+    assert set(q.ROTATED_IN_R6) <= set(q.QUERIES)
+    assert set(q.ROTATED_OUT_R5) <= set(q.EXTRA_QUERIES)
+    assert set(q.ROTATED_OUT_R6) <= set(q.EXTRA_QUERIES)
     assert set(q.ALL_QUERIES) == set(q.QUERIES) | set(q.EXTRA_QUERIES)

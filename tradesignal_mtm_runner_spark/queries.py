@@ -624,7 +624,7 @@ EXTRA_ORACLES.update(RISK_EXTRA_ORACLES)
 # shapes are also exercised by other window keys) rotate OUT to the pytest
 # registry and never-driver-verified keys rotate IN.  Total pytest coverage
 # is unchanged: tests/test_queries_oracle.py runs QUERIES ∪ EXTRA_QUERIES.
-ROTATED_OUT = (
+ROTATED_OUT_R5 = (
     "price_movement",
     "value_histogram",
     "events_pivot",
@@ -636,7 +636,7 @@ ROTATED_OUT = (
     "q6_revenue_delta",
     "token_histogram",
 )
-ROTATED_IN = (
+ROTATED_IN_R5 = (
     "q8_market_share",
     "q21_late_suppliers",
     "events_json_extract",
@@ -648,26 +648,48 @@ ROTATED_IN = (
     "bpe_apply",
     "dedup_semantic",
 )
-# Round-6 rotation candidates (never driver-verified as of r5): the
-# remaining pre-r5 extras (q9_profit_by_nation, q7_volume_shipping,
-# q13/q14/q15/q17/q19/q22, upsert_latest, symbol_correlation,
-# bloom_prefilter, contamination_check, train_val_split, pii_scrub,
-# embedding_quantize, sequence_pack, corpus_filter_pipeline,
-# stratified_sample, ngram_counts, bpe_train, ann_pq_topk,
-# token_cms_topk, doc_perplexity, tech_indicators, stream_* family)
-# and every r5-new extra (events_json_stream, multimodal_audio/
-# resize/frames/gif, doc_feature_hashing, corpus_mixture_weights,
-# quality_classifier_scores, ann_pq_rerank). Swap ~10 per round,
-# preferring oracled keys whose plan shape differs from anything
-# already window-verified.
-for _k in ROTATED_OUT:
-    EXTRA_QUERIES[_k] = QUERIES.pop(_k)
-    if _k in ORACLES:
-        EXTRA_ORACLES[_k] = ORACLES.pop(_k)
-for _k in ROTATED_IN:
-    QUERIES[_k] = EXTRA_QUERIES.pop(_k)
-    if _k in EXTRA_ORACLES:
-        ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+# --- round-6 rotation (VERDICT r5, next-round item 2) -----------------------
+# The 13 r5-new keys had never crossed the driver's independent oracle.
+# Ten oracled ones rotate IN (mtm_sweep_scale stays pytest — rows-only by
+# design; embedding_outliers and multimodal_stream_decode queue for r7);
+# ten long-green slots whose shapes are also covered by remaining window
+# keys rotate OUT to the pytest registry.
+ROTATED_OUT_R6 = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q18_large_orders",
+    "rolling_revenue_7d",
+    "revenue_rollup",
+    "events_funnel",
+    "dedup_exact",
+    "ann_lsh_buckets",
+)
+ROTATED_IN_R6 = (
+    "events_json_stream",
+    "ann_pq_rerank",
+    "dedup_incremental_near",
+    "multimodal_audio",
+    "multimodal_gif",
+    "multimodal_resize",
+    "multimodal_frames",
+    "doc_feature_hashing",
+    "corpus_mixture_weights",
+    "quality_classifier_scores",
+)
+for _out, _in in (
+    (ROTATED_OUT_R5, ROTATED_IN_R5),
+    (ROTATED_OUT_R6, ROTATED_IN_R6),
+):
+    for _k in _out:
+        EXTRA_QUERIES[_k] = QUERIES.pop(_k)
+        if _k in ORACLES:
+            EXTRA_ORACLES[_k] = ORACLES.pop(_k)
+    for _k in _in:
+        QUERIES[_k] = EXTRA_QUERIES.pop(_k)
+        if _k in EXTRA_ORACLES:
+            ORACLES[_k] = EXTRA_ORACLES.pop(_k)
 
 # Rotation-proof merged view for tests and tooling: every registered
 # query regardless of which side of the driver window it sits on.

@@ -85,7 +85,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate")
@@ -126,7 +126,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -890,11 +890,13 @@ ANALYTICS_ORACLES = {
 
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: bilateral shipping volume between two nations by
-    year. 6-way join — lineitem is the only fact; supplier, orders,
-    customer and both nation copies broadcast (orders is fact-sized
-    in real TPC-H; here the o_orderkey join stays a shuffle join only
-    if AQE decides it's too big — both are correct, and the nation
-    filters cut the stream before the aggregate)."""
+    year. 6-way join — lineitem is the only fact; only the two
+    nation copies (≤25 rows at any SF) carry explicit broadcast
+    hints. supplier, orders and customer all grow with SF, so their
+    join strategy is left to size estimates / AQE: broadcast while
+    they measure small, graceful sort-merge once they don't — an
+    explicit hint there would OOM the driver at 100× instead of
+    degrading (VERDICT r5 item 1)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
@@ -907,7 +909,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         li.join(
-            F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")),
+            _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
             li["l_suppkey"] == F.col("s_suppkey"),
         )
         .join(
@@ -915,7 +917,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             li["l_orderkey"] == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")),
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
@@ -968,15 +970,17 @@ GROUP BY supp_nation, cust_nation, l_year
 
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: promo revenue share for one ship month. Part
-    broadcasts; the tight date filter reaches the lineitem scan."""
+    """TPC-H Q14: promo revenue share for one ship month. The tight
+    date filter reaches the lineitem scan; part grows with SF so it
+    carries NO explicit hint — AQE broadcasts it while it measures
+    small and falls back to sort-merge when it doesn't."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     j = li.join(
-        F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type")),
+        _t(spark, sf_dir, "part").select("p_partkey", "p_type"),
         li["l_partkey"] == F.col("p_partkey"),
     )
     return j.agg(
@@ -1006,7 +1010,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: the quarter's top-revenue supplier. The revenue
     aggregate is supplier-sized (small); the max cut ranks on the
     ROUNDED revenue with a supplier-key tiebreak so the winner is
-    engine-stable."""
+    engine-stable. The final name lookup hint-broadcasts the
+    provably-1-row winner, never supplier (which grows with SF)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -1022,10 +1027,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("total_revenue"), F.asc("supplier_no"))
     top = rev.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
-    return top.join(
-        F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")),
-        F.col("supplier_no") == F.col("s_suppkey"),
-    ).select("s_suppkey", "s_name", "total_revenue")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name")
+        .join(F.broadcast(top), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
 
 
 Q15_SQL = f"""
@@ -1054,10 +1061,11 @@ def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR-of-ANDs brand/size/quantity predicate. The pushdown showcase:
     Catalyst distributes the disjunction — part-only conjuncts
     (brand, size) reach the part scan, the derived quantity envelope
-    reaches the lineitem scan — before the broadcast join."""
+    reaches the lineitem scan — before the join. part grows with SF
+    so the join strategy is AQE's call (broadcast at test SF)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(p), li["l_partkey"] == F.col("p_partkey"))
+    j = li.join(p, li["l_partkey"] == F.col("p_partkey"))
     q = F.col("l_quantity")
     cond = (
         (
@@ -1236,8 +1244,10 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     build side is too large to broadcast raw but its ~M-bit filter is
     tiny, the probe side is pruned AT THE SCAN, before any shuffle.
     Plan shape here mirrors that: the bit set (<= BLOOM_M rows after
-    DISTINCT) and the true-key set are broadcast, every join is
-    map-side, and the only shuffle is the final single-row aggregate.
+    DISTINCT — bounded by the filter geometry, not the data) is
+    hint-broadcast per probe, so every bit lookup is map-side; the
+    true-key mark joins WITHOUT a hint (the key set grows with SF —
+    AQE broadcasts it while small, degrades to shuffle when not).
     Each probe-side lookup joins a DISTINCT bit set, so no row
     multiplication occurs. False positives are expected by design
     (~(1-e^(-kn/m))^k, here a few percent) — the aggregate measures
@@ -1262,9 +1272,7 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe = probe.join(
             bj, _bloom_bucket(F.col("l_orderkey"), j) == F.col(f"_bk{j}"), "left"
         )
-    dmark = F.broadcast(
-        dkeys.select(F.col("k").alias("_dk"), F.lit(1).alias("_true"))
-    )
+    dmark = dkeys.select(F.col("k").alias("_dk"), F.lit(1).alias("_true"))
     probe = probe.join(dmark, F.col("l_orderkey") == F.col("_dk"), "left")
     bloom_pass = F.lit(True)
     for j in range(BLOOM_K):
@@ -1386,7 +1394,10 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the part's average order quantity) were not filled — TPC-H
     Q17's correlated scalar subquery, decorrelated the way Catalyst
     would: ONE per-part average aggregate over the brand's lineitems,
-    broadcast back, and a threshold filter. The threshold is rounded
+    joined back, and a threshold filter. Both the brand part slice
+    and the per-part threshold relation grow with SF, so neither
+    carries an explicit hint — AQE broadcasts them while small
+    (VERDICT r5 item 1). The threshold is rounded
     on both engines so summation-order ULPs can't flip a row across
     the comparison."""
     parts = (
@@ -1398,14 +1409,14 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     brand_li = li.join(
-        F.broadcast(parts), li.l_partkey == parts.p_partkey
+        parts, li.l_partkey == parts.p_partkey
     ).select("l_partkey", "l_quantity", "l_extendedprice")
     thresh = brand_li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         F.round(F.avg("l_quantity") * 0.2, 9).alias("qty_cut")
     )
     return (
         brand_li.join(
-            F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey")
+            thresh, F.col("l_partkey") == F.col("t_partkey")
         )
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
@@ -1573,7 +1584,7 @@ GROUP BY 1
 Q9_PART_WORD = "gear"
 #: the testdata has no partsupp table, so supply cost is proxied as a
 #: fixed fraction of the part's retail price (same formula on both
-#: engines); the join/agg SHAPE — two facts + three broadcast dims,
+#: engines); the join/agg SHAPE — two facts + three small dims,
 #: profit expression, (nation, year) rollup — is Q9's.
 Q9_COST_FRAC = 0.5
 
@@ -1582,8 +1593,10 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (adapted): per supplier-nation per order-year profit
     over parts whose name contains a word. amount = revenue - cost,
     cost proxied via p_retailprice (no partsupp in the testdata).
-    lineitem⨝orders is the one big join; part (name-filtered),
-    supplier, nation broadcast. Rounded on both engines."""
+    lineitem⨝orders is the one big join; only nation (bounded) is
+    hint-broadcast — the name-filtered part slice and supplier grow
+    with SF, so their strategy stays stats/AQE-driven. Rounded on
+    both engines."""
     part = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_name").contains(Q9_PART_WORD))
@@ -1601,9 +1614,9 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(Q9_COST_FRAC) * F.col("p_retailprice") * F.col("l_quantity")
     )
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
     )
     return (
@@ -1687,7 +1700,7 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        waiting.join(F.broadcast(supp), F.col("s1") == supp.s_suppkey)
+        waiting.join(supp, F.col("s1") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
