@@ -23,6 +23,14 @@ SHINGLE_K = 3
 ANN_QUERIES = 10
 ANN_TOPK = 5
 JACCARD_MIN = 0.1
+#: Hot-bucket guard for LSH candidate generation: a (band, band_sig)
+#: bucket of B docs yields ~B^2/2 candidate pairs, so one degenerate
+#: bucket (boilerplate, empty docs) can dwarf the rest of the corpus
+#: combined. Buckets past the cap are dropped from candidate
+#: generation on BOTH engines (mirrored in the oracle SQL); realistic
+#: dup clusters sit far below it at every tested SF, so results are
+#: unchanged while the blowup is structurally impossible.
+LSH_MAX_BUCKET = 1000
 
 
 def _docs(spark, sf_dir):
@@ -66,7 +74,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), num_hashes=MINHASH_K, shingle_k=SHINGLE_K
     )
     pairs = lsh_candidate_pairs(
-        lsh_bands_from_wide(sig, num_bands=BANDS, num_hashes=MINHASH_K)
+        lsh_bands_from_wide(sig, num_bands=BANDS, num_hashes=MINHASH_K),
+        max_bucket=LSH_MAX_BUCKET,
     )
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -103,11 +112,25 @@ bands AS (
   FROM sig GROUP BY doc_id, seed % {BANDS}
 )"""
 
+#: bucket-capped bands CTE (appended after _BANDS_SQL): drops hot
+#: (band, band_sig) buckets before pair generation, same cap as the
+#: Spark path's lsh_candidate_pairs(max_bucket=LSH_MAX_BUCKET)
+_BANDS_CAPPED_SQL = f"""
+bsz AS (
+  SELECT band, band_sig, count(*) AS _n FROM bands GROUP BY band, band_sig
+),
+bands_c AS (
+  SELECT b.doc_id, b.band, b.band_sig
+  FROM bands b JOIN bsz USING (band, band_sig)
+  WHERE bsz._n <= {LSH_MAX_BUCKET}
+)"""
+
 DEDUP_MINHASH_SQL = f"""
-WITH {_BANDS_SQL}
+WITH {_BANDS_SQL},
+{_BANDS_CAPPED_SQL}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a
-JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+FROM bands_c a
+JOIN bands_c b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 """
 
 
@@ -122,6 +145,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_bands=BANDS,
         shingle_k=SHINGLE_K,
         jaccard_threshold=JACCARD_MIN,
+        max_bucket=LSH_MAX_BUCKET,
     )
     return j.select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -132,10 +156,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_JACCARD_SQL = f"""
 WITH {_BANDS_SQL},
+{_BANDS_CAPPED_SQL},
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+  FROM bands_c a
+  JOIN bands_c b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (

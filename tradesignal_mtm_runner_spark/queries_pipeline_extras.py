@@ -1939,8 +1939,11 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many of its bands collide with any base document.
 
     Scale shape mirrors C36: the standing index reduces to DISTINCT
-    (band, band_sig) pairs of the already-ingested corpus (persisted —
-    and bucketable by the band key exactly like the exact-hash index);
+    (band, band_sig) pairs of the already-ingested corpus — persisted
+    and bucketed in production via operators.dedup.write_band_index /
+    probe_band_index, whose bucket-aligned zero-shuffle probe is
+    pinned in tests/test_scale_patterns.py (the base corpus is
+    shingled once at index-build time, never per run);
     the probe is one LEFT SEMI join keyed on (band, band_sig), output
     bounded by |batch| x BANDS rows before the per-doc count. The
     base corpus is never re-shingled against the batch — no
