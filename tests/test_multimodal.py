@@ -557,3 +557,172 @@ def test_gif_header_and_rejects():
     inter[desc + 9] = 0x40  # interlace flag
     with pytest.raises(ValueError, match="interlaced"):
         decode_gif_rgb(bytes(inter))
+
+
+def test_jpeg_fill_bytes_and_tem_markers_in_header():
+    """Spec-legal 0xFF fill bytes before a marker and standalone TEM
+    markers between header segments must not derail the header walk
+    (ADVICE r5): the file still decodes bit-exact."""
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+    from tradesignal_mtm_runner_spark.operators.multimodal import frame_pixels
+
+    px = frame_pixels(3, 0, 16, 12)
+    enc = encode_jpeg_gray(px)
+    # insert a fill-byte run and a TEM marker right after SOI
+    doctored = enc[:2] + b"\xff\xff\xff" + enc[2:3] + enc[3:]
+    assert doctored[2:4] != b"\xff\xd8"
+    dec = decode_jpeg(doctored)
+    assert np.array_equal(dec[:, :, 0], px)
+    tem = enc[:2] + b"\xff\x01" + enc[2:]
+    assert np.array_equal(decode_jpeg(tem)[:, :, 0], px)
+
+
+def test_mjpeg_split_survives_embedded_eoi_in_app_segment():
+    """An APP1 (EXIF-style) header segment whose payload embeds a full
+    JPEG — including its own EOI bytes — must NOT split the frame
+    early (ADVICE r5): the splitter walks segments by length instead
+    of scanning for a literal FFD9."""
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+    from tradesignal_mtm_runner_spark.operators.multimodal import (
+        frame_pixels,
+        split_mjpeg_frames,
+    )
+
+    thumb = encode_jpeg_gray(frame_pixels(1, 0, 8, 8))  # ends with FFD9
+    assert thumb.endswith(b"\xff\xd9")
+    app1 = b"\xff\xe1" + (len(thumb) + 2).to_bytes(2, "big") + thumb
+    frames = []
+    for f in range(3):
+        enc = encode_jpeg_gray(frame_pixels(9, f, 16, 12))
+        frames.append(enc[:2] + app1 + enc[2:])  # APP1 right after SOI
+    stream = b"".join(frames)
+    got = split_mjpeg_frames(stream)
+    assert len(got) == 3
+    for f, g in enumerate(got):
+        assert g == frames[f]
+        dec = decode_jpeg(g)  # APPn skipped by the decoder
+        assert np.array_equal(dec[:, :, 0], frame_pixels(9, f, 16, 12))
+
+
+def test_mjpeg_split_rejects_truncated_scan():
+    from tradesignal_mtm_runner_spark.operators.jpeg import encode_jpeg_gray
+    from tradesignal_mtm_runner_spark.operators.multimodal import (
+        frame_pixels,
+        split_mjpeg_frames,
+    )
+
+    enc = encode_jpeg_gray(frame_pixels(2, 0, 16, 12))
+    with pytest.raises(ValueError):
+        split_mjpeg_frames(enc[:-2])  # EOI chopped off
+
+
+def test_gif_arbitrary_palette_roundtrip_property():
+    """The DECODER supports any global color table, not just the
+    grayscale one our encoder emits (VERDICT r5 item 8): random
+    palettes of every legal size round-trip index-exact through a
+    hand-built container + the real LZW compressor."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tradesignal_mtm_runner_spark.operators.gif import (
+        _lzw_compress,
+        decode_gif_rgb,
+    )
+
+    def build(palette: np.ndarray, idx: np.ndarray) -> bytes:
+        n = len(palette)
+        bits = max(1, (n - 1).bit_length())
+        h, w = idx.shape
+        screen = (
+            w.to_bytes(2, "little")
+            + h.to_bytes(2, "little")
+            + bytes([0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])
+        )
+        desc = (
+            b"\x2c" + bytes(4)
+            + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little")
+            + bytes([0])
+        )
+        mcs = max(2, bits)
+        lzw = _lzw_compress(idx.reshape(-1), mcs)
+        blocks = bytearray([mcs])
+        for i in range(0, len(lzw), 255):
+            blocks += bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        blocks += b"\x00"
+        return (
+            b"GIF89a" + screen + palette.tobytes() + desc + bytes(blocks)
+            + b"\x3b"
+        )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=30),
+        h=st.integers(min_value=1, max_value=30),
+        nbits=st.integers(min_value=1, max_value=8),
+        seed=st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def _roundtrip(w, h, nbits, seed):
+        rng = np.random.default_rng(seed)
+        n = 2 ** nbits
+        palette = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+        idx = rng.integers(0, n, (h, w)).astype(np.uint8)
+        dec = decode_gif_rgb(build(palette, idx))
+        assert dec.shape == (h, w, 3)
+        assert np.array_equal(dec, palette[idx])
+
+    _roundtrip()
+
+
+def test_gif_lzw_bomb_rejected():
+    """LZW data expanding past the declared w*h must raise, not
+    allocate: the decompressor is bounded by the descriptor's
+    dimensions (same hardening bar as PNG's bounded inflate)."""
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.gif import (
+        _lzw_compress,
+        decode_gif_rgb,
+        encode_gif_gray,
+    )
+
+    # 4x4 declared, but the stream encodes 10_000 pixels
+    bomb_payload = _lzw_compress(
+        np.zeros(10_000, np.uint8).reshape(-1), 8
+    )
+    host = bytearray(encode_gif_gray(np.zeros((4, 4), np.uint8)))
+    desc = 13 + 768
+    assert host[desc] == 0x2C
+    body = bytearray([8])
+    for i in range(0, len(bomb_payload), 255):
+        chunk = bomb_payload[i : i + 255]
+        body += bytes([len(chunk)]) + chunk
+    body += b"\x00"
+    doctored = bytes(host[: desc + 10]) + bytes(body) + b"\x3b"
+    with pytest.raises(ValueError, match="exceeds declared|does not match"):
+        decode_gif_rgb(doctored)
+
+
+def test_gif_truncated_lzw_stream_rejected():
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.gif import (
+        decode_gif_rgb,
+        encode_gif_gray,
+    )
+
+    blob = encode_gif_gray(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    # chop mid-LZW: drop the trailer, terminator and last sub-block
+    with pytest.raises(ValueError):
+        decode_gif_rgb(blob[:-10])

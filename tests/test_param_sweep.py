@@ -68,3 +68,35 @@ def test_sweep_timeline_tagged(signals):
     assert set(tl["config_id"]) == set(CONFIGS)
     per_cell = tl.groupby(["symbol", "config_id"]).size()
     assert (per_cell == 240).all()
+
+
+def test_blocked_sweep_matches_per_config_sweep(signals):
+    """The config-block variant (bars replicated once per BLOCK, each
+    cell looping k state machines over one copy) must be value-
+    identical to the per-config explode — block boundaries mid-grid
+    included (3 configs, block=2 -> blocks of 2 and 1)."""
+    from tradesignal_mtm_runner_spark.operators.bookkeeper import (
+        run_mtm_param_sweep_blocked,
+    )
+
+    per_cfg = (
+        summarize_timeline(
+            run_mtm_param_sweep(signals, CONFIGS),
+            group_cols=["symbol", "config_id"],
+        )
+        .toPandas()
+        .set_index(["symbol", "config_id"])
+        .sort_index()
+    )
+    blocked = (
+        summarize_timeline(
+            run_mtm_param_sweep_blocked(signals, CONFIGS, block_size=2),
+            group_cols=["symbol", "config_id"],
+        )
+        .toPandas()
+        .set_index(["symbol", "config_id"])
+        .sort_index()
+    )
+    assert list(per_cfg.index) == list(blocked.index)
+    for col in ("pnl", "max_drawdown", "sharpe_ratio"):
+        assert np.allclose(per_cfg[col], blocked[col], atol=1e-9), col

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 from tradesignal_mtm_runner_spark import sinks
+from tradesignal_mtm_runner_spark.streaming import await_or_raise
 from tradesignal_mtm_runner_spark.config import PnlCalcConfig
 from tradesignal_mtm_runner_spark.operators.bookkeeper import (
     run_mtm_bookkeeper,
@@ -105,7 +106,7 @@ def test_streaming_parquet_sink_exactly_once(spark, tmp_path):
         q = sinks.stream_to_parquet(
             streaming_mtm_timeline(sig, cfg), out, ckpt
         )
-        q.awaitTermination(300)
+        await_or_raise(q)
 
     run_once()
     n1 = spark.read.parquet(out).count()
@@ -151,7 +152,7 @@ def test_streaming_sink_resumes_incrementally(spark, tmp_path):
     def run_once():
         stream = spark.readStream.schema(schema).parquet(str(src))
         q = sinks.stream_to_parquet(stream, out, ckpt)
-        q.awaitTermination(300)
+        await_or_raise(q)
 
     run_once()
     assert spark.read.parquet(out).count() == half

@@ -11,6 +11,7 @@ import numpy as np
 import pandas as pd
 
 from tests.conftest import SF_SMOKE
+from tradesignal_mtm_runner_spark.streaming import await_or_raise
 
 
 def test_stream_source_event_time_is_watermarkable(spark):
@@ -79,7 +80,7 @@ def test_streaming_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     got = (
         spark.table(sink)
         .toPandas()
@@ -144,7 +145,7 @@ def test_windowed_agg_matches_batch_across_microbatches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     key = ["window_start_epoch", "user_id", "event_type"]
     got = spark.table(sink).toPandas().sort_values(key).reset_index(drop=True)
     want = (
@@ -265,7 +266,7 @@ def test_session_window_merges_across_microbatches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     key = ["user_id", "session_start_epoch"]
     got = spark.table(sink).toPandas().sort_values(key).reset_index(drop=True)
     want = (
@@ -381,7 +382,7 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
         q = sinks.stream_to_parquet(
             windowed_event_counts(stream, watermark="10 minutes"), out, ckpt
         )
-        q.awaitTermination(300)
+        await_or_raise(q)
 
     write_chunk("bulk.parquet", bulk, 100)
     run_once()

@@ -41,6 +41,28 @@ def _lzw_compress(indices: np.ndarray, min_code_size: int) -> bytes:
     table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
     next_code = end + 1
     width = min_code_size + 1
+    # The code width must track the DECODER's view: the decoder grows
+    # its table by one entry per consumed data code (after the first
+    # following a clear) — including the encoder's final flush code,
+    # which adds no encoder-side entry — and widens when that count
+    # reaches 1 << width. Simulating dec_len here keeps both sides
+    # bit-synchronized by construction; deriving the width from the
+    # encoder's own next_code desyncs exactly when the flush lands on
+    # a power-of-two boundary (found by the palette round-trip
+    # property test).
+    dec_len = clear + 2
+    first_after_clear = True
+
+    def emit(code: int) -> None:
+        nonlocal dec_len, first_after_clear, width
+        out_bits.append((code, width))
+        if first_after_clear:
+            first_after_clear = False
+        else:
+            dec_len += 1
+            if dec_len >= (1 << width) and width < 12:
+                width += 1
+
     out_bits.append((clear, width))
     buf = b""
     for ix in indices.astype(np.uint8).tobytes():
@@ -48,19 +70,19 @@ def _lzw_compress(indices: np.ndarray, min_code_size: int) -> bytes:
         if cand in table:
             buf = cand
             continue
-        out_bits.append((table[buf], width))
+        emit(table[buf])
         table[cand] = next_code
         next_code += 1
-        if next_code > (1 << width) and width < 12:
-            width += 1
-        elif next_code >= (1 << 12):
+        if next_code >= (1 << 12):
             out_bits.append((clear, width))
             table = {bytes([i]): i for i in range(clear)}
             next_code = end + 1
             width = min_code_size + 1
+            dec_len = clear + 2
+            first_after_clear = True
         buf = bytes([ix])
     if buf:
-        out_bits.append((table[buf], width))
+        emit(table[buf])
     out_bits.append((end, width))
     # LSB-first bit packing
     acc = 0

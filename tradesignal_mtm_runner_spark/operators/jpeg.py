@@ -408,12 +408,24 @@ def decode_jpeg(payload: bytes, max_pixels: int | None = None) -> np.ndarray:
     frame = None  # (h, w, comps=[(cid, hs, vs, tq)])
     restart_interval = 0
     i = 2
-    while i + 4 <= len(b):
+    while i + 2 <= len(b):
         if b[i] != 0xFF:
             raise ValueError("expected marker")
+        # spec-legal fill: any run of 0xFF may pad before the marker
+        # byte (T.81 B.1.1.2) — skip to the last 0xFF of the run
+        while i + 1 < len(b) and b[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > len(b):
+            raise ValueError("truncated marker")
         marker = b[i + 1]
         if marker == 0xD9:  # EOI with no scan
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn: standalone markers with no length field
+            i += 2
+            continue
+        if i + 4 > len(b):
+            raise ValueError("truncated segment header")
         ln = int.from_bytes(b[i + 2 : i + 4], "big")
         if ln < 2 or i + 2 + ln > len(b):
             raise ValueError("segment length exceeds buffer")
@@ -534,6 +546,12 @@ def _decode_scan(
     for cid, hs, vs, _tq in comps:
         p = planes[cid]
         if hs != hmax or vs != vmax:
+            if vmax % vs or hmax % hs:
+                # np.repeat with integer division would silently emit
+                # wrongly-sized planes for non-integer ratios
+                raise ValueError(
+                    f"non-integer sampling ratio {hmax}/{hs} x {vmax}/{vs}"
+                )
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         out_planes.append(p[:fh, :fw])
     if len(out_planes) == 1:

@@ -556,9 +556,12 @@ def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Video: MJPEG (concatenated baseline JPEG frames — the real format
 # motion-JPEG streams and many capture pipelines emit). Frame
-# boundaries are unambiguous: inside entropy-coded data every 0xFF is
-# stuffed (0xFF00) or a marker, so a literal FFD9 is always a real
-# EOI. Frame-SAMPLING decodes only every k-th frame — the standard
+# boundaries need a marker walk, not a literal FFD9 scan: inside
+# entropy-coded data every 0xFF is stuffed (0xFF00) or a marker, but
+# HEADER segments (APPn/COM — EXIF thumbnails embed a whole JPEG with
+# its own EOI) contain unstuffed bytes, so the walk skips them by
+# their declared lengths and only trusts an EOI found after SOS.
+# Frame-SAMPLING decodes only every k-th frame — the standard
 # video-to-training-frames step (decode cost scales with sampled
 # frames, not stream length).
 
@@ -575,8 +578,56 @@ FRAME_STATS_SCHEMA = StructType(
 )
 
 
+def _jpeg_frame_end(b: bytes, start: int) -> int:
+    """Offset one past the EOI of the JPEG frame starting at ``start``
+    (which must point at SOI). Walks header segments by their declared
+    lengths — APPn/COM metadata (e.g. EXIF thumbnails embedding a full
+    JPEG with its own EOI) is skipped wholesale, never scanned — then
+    scans entropy data where every 0xFF is stuffed (FF00), a RSTn, or
+    a real marker. Raises ValueError on malformed structure."""
+    i = start + 2  # past SOI
+    in_scan = False
+    n = len(b)
+    while i < n:
+        if not in_scan:
+            if b[i] != 0xFF:
+                raise ValueError(f"expected marker at offset {i}")
+            while i + 1 < n and b[i + 1] == 0xFF:  # fill bytes
+                i += 1
+            if i + 2 > n:
+                raise ValueError("truncated marker")
+            marker = b[i + 1]
+            if marker == 0xD9:  # EOI before any scan (header-only frame)
+                return i + 2
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn
+                i += 2
+                continue
+            if i + 4 > n:
+                raise ValueError("truncated segment header")
+            ln = int.from_bytes(b[i + 2 : i + 4], "big")
+            if ln < 2 or i + 2 + ln > n:
+                raise ValueError("segment length exceeds buffer")
+            if marker == 0xDA:  # SOS — entropy data follows
+                in_scan = True
+            i += 2 + ln
+        else:
+            # entropy-coded data: skip to the next unstuffed marker
+            j = b.find(b"\xff", i)
+            if j < 0 or j + 1 >= n:
+                raise ValueError("unterminated JPEG frame")
+            m = b[j + 1]
+            if m == 0x00 or m == 0xFF or 0xD0 <= m <= 0xD7:
+                i = j + 2 if m != 0xFF else j + 1  # stuffed / RST / fill
+            elif m == 0xD9:
+                return j + 2
+            else:
+                raise ValueError(f"unexpected marker {m:#x} in scan")
+    raise ValueError("unterminated JPEG frame")
+
+
 def split_mjpeg_frames(payload: bytes) -> list[bytes]:
-    """Split an MJPEG stream into its JPEG frames on SOI/EOI pairs.
+    """Split an MJPEG stream into its JPEG frames on SOI/EOI pairs
+    via a per-frame marker walk (APPn/COM-safe — see _jpeg_frame_end).
     Raises ValueError on trailing garbage or an unterminated frame."""
     b = bytes(payload)
     frames = []
@@ -584,11 +635,9 @@ def split_mjpeg_frames(payload: bytes) -> list[bytes]:
     while i < len(b):
         if b[i : i + 2] != b"\xff\xd8":
             raise ValueError(f"expected SOI at offset {i}")
-        j = b.find(b"\xff\xd9", i + 2)
-        if j < 0:
-            raise ValueError("unterminated JPEG frame")
-        frames.append(b[i : j + 2])
-        i = j + 2
+        j = _jpeg_frame_end(b, i)
+        frames.append(b[i:j])
+        i = j
     return frames
 
 

@@ -378,6 +378,7 @@ def q_mtm_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming op can get. Multi-micro-batch state carry is covered by
     tests/test_streaming.py."""
     from .sources import signals_from_events, stream_table
+    from .streaming import await_or_raise
     from .streaming.mtm_stream import streaming_mtm_timeline
 
     sig = signals_from_events(stream_table(spark, sf_dir, "events"))
@@ -390,7 +391,7 @@ def q_mtm_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     t = spark.table(sink)
     return t.select(
         "symbol", "timestamp", "event_id", "close", "buy", "sell",
@@ -498,6 +499,7 @@ def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     finite replay emits every window — the oracle is the plain batch
     group-by."""
     from .sources import stream_table
+    from .streaming import await_or_raise
     from .streaming.windowed import windowed_event_counts
 
     ev = stream_table(spark, sf_dir, "events")
@@ -510,7 +512,7 @@ def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     return spark.table(sink)
 
 

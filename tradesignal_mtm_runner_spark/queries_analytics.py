@@ -1786,6 +1786,7 @@ def events_json_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     COMPLETE mode + availableNow so end-of-stream windows emit, same
     contract as events_stream_window (A11)."""
     from .sources import stream_table
+    from .streaming import await_or_raise
     from .streaming.windowed import windowed_json_rollup
 
     ev = stream_table(spark, sf_dir, "events")
@@ -1798,7 +1799,7 @@ def events_json_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     return spark.table(sink)
 
 

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as TX
+from .streaming import await_or_raise
 from .queries_pipeline import SHINGLE_K, _SHINGLES_SQL, _docs, _emb
 
 R = 9
@@ -1423,7 +1424,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     return spark.table(sink).select(
         F.col("user_id").cast("long").alias("user_id"), "event_type"
     )
@@ -1489,7 +1490,7 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     return spark.table(sink).select(
         F.col("p_user").cast("long").alias("user_id"),
         "p_event_id",
@@ -1572,7 +1573,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     return spark.table(sink)
 
 
@@ -1635,7 +1636,7 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     return spark.table(sink)
 
 
@@ -2176,7 +2177,7 @@ def multimodal_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     return spark.table(sink)
 
 
