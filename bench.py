@@ -140,6 +140,24 @@ def main() -> None:
         out["sweep_configs_per_sec"] = round(
             SWEEP_CONFIGS / timings["mtm_sweep_scale"], 2
         )
+    # blocked-vs-explode regression reference (VERDICT r5 item 5): the
+    # per-config explode twin of the same 32-config grid, timed once;
+    # reported as separate fields so the headline total still measures
+    # only the shipped (blocked) sweep
+    try:
+        from tradesignal_mtm_runner_spark.queries import (
+            q_mtm_sweep_scale_explode,
+        )
+
+        t0 = time.time()
+        q_mtm_sweep_scale_explode(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = round(time.time() - t0, 3)
+        out["sweep_explode_secs"] = dt
+        out["sweep_explode_configs_per_sec"] = round(SWEEP_CONFIGS / dt, 2)
+    except Exception as exc:  # noqa: BLE001
+        errors["mtm_sweep_scale_explode"] = f"{type(exc).__name__}: {exc}"[:500]
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
