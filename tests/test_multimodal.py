@@ -726,3 +726,79 @@ def test_gif_truncated_lzw_stream_rejected():
     # chop mid-LZW: drop the trailer, terminator and last sub-block
     with pytest.raises(ValueError):
         decode_gif_rgb(blob[:-10])
+
+
+# --- AVI container (operators/avi.py) ---------------------------------------
+
+
+def test_avi_roundtrip_and_odd_length_padding():
+    """Frames round-trip bit-exactly through the AVI container,
+    including odd-length JPEG payloads (RIFF requires even-byte chunk
+    padding — a naive walk that ignores the pad byte desyncs)."""
+    from tradesignal_mtm_runner_spark.operators.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from tradesignal_mtm_runner_spark.operators.jpeg import encode_jpeg_gray
+    from tradesignal_mtm_runner_spark.operators.multimodal import frame_pixels
+
+    frames = [encode_jpeg_gray(frame_pixels(5, f, 11, 7)) for f in range(4)]
+    frames[1] = frames[1] + b"\x00"  # force one odd and one even length
+    assert any(len(f) & 1 for f in frames)
+    blob = encode_avi_mjpeg(frames, 11, 7)
+    assert decode_avi_mjpeg(blob) == frames
+
+
+def test_avi_split_video_frames_sniffs_container():
+    from tradesignal_mtm_runner_spark.operators.avi import encode_avi_mjpeg
+    from tradesignal_mtm_runner_spark.operators.jpeg import encode_jpeg_gray
+    from tradesignal_mtm_runner_spark.operators.multimodal import (
+        frame_pixels,
+        split_video_frames,
+    )
+
+    frames = [encode_jpeg_gray(frame_pixels(8, f, 9, 6)) for f in range(3)]
+    assert split_video_frames(encode_avi_mjpeg(frames, 9, 6)) == frames
+    assert split_video_frames(b"".join(frames)) == frames  # bare MJPEG
+
+
+def test_avi_rejects_malformed():
+    from tradesignal_mtm_runner_spark.operators.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from tradesignal_mtm_runner_spark.operators.jpeg import encode_jpeg_gray
+    from tradesignal_mtm_runner_spark.operators.multimodal import frame_pixels
+
+    frames = [encode_jpeg_gray(frame_pixels(2, f, 8, 8)) for f in range(3)]
+    blob = encode_avi_mjpeg(frames, 8, 8)
+
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_mjpeg(b"RIFF\x10\x00\x00\x00WAVEdata")
+    with pytest.raises(ValueError, match="exceeds buffer"):
+        decode_avi_mjpeg(blob[: len(blob) // 2])
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([], 8, 8)
+
+    # idx1 count mismatch: declare one frame too many
+    doctored = bytearray(blob)
+    at = doctored.find(b"idx1")
+    assert at > 0
+    extra = b"00dc" + (0x10).to_bytes(4, "little") + bytes(8)
+    doctored[at + 4 : at + 8] = (
+        int.from_bytes(doctored[at + 4 : at + 8], "little") + 16
+    ).to_bytes(4, "little")
+    doctored = (
+        bytes(doctored[: at + 8])
+        + bytes(doctored[at + 8 :])
+        + extra
+    )
+    doctored = (
+        b"RIFF" + (len(doctored) - 8).to_bytes(4, "little") + doctored[8:]
+    )
+    with pytest.raises(ValueError, match="idx1 declares"):
+        decode_avi_mjpeg(doctored)
+
+    # a frame-count bomb: the cap fires before collecting frames
+    with pytest.raises(ValueError, match="too many frames"):
+        decode_avi_mjpeg(encode_avi_mjpeg(frames, 8, 8), max_frames=2)

@@ -689,18 +689,76 @@ def attach_mjpeg_video_payloads(
     return subset.mapInPandas(_synth, schema)
 
 
+def attach_avi_video_payloads(
+    docs: DataFrame, id_col: str = "doc_id", max_w: int = 16, max_h: int = 12
+) -> DataFrame:
+    """Same video subset and frame content as
+    attach_mjpeg_video_payloads, but wrapped in a REAL AVI container
+    (RIFF hdrl/movi/idx1, operators/avi.py) instead of bare
+    concatenated JPEGs — the format capture pipelines actually ship
+    (VERDICT r5 item 7). The closed-form frame pixels are identical,
+    so the same SQL oracle covers both container forms."""
+    from .avi import encode_avi_mjpeg
+    from .jpeg import encode_jpeg_gray
+
+    subset = docs.filter(F.col(id_col) % 3 == 2).select(
+        F.col(id_col).cast("long").alias("doc_id")
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h = int(i % max_w + 1), int(i % max_h + 1)
+                n = int(i % 5 + 2)
+                payloads.append(
+                    encode_avi_mjpeg(
+                        [
+                            encode_jpeg_gray(frame_pixels(i, f, w, h))
+                            for f in range(n)
+                        ],
+                        w,
+                        h,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return subset.mapInPandas(_synth, schema)
+
+
+def split_video_frames(payload: bytes) -> list[bytes]:
+    """Container-sniffing frame split: RIFF/AVI payloads walk the real
+    container (chunked movi + idx1 cross-check, operators/avi.py);
+    anything else is treated as a bare MJPEG stream and split on
+    SOI/EOI via the marker walk."""
+    b = bytes(payload)
+    if b[:4] == b"RIFF":
+        from .avi import decode_avi_mjpeg
+
+        return decode_avi_mjpeg(b)
+    return split_mjpeg_frames(b)
+
+
 def extract_frame_stats(assets: DataFrame, every_k: int = 2) -> DataFrame:
-    """Frame-sample each MJPEG payload (every ``every_k``-th frame)
+    """Frame-sample each video payload (every ``every_k``-th frame)
     and decode ONLY the sampled frames; emit per-sampled-frame gray
-    means. Arrow-batched ``mapInPandas``, no shuffle — at 100 TB the
-    decode bill scales with sampled frames, not stream bytes."""
+    means. Accepts AVI containers and bare MJPEG streams (sniffed per
+    payload). Arrow-batched ``mapInPandas``, no shuffle — at 100 TB
+    the decode bill scales with sampled frames, not stream bytes."""
     from .jpeg import decode_jpeg
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames = split_mjpeg_frames(payload)
+                frames = split_video_frames(payload)
                 for fi in range(0, len(frames), every_k):
                     px = decode_jpeg(
                         frames[fi], max_pixels=MAX_DECODE_PIXELS

@@ -444,6 +444,109 @@ def q_mtm_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fee/tax grid for the STREAMING sweep — the declarative restricted
+#: engine's only free parameters, so every cell has a full SQL oracle
+_SWEEP_STREAM_GRID: dict[str, tuple[float, float]] = {
+    "fee_tax": (FEE, TAX),
+    "fee0_tax0": (0.0, 0.0),
+    "fee_only": (FEE, 0.0),
+    "tax_only": (0.0, TAX),
+}
+
+
+def q_mtm_sweep_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the strategy-grid sweep (VERDICT r5 item 9):
+    each replayed bar explodes across the 4-config fee/tax grid and
+    every (symbol, config_id) pair is an independent state-store key
+    under ``applyInPandasWithState`` — multi-config keys in the state
+    store, state still a constant-size 5-tuple per key. Replay==batch
+    is the semantics, so the oracle is the batch timeline cross-joined
+    with the config grid (windows partitioned by symbol AND config) —
+    the same full-strength check mtm_streaming gets."""
+    from .sources import signals_from_events, stream_table
+    from .streaming import await_or_raise
+    from .streaming.mtm_stream import streaming_mtm_sweep
+
+    sig = signals_from_events(stream_table(spark, sf_dir, "events"))
+    sink = f"mtm_sweep_stream_sink_{next(_STREAM_SINK_SEQ)}"
+    q = (
+        streaming_mtm_sweep(sig, _SWEEP_STREAM_GRID)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q)
+    t = spark.table(sink)
+    return t.select(
+        "config_id",
+        "symbol", "timestamp", "event_id", "close", "buy", "sell",
+        "position", "opened", "closed",
+        r9(F.col("entry_price")).alias("entry_price"),
+        r9(F.col("mtm_ratio")).alias("mtm_ratio"),
+        r9(F.col("pnl_ratio")).alias("pnl_ratio"),
+    )
+
+
+_SW = "PARTITION BY symbol, config_id ORDER BY timestamp, event_id"
+_SWCUM = f"{_SW} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+_SWEEP_CFG_VALUES = ", ".join(
+    f"('{cid}', {fee}, {tax})"
+    for cid, (fee, tax) in sorted(_SWEEP_STREAM_GRID.items())
+)
+
+MTM_SWEEP_STREAM_SQL = f"""
+WITH {_SIGNALS_SQL},
+cfg(config_id, fee, tax) AS (VALUES {_SWEEP_CFG_VALUES}),
+sx AS (SELECT s.*, c.config_id, c.fee, c.tax FROM signals s CROSS JOIN cfg c),
+s1 AS (
+  SELECT *, CASE WHEN buy=1 THEN (CASE WHEN close>0 THEN 'B' END)
+                 WHEN sell=1 THEN 'S' END AS sig FROM sx
+),
+s2 AS (
+  SELECT *,
+    CASE WHEN last_value(sig IGNORE NULLS) OVER ({_SWCUM}) = 'B'
+         THEN 1 ELSE 0 END AS position
+  FROM s1
+),
+s3 AS (
+  SELECT *,
+    COALESCE(lag(position) OVER ({_SW}), 0) AS prev_pos,
+    close - lag(close) OVER ({_SW}) AS price_diff
+  FROM s2
+),
+s4 AS (
+  SELECT *,
+    CASE WHEN position=1 AND prev_pos=0 THEN 1 ELSE 0 END AS opened,
+    CASE WHEN position=0 AND prev_pos=1 THEN 1 ELSE 0 END AS closed
+  FROM s3
+),
+s5 AS (
+  SELECT *,
+    last_value(CASE WHEN opened=1 THEN close END IGNORE NULLS)
+      OVER ({_SWCUM}) AS entry_price
+  FROM s4
+),
+s6 AS (
+  SELECT *,
+    COALESCE(prev_pos * price_diff / lag(entry_price) OVER ({_SW}), 0)
+      - fee * (opened + closed)
+      - tax * (1 - position) AS mtm_ratio
+  FROM s5
+),
+timeline AS (
+  SELECT *, sum(mtm_ratio) OVER ({_SWCUM}) AS pnl_ratio FROM s6
+)
+SELECT config_id, symbol, timestamp, event_id, close, buy, sell,
+       position, opened, closed,
+       round(entry_price, {ROUND}) AS entry_price,
+       round(mtm_ratio, {ROUND}) AS mtm_ratio,
+       round(pnl_ratio, {ROUND}) AS pnl_ratio
+FROM timeline
+"""
+
+
 def q_drawdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12: drawdown DURATION risk metrics on top of the declarative
     timeline — underwater bars (drawdown > 0) and the longest
@@ -583,12 +686,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mtm_full_trades": q_mtm_full_trades,
     "mtm_param_sweep": q_mtm_param_sweep,
     "mtm_sweep_scale": q_mtm_sweep_scale,
+    "mtm_sweep_stream": q_mtm_sweep_stream,
     "drawdown_stats": q_drawdown_stats,
     "resample_ohlc": q_resample_ohlc,
 }
 
 # streaming replay == batch timeline, so the oracle is shared
 ORACLES["mtm_streaming"] = ORACLES["mtm_timeline"]
+ORACLES["mtm_sweep_stream"] = MTM_SWEEP_STREAM_SQL
 ORACLES["events_stream_window"] = EVENTS_STREAM_WINDOW_SQL
 ORACLES["drawdown_stats"] = DRAWDOWN_STATS_SQL
 ORACLES["resample_ohlc"] = RESAMPLE_OHLC_SQL
@@ -624,6 +729,7 @@ EXTRA_KEYS = (
     "mtm_full_trades",
     "mtm_param_sweep",
     "mtm_sweep_scale",
+    "mtm_sweep_stream",  # r6: fully oracled; r7 rotation candidate
     "simhash",
 )
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -2411,28 +2411,31 @@ FRAME_EVERY_K = 2
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-LEVEL video decode, fully real: the video-id subset of
-    ``documents`` gets an MJPEG stream (2-6 concatenated baseline
-    JPEG frames, each a block-constant image with a per-frame term),
-    and the feature pass splits the stream on SOI/EOI boundaries and
-    decodes ONLY every {FRAME_EVERY_K}nd frame — the video →
-    training-frames sampling step, where decode cost must scale with
-    sampled frames, not stream length.
+    ``documents`` gets a REAL AVI container (RIFF hdrl/movi/idx1,
+    operators/avi.py — upgraded from bare concatenated MJPEG in r6)
+    holding 2-6 baseline JPEG frames, each a block-constant image
+    with a per-frame term; the feature pass walks the container,
+    cross-checks the idx1 index, and decodes ONLY every
+    {FRAME_EVERY_K}nd frame — the video → training-frames sampling
+    step, where decode cost must scale with sampled frames, not
+    stream length.
 
-    Frame splitting is unambiguous in JPEG (entropy data stuffs every
-    0xFF), the sampled frames are DC-only so the codec round-trips
-    them bit-exactly, and the oracle restates each sampled frame's
-    mean analytically over the (doc, frame, block) closed form. With
-    this, image/audio/VIDEO are all real byte-level decode paths —
-    only compressed codecs (H.264 etc.) remain the declared
-    integration point."""
+    The sampled frames are DC-only so the codec round-trips them
+    bit-exactly, and the oracle restates each sampled frame's mean
+    analytically over the (doc, frame, block) closed form — identical
+    for the AVI and bare-MJPEG container forms, both of which
+    extract_frame_stats accepts (sniffed per payload). With this,
+    image/audio/VIDEO are all real byte-level decode paths — only
+    compressed codecs (H.264 etc.) remain the declared integration
+    point."""
     from .operators.multimodal import (
-        attach_mjpeg_video_payloads,
+        attach_avi_video_payloads,
         extract_frame_stats,
     )
 
     docs = _docs(spark, sf_dir)
     return extract_frame_stats(
-        attach_mjpeg_video_payloads(docs), every_k=FRAME_EVERY_K
+        attach_avi_video_payloads(docs), every_k=FRAME_EVERY_K
     ).select(
         "doc_id", "frame_idx", "n_frames", "width", "height", "mean_gray"
     )

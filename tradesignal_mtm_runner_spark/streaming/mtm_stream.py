@@ -142,3 +142,52 @@ def streaming_mtm_timeline(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SWEEP_OUTPUT_SCHEMA = StructType(
+    [StructField("config_id", StringType())] + OUTPUT_SCHEMA.fields
+)
+
+
+def _make_sweep_state_fn(fee_tax: dict[str, tuple[float, float]]):
+    """Dispatch per-(symbol, config_id) state groups to the matching
+    single-config state machine; the group key's second element picks
+    the (fee, tax) parameters."""
+    inner = {
+        cid: _make_state_fn(fee, tax) for cid, (fee, tax) in fee_tax.items()
+    }
+
+    def fn(key, pdfs, state):
+        cid = key[1]
+        for out in inner[cid]((key[0],), pdfs, state):
+            out.insert(0, "config_id", cid)
+            yield out
+
+    return fn
+
+
+def streaming_mtm_sweep(
+    signals: DataFrame, fee_tax: dict[str, tuple[float, float]]
+) -> DataFrame:
+    """Strategy-grid MTM over a STREAM (VERDICT r5 item 9): each bar
+    is exploded across the config grid and every (symbol, config_id)
+    pair becomes an independent state-store key — the streaming twin
+    of operators.bookkeeper.run_mtm_param_sweep. State per key is the
+    same 5-tuple as the single-config engine, so state size scales
+    with #symbols x #configs (both bounded by the grid definition),
+    never with #bars. Replay==batch: the same bars through any
+    micro-batch slicing must reproduce the batch sweep bar-for-bar,
+    which is exactly what the cross-joined SQL oracle states."""
+    from pyspark.sql import functions as F
+
+    ids = sorted(fee_tax)
+    sweep = signals.withColumn(
+        "config_id", F.explode(F.array(*[F.lit(i) for i in ids]))
+    )
+    return sweep.groupBy("symbol", "config_id").applyInPandasWithState(
+        _make_sweep_state_fn(fee_tax),
+        outputStructType=SWEEP_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
