@@ -439,3 +439,91 @@ def test_band_index_probe_is_bucket_aligned(spark, bucket_db):
         ) == sorted((r["doc_id"], r["band"]) for r in expect.collect())
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ivf_index_probe_prunes_partitions_and_matches_live(spark, tmp_path):
+    """The persisted IVF index (ANN twin of the dedup indexes): the
+    corpus is cell-assigned ONCE and stored partitioned by cell; a
+    probe's scan carries a partition filter on the probed cells (the
+    on-disk form of 'search only the probed lists'), and the top-k
+    matches the live ivf_topk computation on identical seed
+    centroids."""
+    from tradesignal_mtm_runner_spark.operators.similarity import (
+        _centroid,
+        ivf_topk,
+        probe_ivf_index,
+        with_double_vec,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    cent_rows = (
+        with_double_vec(emb)
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    )
+    cents = [
+        _centroid(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cent_rows
+    ]
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, path, cents)
+
+    probe = probe_ivf_index(spark, queries, path, k=3, nprobe=2)
+    plan = P.explain_str(probe)
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    live = ivf_topk(emb, queries, k=3, num_centroids=8, nprobe=2)
+    got = sorted(map(tuple, probe.collect()))
+    want = sorted(map(tuple, live.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_ivf_index_incremental_append(spark, tmp_path):
+    """New vectors enter the index by assigning against the FROZEN
+    centroids and appending into their cell partitions — no retrain,
+    no corpus re-assignment, and the base index's files are untouched
+    (the incremental-ingest contract, mirroring dedup's standing
+    indexes)."""
+    import glob as _glob
+
+    from tradesignal_mtm_runner_spark.operators.similarity import (
+        _centroid,
+        append_to_ivf_index,
+        probe_ivf_index,
+        with_double_vec,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    cent_rows = with_double_vec(base).orderBy("vec_id").limit(8).collect()
+    cents = [
+        _centroid(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cent_rows
+    ]
+    path = str(tmp_path / "ivf_inc")
+    write_ivf_index(base, path, cents)
+    before = set(_glob.glob(f"{path}/cell=*/*.parquet"))
+
+    append_to_ivf_index(batch, path)
+    after = set(_glob.glob(f"{path}/cell=*/*.parquet"))
+    assert before <= after, "append must not rewrite existing files"
+    assert len(after) > len(before)
+
+    n_base = spark.read.parquet(path).count()
+    assert n_base == emb.count()
+
+    # a query near an appended vector must now surface it
+    queries = batch.limit(2)
+    res = probe_ivf_index(spark, queries, path, k=3, nprobe=2).toPandas()
+    assert len(res) > 0
+    appended_ids = {int(r["vec_id"]) for r in batch.collect()}
+    assert any(int(c) in appended_ids for c in res["corpus_id"])

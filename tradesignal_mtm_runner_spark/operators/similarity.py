@@ -701,3 +701,135 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# --- persisted IVF index (partitioned by cell, incremental append) ----------
+#
+# The ANN twin of the persisted dedup indexes (operators/dedup.py
+# write_hash_index / write_band_index): at 100 TB the corpus is
+# assigned to Voronoi cells ONCE at index-build time and stored
+# cell-partitioned; each query batch then probes only its nprobe
+# cells' partitions (partition pruning at the scan — the on-disk form
+# of IVF's "search only the probed lists"). New vectors append
+# incrementally: assign against the FROZEN centroids and write into
+# their cells' partitions, no retrain, no rewrite of existing files.
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    cents: list[tuple[int, list[float], float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 9,
+    mode: str = "overwrite",
+) -> None:
+    """Assign every corpus vector to its cell (one Arrow pass, no
+    shuffle) and persist as parquet PARTITIONED BY cell, plus the
+    frozen centroids as a tiny sibling table at ``{path}_centroids``
+    so probes and appends never touch corpus bytes to rebuild them."""
+    assigned = _assign_cells(
+        with_double_vec(corpus, vec_col).select(
+            F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
+        ),
+        cents,
+        "corpus_id",
+        "_cv",
+        round_digits,
+    ).drop("cell_cos")
+    assigned.write.mode(mode).partitionBy("cell").parquet(path)
+    spark = corpus.sparkSession
+    cent_rows = [
+        (int(cid), [float(x) for x in w], float(nrm)) for cid, w, nrm in cents
+    ]
+    spark.createDataFrame(
+        cent_rows, "cell INT, weights ARRAY<DOUBLE>, norm DOUBLE"
+    ).coalesce(1).write.mode(mode).parquet(f"{path}_centroids")
+
+
+def read_ivf_centroids(spark, path: str) -> list[tuple[int, list[float], float]]:
+    """The frozen centroid set back from ``{path}_centroids`` — a
+    C-row collect, bounded by the index geometry, never the corpus."""
+    rows = spark.read.parquet(f"{path}_centroids").collect()
+    return sorted(
+        ((int(r["cell"]), list(r["weights"]), float(r["norm"])) for r in rows),
+        key=lambda t: t[0],
+    )
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 9,
+) -> None:
+    """Incremental ingest: assign ONLY the new batch against the
+    frozen centroids and append into the matching cell partitions.
+    Existing files are untouched (parquet append into hive
+    partitions); cost is one Arrow pass over the batch — never a
+    corpus re-assignment or a retrain."""
+    spark = new_vectors.sparkSession
+    cents = read_ivf_centroids(spark, path)
+    assigned = _assign_cells(
+        with_double_vec(new_vectors, vec_col).select(
+            F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
+        ),
+        cents,
+        "corpus_id",
+        "_cv",
+        round_digits,
+    ).drop("cell_cos")
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+
+
+def probe_ivf_index(
+    spark,
+    queries: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 2,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Top-k over the persisted index: queries assign to their nprobe
+    nearest cells (Arrow pass over the query batch only), the scan of
+    the cell-partitioned index is FILTERED to the probed cells —
+    partition pruning keeps unprobed lists on disk
+    (tests/test_scale_patterns.py pins the pruned scan) — and the
+    exact cosine re-rank runs inside the probed cells via a broadcast
+    of the (queries x nprobe)-bounded probe side."""
+    cents = read_ivf_centroids(spark, path)
+    q = _assign_cells(
+        with_double_vec(queries).select(
+            F.col(id_col).alias("query_id"), F.col("embedding").alias("_qv")
+        ),
+        cents,
+        "query_id",
+        "_qv",
+        round_digits,
+        nprobe=nprobe,
+    ).drop("cell_cos")
+    probed = [int(r["cell"]) for r in q.select("cell").distinct().collect()]
+    c = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    pairs = c.join(F.broadcast(q), on="cell").filter(
+        F.col("corpus_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "corpus_id",
+        F.round(
+            _dot(F.col("_qv"), F.col("_cv"))
+            / (_norm(F.col("_qv")) * _norm(F.col("_cv"))),
+            round_digits,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "corpus_id", "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
