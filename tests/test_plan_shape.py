@@ -365,3 +365,22 @@ def test_incremental_near_probe_is_semi_join(spark):
     assert "LeftSemi" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert P.broadcast_hint_count(df) == 0
+
+
+def test_winnowing_rides_the_scan(spark):
+    """Winnowing is row-local array algebra end-to-end: gram hashing,
+    the sliding min, the set dedup and the checksum all run inside
+    the scan stage — zero exchanges at any scale."""
+    df = _xdf(spark, "doc_winnowing")
+    assert P.exchange_count(df) == 0
+    assert "Join" not in P.explain_str(df)
+
+
+def test_repetition_bounded_aggregate_chain(spark):
+    """One gram synthesis + explode, then a bounded aggregate chain
+    (per-gram, per-kind, per-doc) — no join anywhere, no re-scan per
+    gram kind."""
+    df = _xdf(spark, "doc_repetition")
+    assert P.exchange_count(df) <= 3
+    plan = P.explain_str(df)
+    assert "Join" not in plan

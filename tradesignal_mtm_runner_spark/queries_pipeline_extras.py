@@ -2537,7 +2537,233 @@ GROUP BY doc_id, n
 """
 
 
+# --- C45 within-document repetition signals (Gopher-style) ------------------
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signals — the classic
+    filter family for boilerplate/templated text: top-unigram and
+    top-bigram occupancy (share of the doc taken by its single most
+    frequent 1-/2-gram) and the duplicate-trigram fraction
+    (1 - distinct/total trigram occurrences).
+
+    Plan shape: ONE row-local gram synthesis (unigrams + bigrams +
+    trigrams concatenated into a single tagged array — no per-kind
+    re-scan), one explode, one (doc, kind, gram) count aggregate,
+    one (doc, kind) rollup, and a conditional-agg pivot back to one
+    row per doc. Everything is partial-agg friendly; shuffle keys are
+    the natural gram keys. The repetition flag uses fixed thresholds
+    (25% unigram / 18% bigram / 30% dup-trigram occupancy) mirrored
+    by the oracle."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), " +")
+    empty = F.array().cast("array<string>")
+    # NB: Spark's sequence(1, 0) yields [1, 0] (descending), so every
+    # gram ladder is gated on having at least one gram
+    uni = F.transform(toks, lambda t: F.concat(F.lit("u:"), t))
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.lit("b:"),
+                F.element_at(toks, i),
+                F.lit(" "),
+                F.element_at(toks, i + 1),
+            ),
+        ),
+    ).otherwise(empty)
+    tri = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat(
+                F.lit("t:"),
+                F.element_at(toks, i),
+                F.lit(" "),
+                F.element_at(toks, i + 1),
+                F.lit(" "),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(empty)
+    grams = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.concat(uni, bi, tri)).alias("gram"),
+    )
+    per_gram = grams.groupBy(
+        "doc_id", F.substring("gram", 1, 1).alias("kind"), "gram"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_kind = per_gram.groupBy("doc_id", "kind").agg(
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("top"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    kind = lambda k, col: F.max(F.when(F.col("kind") == k, col))  # noqa: E731
+    out = per_kind.groupBy("doc_id").agg(
+        F.round(kind("u", F.col("top") / F.col("total")), R).alias(
+            "top_unigram_frac"
+        ),
+        F.round(
+            F.coalesce(kind("b", F.col("top") / F.col("total")), F.lit(0.0)), R
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.coalesce(
+                kind("t", 1.0 - F.col("n_distinct") / F.col("total")),
+                F.lit(0.0),
+            ),
+            R,
+        ).alias("dup_trigram_frac"),
+    )
+    return out.select(
+        "doc_id",
+        "top_unigram_frac",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        (
+            (F.col("top_unigram_frac") > 0.25)
+            | (F.col("top_bigram_frac") > 0.18)
+            | (F.col("dup_trigram_frac") > 0.30)
+        ).alias("is_repetitive"),
+    )
+
+
+DOC_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, g.g AS gram
+  FROM toks, UNNEST(
+    list_concat(
+      list_transform(t, x -> 'u:' || x),
+      list_concat(
+        CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)),
+                                 i -> 'b:' || t[i] || ' ' || t[i+1])
+             ELSE [] END,
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> 't:' || t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END))) AS g(g)
+),
+per_gram AS (
+  SELECT doc_id, substring(gram, 1, 1) AS kind, gram, count(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3
+),
+per_kind AS (
+  SELECT doc_id, kind, sum(cnt) AS total, max(cnt) AS top,
+         count(*) AS n_distinct
+  FROM per_gram GROUP BY 1, 2
+),
+piv AS (
+  SELECT doc_id,
+    round(max(CASE WHEN kind = 'u' THEN CAST(top AS DOUBLE) / total END), {R})
+      AS top_unigram_frac,
+    round(COALESCE(max(CASE WHEN kind = 'b' THEN CAST(top AS DOUBLE) / total END), 0.0), {R})
+      AS top_bigram_frac,
+    round(COALESCE(max(CASE WHEN kind = 't' THEN 1.0 - CAST(n_distinct AS DOUBLE) / total END), 0.0), {R})
+      AS dup_trigram_frac
+  FROM per_kind GROUP BY doc_id
+)
+SELECT doc_id, top_unigram_frac, top_bigram_frac, dup_trigram_frac,
+       (top_unigram_frac > 0.25 OR top_bigram_frac > 0.18
+        OR dup_trigram_frac > 0.30) AS is_repetitive
+FROM piv
+"""
+
+
+# --- C46 winnowing fingerprints (MOSS) --------------------------------------
+
+WINNOW_K = 4   # k-gram width (tokens)
+WINNOW_W = 5   # winnowing window (hashes)
+
+
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    k-token gram, slide a w-hash window, keep each window's MINIMUM
+    hash — guaranteeing any match of length >= w+k-1 tokens shares a
+    fingerprint, with expected density 2/(w+1) of the gram count.
+    The per-doc fingerprint SET (dedup'd selected hashes) is the
+    copy-detection signature.
+
+    Everything is ROW-LOCAL array algebra — gram hashing, the sliding
+    min, the dedup — so the whole query rides the scan with zero
+    shuffles: per-doc output is (count, checksum) rather than the
+    exploded set, keeping result size O(docs). The checksum (md5 of
+    the sorted fingerprints) pins the exact selected set against the
+    oracle, not just its cardinality."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), " +")
+    empty = F.array().cast("array<string>")
+    # sequence(1, 0) yields [1, 0] in Spark — gate each ladder
+    gram_hashes = F.when(
+        F.size(toks) >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (WINNOW_K - 1)),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, i + j) for j in range(WINNOW_K)],
+                )
+            ),
+        ),
+    ).otherwise(empty)
+    d2 = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        gram_hashes.alias("gh"),
+    )
+    selected = F.when(
+        F.size("gh") >= WINNOW_W,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("gh") - (WINNOW_W - 1)),
+                    lambda i: F.array_min(F.slice(F.col("gh"), i, WINNOW_W)),
+                )
+            )
+        ),
+    ).otherwise(empty)
+    return d2.select(
+        "doc_id",
+        F.size("gh").cast("long").alias("n_grams"),
+        F.size(selected).cast("long").alias("n_fingerprints"),
+        F.md5(F.array_join(selected, ",")).alias("fp_checksum"),
+    )
+
+
+DOC_WINNOWING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+),
+gh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= {WINNOW_K}
+         THEN list_transform(range(1, len(t) - {WINNOW_K} + 2),
+              i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+         ELSE [] END AS gh
+  FROM toks
+),
+sel AS (
+  SELECT doc_id, gh,
+    CASE WHEN len(gh) >= {WINNOW_W}
+         THEN list_sort(list_distinct(
+              list_transform(range(1, len(gh) - {WINNOW_W} + 2),
+                             i -> list_min(gh[i : i + {WINNOW_W} - 1]))))
+         ELSE [] END AS fps
+  FROM gh
+)
+SELECT doc_id, CAST(len(gh) AS BIGINT) AS n_grams,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       md5(COALESCE(list_aggregate(fps, 'string_agg', ','), ''))
+         AS fp_checksum
+FROM sel
+"""
+
+
 PIPELINE_EXTRA_QUERIES = {
+    "doc_repetition": doc_repetition,
+    "doc_winnowing": doc_winnowing,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_near": dedup_incremental_near,
     "multimodal_pixels": multimodal_pixels,
@@ -2573,6 +2799,8 @@ PIPELINE_EXTRA_QUERIES = {
 }
 
 PIPELINE_EXTRA_ORACLES = {
+    "doc_repetition": DOC_REPETITION_SQL,
+    "doc_winnowing": DOC_WINNOWING_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_incremental_near": DEDUP_INCREMENTAL_NEAR_SQL,
     "multimodal_pixels": MULTIMODAL_PIXELS_SQL,
