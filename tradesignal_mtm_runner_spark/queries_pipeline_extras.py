@@ -2673,6 +2673,74 @@ FROM piv
 """
 
 
+# --- C47 per-language adaptive quality thresholds ---------------------------
+
+
+def quality_thresholds_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE adaptive quality gates: a fixed global threshold
+    over-filters low-resource languages (their score distributions
+    differ), so production pipelines derive cutoffs per language —
+    here exact p10/p50/p90 of the unique-word-ratio score, joined
+    back to flag each doc against ITS OWN language's floor.
+
+    Scale shape: the score is row-local; the percentile aggregate
+    reduces the corpus to #languages rows — a relation bounded by the
+    grid, NOT the data, so this is the legitimate case FOR an
+    explicit broadcast hint (contrast the r6 hint removals on
+    SF-scaling tables: the q8 principle allows hints precisely here).
+    Percentiles and the flag compare on ROUNDED values so the cut is
+    engine-stable."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    score = F.round(
+        TX.unique_word_count(t).cast("double") / TX.word_count(t), R
+    )
+    scored = d.select("doc_id", "lang", score.alias("quality_score"))
+    th = scored.groupBy("lang").agg(
+        *[
+            F.round(
+                F.percentile(F.col("quality_score"), F.lit(p)), R
+            ).alias(f"lang_p{int(p * 100)}")
+            for p in (0.1, 0.5, 0.9)
+        ]
+    )
+    return (
+        scored.join(F.broadcast(th), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "quality_score",
+            "lang_p10",
+            "lang_p50",
+            "lang_p90",
+            (F.col("quality_score") < F.col("lang_p10")).alias("below_p10"),
+        )
+    )
+
+
+QUALITY_THRESHOLDS_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         round(CAST(len(list_distinct(string_split_regex(trim(text), ' +')))
+                    AS DOUBLE)
+               / len(string_split_regex(trim(text), ' +')), {R})
+           AS quality_score
+  FROM documents
+),
+th AS (
+  SELECT lang,
+         round(quantile_cont(quality_score, 0.1), {R}) AS lang_p10,
+         round(quantile_cont(quality_score, 0.5), {R}) AS lang_p50,
+         round(quantile_cont(quality_score, 0.9), {R}) AS lang_p90
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.quality_score,
+       t.lang_p10, t.lang_p50, t.lang_p90,
+       s.quality_score < t.lang_p10 AS below_p10
+FROM scored s JOIN th t USING (lang)
+"""
+
+
 # --- C46 winnowing fingerprints (MOSS) --------------------------------------
 
 WINNOW_K = 4   # k-gram width (tokens)
@@ -2764,6 +2832,7 @@ FROM sel
 PIPELINE_EXTRA_QUERIES = {
     "doc_repetition": doc_repetition,
     "doc_winnowing": doc_winnowing,
+    "quality_thresholds_by_lang": quality_thresholds_by_lang,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_near": dedup_incremental_near,
     "multimodal_pixels": multimodal_pixels,
@@ -2801,6 +2870,7 @@ PIPELINE_EXTRA_QUERIES = {
 PIPELINE_EXTRA_ORACLES = {
     "doc_repetition": DOC_REPETITION_SQL,
     "doc_winnowing": DOC_WINNOWING_SQL,
+    "quality_thresholds_by_lang": QUALITY_THRESHOLDS_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_incremental_near": DEDUP_INCREMENTAL_NEAR_SQL,
     "multimodal_pixels": MULTIMODAL_PIXELS_SQL,
