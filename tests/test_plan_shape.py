@@ -384,3 +384,22 @@ def test_repetition_bounded_aggregate_chain(spark):
     assert P.exchange_count(df) <= 3
     plan = P.explain_str(df)
     assert "Join" not in plan
+
+
+def test_classifier_scores_no_vocab_join(spark):
+    """Linear quality-classifier inference over hashed features: no
+    vocabulary relation anywhere (the hashing trick's point), just
+    the feature aggregate chain — ≤2 exchanges, zero joins."""
+    df = _xdf(spark, "quality_classifier_scores")
+    assert P.exchange_count(df) <= 2
+    assert "Join" not in P.explain_str(df)
+
+
+def test_mixture_weights_bounded_global_window(spark):
+    """The corpus reduces to #languages rows BEFORE the global
+    window: the only SinglePartition stage operates on the bounded
+    per-language aggregate, and the whole plan costs one data
+    shuffle."""
+    df = _xdf(spark, "corpus_mixture_weights")
+    assert P.exchange_count(df) <= 1
+    assert "Join" not in P.explain_str(df)
