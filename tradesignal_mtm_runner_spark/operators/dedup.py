@@ -190,26 +190,36 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct (id_a, id_b) with id_a < id_b sharing >=1 band bucket.
 
-    ``max_bucket`` drops degenerate hot buckets (B rows -> ~B^2/2
-    pairs otherwise) via a count window over (band, band_sig) — ONE
-    pass over the band pipeline on its own shuffle key, not a
-    groupBy+join that would re-run the (expensive) minhash upstream
-    per branch."""
+    Shape (r6): ONE aggregate collects each bucket's member ids, the
+    hot-bucket cap filters on the array size, and the pairs expand
+    ROW-LOCALLY from the sorted array — no self-join, so the
+    (expensive) upstream band pipeline is scanned once instead of
+    feeding two join branches, and no bucket can produce more than
+    ~max_bucket^2/2 pairs (a degenerate bucket of B docs otherwise
+    yields B^2/2 — the 100 TB guard,
+    tests/test_scale_patterns.py). Per-bucket aggregate state is
+    bounded by the cap's array; with max_bucket=None the state is
+    bucket-sized — same blowup class as the self-join it replaces,
+    so pass a cap on untrusted corpora."""
+    buckets = bands.groupBy("band", "band_sig").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
+    )
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "band_sig")
-        bands = (
-            bands.withColumn("_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    ids = F.col("_ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    )
     return (
-        a.join(b, on=["band", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.filter(F.size("_ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
