@@ -381,6 +381,62 @@ def test_minhash_lsh_bucket_cap(spark):
     assert capped.count() == 0
 
 
+def test_lsh_candidate_pairs_tolerates_duplicate_band_rows(spark):
+    """Duplicated (band, band_sig, doc_id) input rows (public API,
+    tolerated by the pre-r6 self-join shape) must not emit self-pairs
+    from the row-local array expansion (ADVICE r6)."""
+    from tradesignal_mtm_runner_spark.operators.dedup import lsh_candidate_pairs
+
+    rows = [(0, "sig", d) for d in (1, 1, 2)] * 2
+    bands = spark.createDataFrame(rows, "band int, band_sig string, doc_id int")
+    got = sorted(map(tuple, lsh_candidate_pairs(bands).collect()))
+    assert got == [(1, 2)]
+
+
+def test_simhash_hot_band_cap(spark):
+    """max_bucket drops degenerate hot (band, val) values from SimHash
+    candidate generation (B boilerplate docs sharing one 16-bit band
+    value -> B^2/2 self-join rows otherwise) — the same 100 TB guard
+    the MinHash and embedding generators carry (VERDICT r6 item 1)."""
+    from tradesignal_mtm_runner_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    # 60 identical documents: identical signatures, every band value
+    # holds all 60 docs
+    docs = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated across the corpus").alias(
+            "text"
+        ),
+    )
+    sig = simhash_signatures(docs)
+    uncapped = simhash_near_dup_pairs(sig, max_hamming=2)
+    capped = simhash_near_dup_pairs(sig, max_hamming=2, max_bucket=50)
+    assert uncapped.count() == 60 * 59 // 2
+    assert capped.count() == 0
+
+    # a mixed corpus: the hot band is dropped but distinct docs that
+    # only collide on COLD band values still pair (graceful recall,
+    # not an output blackout)
+    import pyspark.sql.functions as SF
+
+    mixed = docs.unionByName(
+        spark.createDataFrame(
+            [
+                (100, "alpha beta gamma delta epsilon zeta"),
+                (101, "alpha beta gamma delta epsilon zeta"),
+            ],
+            "doc_id long, text string",
+        ).select(SF.col("doc_id"), SF.col("text"))
+    )
+    msig = simhash_signatures(mixed)
+    mcapped = simhash_near_dup_pairs(msig, max_hamming=2, max_bucket=50)
+    got = sorted(map(tuple, mcapped.select("id_a", "id_b").collect()))
+    assert got == [(100, 101)]
+
+
 def test_band_index_probe_is_bucket_aligned(spark, bucket_db):
     """The standing NEAR-dup band index (VERDICT r5 item 3): persisted
     DISTINCT (band, band_sig) bucketed on both keys. With broadcast

@@ -190,22 +190,36 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct (id_a, id_b) with id_a < id_b sharing >=1 band bucket.
 
-    Shape (r6): ONE aggregate collects each bucket's member ids, the
-    hot-bucket cap filters on the array size, and the pairs expand
-    ROW-LOCALLY from the sorted array — no self-join, so the
-    (expensive) upstream band pipeline is scanned once instead of
-    feeding two join branches, and no bucket can produce more than
-    ~max_bucket^2/2 pairs (a degenerate bucket of B docs otherwise
-    yields B^2/2 — the 100 TB guard,
-    tests/test_scale_patterns.py). Per-bucket aggregate state is
-    bounded by the cap's array; with max_bucket=None the state is
-    bucket-sized — same blowup class as the self-join it replaces,
-    so pass a cap on untrusted corpora."""
-    buckets = bands.groupBy("band", "band_sig").agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
-    )
+    Shape (r7): with a cap, hot buckets are pre-filtered by a CHEAP
+    COUNT aggregate (per-key state = one long, never an id array) and
+    dropped via LEFT ANTI against the tiny over-cap key set BEFORE the
+    collect — so no aggregation task ever materializes a degenerate
+    bucket's full id array (the r6 shape collected first and filtered
+    after, concentrating O(B) ids on one task). The surviving buckets
+    collect their member ids once and the pairs expand ROW-LOCALLY
+    from the sorted array — no self-join, so the (expensive) upstream
+    band pipeline feeds one consumer; the cap path persists the bands
+    relation so the count branch and the collect branch share one
+    computation (Pregel-style, LRU-evicted later). No bucket can
+    produce more than ~max_bucket^2/2 pairs (a degenerate bucket of B
+    docs otherwise yields B^2/2 — the 100 TB guard,
+    tests/test_scale_patterns.py). With max_bucket=None the aggregate
+    state is bucket-sized — pass a cap on untrusted corpora.
+    ``array_distinct`` before expansion keeps duplicated
+    (band, band_sig, id) input rows (tolerated public API) from
+    emitting self-pairs."""
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+        bands = bands.persist()
+        hot = (
+            bands.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band", "band_sig")
+        )
+        bands = bands.join(hot, ["band", "band_sig"], "left_anti")
+    buckets = bands.groupBy("band", "band_sig").agg(
+        F.array_sort(F.array_distinct(F.collect_list(F.col(id_col)))).alias("_ids")
+    )
     ids = F.col("_ids")
     pair_structs = F.flatten(
         F.transform(
@@ -320,12 +334,25 @@ def simhash_near_dup_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: 4 x 16-bit band blocking (a pair
     within hamming<=8 of 64 bits must agree exactly on >=1 of the 4
     blocks for hamming<=3-per-block corpora; in practice bands give
     high recall at tiny cost), then exact hamming via bit_count(xor).
-    Blocking is a band-keyed equi-join — never O(n^2)."""
+    Blocking is a band-keyed equi-join — never O(n^2) across the
+    corpus, but a boilerplate-heavy crawl collapses near-identical
+    docs onto identical 16-bit band values: ONE hot (band, val) of B
+    docs yields B^2/2 join rows before the hamming filter.
+    ``max_bucket`` closes that last O(B^2) hole (the MinHash and
+    embedding generators have had the same guard since r6/r4): a
+    cheap COUNT aggregate (per-key state = one long) finds over-cap
+    band values and a LEFT ANTI drops them before the self-join; the
+    bands relation is persisted so the count branch and both join
+    branches share one computation of the (expensive) upstream
+    signature pipeline. Docs in a dropped band still pair through
+    their other 3 bands — recall degrades gracefully instead of the
+    plan exploding (tests/test_scale_patterns.py plants a hot band)."""
     hi, lo = F.col("simhash_hi"), F.col("simhash_lo")
     bands = signatures.select(
         id_col,
@@ -343,6 +370,15 @@ def simhash_near_dup_pairs(
         id_col, "simhash_hi", "simhash_lo",
         F.col("bv.band").alias("band"), F.col("bv.val").alias("val"),
     )
+    if max_bucket is not None:
+        bands = bands.persist()
+        hot = (
+            bands.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band", "val")
+        )
+        bands = bands.join(hot, ["band", "val"], "left_anti")
     a = bands.select(
         F.col(id_col).alias("id_a"),
         F.col("simhash_hi").alias("_hi_a"),

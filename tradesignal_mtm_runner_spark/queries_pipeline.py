@@ -794,6 +794,14 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {NEARDUP_COS}
 # background pair distribution only starts at 3+ (451/41/123 vs 411
 # at 3 rising to ~2000/bin) — 2 separates signal from noise.
 SIMHASH_MAX_HAMMING = 2
+#: Hot-band guard for SimHash blocking (the C10 twin of
+#: LSH_MAX_BUCKET): one (band, 16-bit val) shared by B near-identical
+#: docs yields B^2/2 self-join rows before the hamming filter. Band
+#: values past the cap are dropped from candidate generation on BOTH
+#: engines (mirrored in the oracle SQL); the largest band bucket at
+#: every tested SF sits far below it, so results are unchanged while
+#: the blowup is structurally impossible.
+SIMHASH_MAX_BUCKET = 1000
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,7 +818,9 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_near_dup_pairs, simhash_signatures
 
     sig = simhash_signatures(_docs(spark, sf_dir))
-    return simhash_near_dup_pairs(sig, max_hamming=SIMHASH_MAX_HAMMING).select(
+    return simhash_near_dup_pairs(
+        sig, max_hamming=SIMHASH_MAX_HAMMING, max_bucket=SIMHASH_MAX_BUCKET
+    ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.col("hamming").cast("long").alias("hamming"),
@@ -856,7 +866,7 @@ WITH {_SIMHASH_CORE}
 SELECT doc_id, simhash_hi, simhash_lo FROM sig
 """
 
-_SIMHASH_BANDS_CAND = """
+_SIMHASH_BANDS_CAND = f"""
 bands AS (
   SELECT doc_id, simhash_hi, simhash_lo, 0 AS band, simhash_hi >> 16 AS val FROM sig
   UNION ALL
@@ -866,11 +876,19 @@ bands AS (
   UNION ALL
   SELECT doc_id, simhash_hi, simhash_lo, 3, simhash_lo & 65535 FROM sig
 ),
+bhot AS (
+  SELECT band, val FROM bands GROUP BY band, val
+  HAVING count(*) > {SIMHASH_MAX_BUCKET}
+),
+bands_c AS (
+  SELECT b.* FROM bands b
+  WHERE NOT EXISTS (SELECT 1 FROM bhot h WHERE h.band = b.band AND h.val = b.val)
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          a.simhash_hi AS hi_a, a.simhash_lo AS lo_a,
          b.simhash_hi AS hi_b, b.simhash_lo AS lo_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+  FROM bands_c a JOIN bands_c b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
 )"""
 
 SIMHASH_PAIRS_SQL = f"""
@@ -902,7 +920,9 @@ def dedup_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     sig = simhash_signatures(d)
-    pairs = simhash_near_dup_pairs(sig, max_hamming=SIMHASH_MAX_HAMMING)
+    pairs = simhash_near_dup_pairs(
+        sig, max_hamming=SIMHASH_MAX_HAMMING, max_bucket=SIMHASH_MAX_BUCKET
+    )
     out = connected_canonical(d.select("doc_id"), pairs, iters=DEDUP_CC_ITERS)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
