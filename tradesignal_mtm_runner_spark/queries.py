@@ -828,9 +828,47 @@ ROTATED_IN_R6 = (
     "corpus_mixture_weights",
     "quality_classifier_scores",
 )
+# --- round-7 rotation (VERDICT r6, next-round item 2) -----------------------
+# Twelve never-driver-verified keys rotate IN: the four r6-new operators,
+# the streaming family (stream_join/session/enrich + mtm_sweep_stream),
+# and long-standing extras (tech_indicators, contamination_check,
+# corpus_filter_pipeline — extended this round, embedding_outliers).
+# Twelve long-green slots rotate OUT, including the two rows-only
+# approx_* sketches (their driver check was rows-only anyway; their
+# tolerance-vs-exact pytest checks are the real gate) — so the window
+# trades two no_oracle slots for two fully-oracled ones.
+ROTATED_OUT_R7 = (
+    "resample_ohlc",
+    "top_customers_window",
+    "doc_chunks",
+    "tf_idf_top_terms",
+    "ann_cosine_topk",
+    "q5_local_supplier",
+    "text_quality",
+    "trades_extract",
+    "buy_hold_mtm",
+    "dedup_ngram_jaccard",
+    "approx_price_quantiles",
+    "approx_distinct_users_daily",
+)
+ROTATED_IN_R7 = (
+    "mtm_sweep_stream",
+    "doc_repetition",
+    "doc_winnowing",
+    "quality_thresholds_by_lang",
+    "tech_indicators",
+    "stream_join",
+    "stream_session",
+    "stream_enrich",
+    "corpus_filter_pipeline",
+    "contamination_check",
+    "embedding_outliers",
+    "symbol_correlation",
+)
 for _out, _in in (
     (ROTATED_OUT_R5, ROTATED_IN_R5),
     (ROTATED_OUT_R6, ROTATED_IN_R6),
+    (ROTATED_OUT_R7, ROTATED_IN_R7),
 ):
     for _k in _out:
         EXTRA_QUERIES[_k] = QUERIES.pop(_k)
