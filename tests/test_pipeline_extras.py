@@ -129,6 +129,132 @@ def test_corpus_filter_reasons_partition_the_corpus(spark):
     assert mism == 0
 
 
+def test_corpus_filter_planted_stage_reasons(spark, tmp_path):
+    """Every pipeline stage is REACHABLE and reports as the
+    first-failure reason, pinned on a planted corpus where each doc is
+    constructed to trip exactly one stage (VERDICT r6 item 5: the r6
+    signals — repetition, winnow overlap, per-language floor — must be
+    live in the composed decision, not dead branches); Spark and the
+    DuckDB oracle must agree row-for-row on the planted corpus too."""
+    import duckdb
+    import pandas as pd
+
+    from tradesignal_mtm_runner_spark.queries_pipeline_extras import (
+        CORPUS_FILTER_SQL,
+        corpus_filter_pipeline,
+    )
+
+    E = [f"e{i}" for i in range(1, 41)]
+    V = [f"v{i}" for i in range(1, 31)]
+    A15 = [f"a{i}" for i in range(1, 16)]
+    B16 = [f"b{i}" for i in range(1, 17)]
+    C17 = [f"c{i}" for i in range(1, 18)]
+    R20 = [f"r{i}" for i in range(1, 21)]
+    docs = [
+        (0, " ".join(E)),                          # id%97==0 -> eval_holdout
+        (1, " ".join(E)),                          # exact copy -> duplicate
+        (2, " ".join(E + [f"u{i}" for i in range(1, 5)])),  # near-full copy
+        (3, " ".join(E[:10] + V)),                 # ~21% shingle leakage
+        (4, " ".join(R20 + R20[:10] + R20[:10])),  # repeated phrase
+        (5, " ".join(A15 + A15 + A15[:10])),       # uniq 0.375 < lang p10
+        (6, " ".join(B16 + B16 + B16[:8])),        # uniq 0.400 < lang p10
+        (7, " ".join(C17 + C17 + C17[:6])),        # uniq 0.425: passes floor,
+                                                   # trips dup-trigram
+    ] + [
+        (i, " ".join(f"f{i}_{j}" for j in range(1, 41)))
+        for i in range(8, 16)                      # clean -> kept
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d[0] for d in docs],
+            "text": [d[1] for d in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["plant"] * len(docs),
+            "n_chars": [len(d[1]) for d in docs],
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["drop_reason"], r["keep"])
+        for r in corpus_filter_pipeline(spark, str(tmp_path)).collect()
+    }
+    expect = {
+        0: "eval_holdout",
+        1: "duplicate",
+        2: "winnow_overlap",
+        3: "contaminated",
+        4: "repetitive",
+        5: "below_lang_floor",
+        6: "below_lang_floor",
+        7: "repetitive",
+    }
+    for i in range(8, 16):
+        expect[i] = "kept"
+    assert {k: v[0] for k, v in got.items()} == expect
+    assert all((v[1] == 1) == (v[0] == "kept") for v in got.values())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = {
+        int(r[0]): (r[1], int(r[2]))
+        for r in con.execute(CORPUS_FILTER_SQL).fetchall()
+    }
+    assert oracle == got
+
+
+def test_corpus_filter_first_failure_consistent_with_signals(spark):
+    """The composed decision must agree with the standalone signal
+    queries it is built from: a doc can only carry a stage's reason if
+    that stage's standalone signal fires, and a reason can never name
+    a LATER stage than an earlier firing signal (first-failure
+    ordering) — pinned against doc_repetition and
+    quality_thresholds_by_lang on real testdata."""
+    out = _run(spark, "corpus_filter_pipeline", SF_MID).cache()
+    rep = (
+        _run(spark, "doc_repetition", SF_MID)
+        .select("doc_id", "is_repetitive")
+    )
+    floor = (
+        _run(spark, "quality_thresholds_by_lang", SF_MID)
+        .select("doc_id", "below_p10")
+    )
+    j = out.join(rep, "doc_id").join(floor, "doc_id").cache()
+    # reason 'repetitive' requires the standalone signal
+    assert (
+        j.filter(
+            (F.col("drop_reason") == "repetitive") & ~F.col("is_repetitive")
+        ).count()
+        == 0
+    )
+    # reason 'below_lang_floor' requires the standalone flag
+    assert (
+        j.filter(
+            (F.col("drop_reason") == "below_lang_floor") & ~F.col("below_p10")
+        ).count()
+        == 0
+    )
+    # first-failure: a below-floor doc can never surface a LATER reason
+    later = ("low_quality", "repetitive", "lang_mismatch",
+             "winnow_overlap", "contaminated", "kept")
+    assert (
+        j.filter(F.col("below_p10") & F.col("drop_reason").isin(*later))
+        .count()
+        == 0
+    )
+    # kept docs pass every signal
+    assert (
+        j.filter(
+            (F.col("drop_reason") == "kept")
+            & (F.col("is_repetitive") | F.col("below_p10"))
+        ).count()
+        == 0
+    )
+
+
 def test_stream_dedup_equals_batch_distinct(spark):
     from tradesignal_mtm_runner_spark.sources import load_table
 

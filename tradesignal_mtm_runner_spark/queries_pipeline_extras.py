@@ -51,6 +51,8 @@ R = 9
 
 EVAL_MOD = 97          # doc_id % EVAL_MOD == 0 -> held-out eval set (~1%)
 CONTAM_MIN = 0.2       # overlap ratio at/above which a doc is flagged
+WINNOW_K = 4           # winnowing k-gram width (tokens) — C46 + filter stage
+WINNOW_W = 5           # winnowing window (hashes)
 
 
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,17 +365,34 @@ GROUP BY source, pack_id
 # --- C25 composed corpus filter pipeline ------------------------------------
 
 
+#: winnow-overlap stage: share of a doc's winnowing fingerprints found
+#: in the eval-holdout reference set at/above which it is dropped —
+#: catches LONG verbatim leakage the k-shingle contamination ratio can
+#: under-weigh (winnowing guarantees any >= w+k-1-token match shares a
+#: fingerprint).
+WINNOW_OVERLAP_MIN = 0.5
+
+
 def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END preprocessing decision: every doc gets a keep flag
     and the FIRST failing stage as its drop reason, composing the
     individual operators (eval holdout -> exact dedup -> quality ->
-    lang agreement -> contamination) in one plan.
+    repetition -> lang agreement -> per-language adaptive floor ->
+    contamination -> winnow overlap) in one plan. The r6 signal
+    family (doc_repetition C45, doc_winnowing C46,
+    quality_thresholds_by_lang C47) is wired into the composed
+    keep/drop decision (VERDICT r6 item 5) — this is the artifact a
+    training-data user actually ships.
 
     Scale shape: one md5-hash shuffle for the dup window, one
-    broadcast semi join for contamination, everything else row-local
-    — the stages do NOT serialize into separate passes over the
-    corpus. Thresholds/expressions mirror text_quality / lang_id /
-    dedup_exact / contamination_check exactly (same rounding)."""
+    broadcast semi join for contamination, one doc-keyed aggregate
+    chain for repetition, a #languages-bounded broadcast for the
+    adaptive floor, one fingerprint semi join (reference side bounded
+    by the holdout) for winnow overlap — everything else row-local;
+    the stages do NOT serialize into separate passes over the corpus.
+    Thresholds/expressions mirror text_quality / lang_id / dedup_exact
+    / doc_repetition / quality_thresholds_by_lang / doc_winnowing /
+    contamination_check exactly (same rounding)."""
     from .queries_pipeline import (
         QF_MAX_TOPWORD,
         QF_MIN_UNIQ,
@@ -404,12 +423,78 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     contam = contamination_check(spark, sf_dir).select(
         "doc_id", "is_contaminated"
     )
-    d = docs.withColumn("_canon", canonical).join(contam, "doc_id", "left")
+    # r6 C45: within-doc repetition signals, reused verbatim
+    rep = doc_repetition(spark, sf_dir).select("doc_id", "is_repetitive")
+    # r6 C47: per-language p10 floor of the unique-word-ratio score,
+    # computed over the FULL corpus (same relation as the standalone
+    # query); bounded by #languages -> legitimate broadcast hint
+    th = (
+        docs.select("lang", uniq_ratio.alias("_qs"))
+        .groupBy("lang")
+        .agg(F.round(F.percentile(F.col("_qs"), F.lit(0.1)), R).alias("_lang_p10"))
+    )
+    # r6 C46: winnowing fingerprint overlap vs the eval-holdout
+    # reference set (long-verbatim-leakage guard)
+    wfp = docs.select(
+        "doc_id", _winnow_gram_hashes(t).alias("gh")
+    ).select("doc_id", _winnow_select(F.col("gh")).alias("_fps"))
+    ref = (
+        wfp.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode("_fps").alias("fp"))
+        .distinct()
+    )
+    hits = (
+        wfp.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .select("doc_id", F.explode("_fps").alias("fp"))
+        .join(ref, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_hit"))
+    )
+    wflag = (
+        wfp.select("doc_id", F.size("_fps").alias("_n_fp"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                (F.col("_n_fp") > 0)
+                & (
+                    F.round(
+                        F.coalesce(F.col("_n_hit"), F.lit(0)).cast("double")
+                        / F.col("_n_fp"),
+                        R,
+                    )
+                    >= WINNOW_OVERLAP_MIN
+                )
+            ).alias("_winnow_hit"),
+        )
+    )
+    d = (
+        docs.withColumn("_canon", canonical)
+        .join(contam, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(F.broadcast(th), "lang")
+        .join(wflag, "doc_id", "left")
+    )
+    # Stage order: the adaptive per-language floor gets first say on
+    # quality (it is the language-fair replacement for the fixed
+    # global floors, which follow as sanity gates); winnow overlap
+    # (heavy verbatim copying, >=50% of fingerprints) outranks the
+    # lighter shingle-contamination signal (>=20% of shingles) so the
+    # stronger finding is the reported reason.
     reason = (
         F.when(F.col("doc_id") % EVAL_MOD == 0, F.lit("eval_holdout"))
         .when(F.col("doc_id") != F.col("_canon"), F.lit("duplicate"))
+        .when(uniq_ratio < F.col("_lang_p10"), F.lit("below_lang_floor"))
         .when(~quality_ok, F.lit("low_quality"))
+        .when(
+            F.coalesce(F.col("is_repetitive"), F.lit(False)),
+            F.lit("repetitive"),
+        )
         .when(~lang_ok, F.lit("lang_mismatch"))
+        .when(
+            F.coalesce(F.col("_winnow_hit"), F.lit(False)),
+            F.lit("winnow_overlap"),
+        )
         .when(
             F.coalesce(F.col("is_contaminated"), F.lit(0)) == 1,
             F.lit("contaminated"),
@@ -477,18 +562,102 @@ dup AS (
          min(doc_id) OVER (PARTITION BY md5(text)) AS canon
   FROM documents
 ),
+rgrams AS (
+  SELECT doc_id, g.g AS gram
+  FROM toq, UNNEST(
+    list_concat(
+      list_transform(t, x -> 'u:' || x),
+      list_concat(
+        CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)),
+                                 i -> 'b:' || t[i] || ' ' || t[i+1])
+             ELSE [] END,
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> 't:' || t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END))) AS g(g)
+),
+rpg AS (
+  SELECT doc_id, substring(gram, 1, 1) AS kind, gram, count(*) AS cnt
+  FROM rgrams GROUP BY 1, 2, 3
+),
+rpk AS (
+  SELECT doc_id, kind, sum(cnt) AS total, max(cnt) AS top,
+         count(*) AS n_distinct
+  FROM rpg GROUP BY 1, 2
+),
+rep AS (
+  SELECT doc_id,
+    (round(max(CASE WHEN kind = 'u' THEN CAST(top AS DOUBLE) / total END), {R}) > 0.25
+     OR round(COALESCE(max(CASE WHEN kind = 'b' THEN CAST(top AS DOUBLE) / total END), 0.0), {R}) > 0.18
+     OR round(COALESCE(max(CASE WHEN kind = 't' THEN 1.0 - CAST(n_distinct AS DOUBLE) / total END), 0.0), {R}) > 0.30)
+      AS is_repetitive
+  FROM rpk GROUP BY doc_id
+),
+qs AS (
+  SELECT doc_id,
+         round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), {R}) AS qs
+  FROM toq
+),
+lth AS (
+  SELECT d.lang, round(quantile_cont(qs.qs, 0.1), {R}) AS lang_p10
+  FROM documents d JOIN qs USING (doc_id) GROUP BY d.lang
+),
+wgh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= {WINNOW_K}
+         THEN list_transform(range(1, len(t) - {WINNOW_K} + 2),
+              i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+         ELSE [] END AS gh
+  FROM toq
+),
+wsel AS (
+  SELECT doc_id,
+    CASE WHEN len(gh) >= {WINNOW_W}
+         THEN list_sort(list_distinct(
+              list_transform(range(1, len(gh) - {WINNOW_W} + 2),
+                             i -> list_min(gh[i : i + {WINNOW_W} - 1]))))
+         ELSE [] END AS fps
+  FROM wgh
+),
+wref AS (
+  SELECT DISTINCT f.fp FROM wsel, UNNEST(fps) AS f(fp)
+  WHERE doc_id % {EVAL_MOD} = 0
+),
+wtr AS (
+  SELECT doc_id, f.fp FROM wsel, UNNEST(fps) AS f(fp)
+  WHERE doc_id % {EVAL_MOD} <> 0
+),
+whit AS (
+  SELECT wtr.doc_id, count(*) AS n_hit FROM wtr JOIN wref USING (fp)
+  GROUP BY wtr.doc_id
+),
+wflag AS (
+  SELECT wsel.doc_id,
+         (len(fps) > 0
+          AND round(CAST(coalesce(whit.n_hit, 0) AS DOUBLE) / len(fps), {R})
+              >= {WINNOW_OVERLAP_MIN}) AS winnow_hit
+  FROM wsel LEFT JOIN whit USING (doc_id)
+),
 decided AS (
   SELECT d.doc_id,
          CASE WHEN d.doc_id % {EVAL_MOD} = 0 THEN 'eval_holdout'
               WHEN d.doc_id <> dup.canon THEN 'duplicate'
+              WHEN qs.qs < lth.lang_p10 THEN 'below_lang_floor'
               WHEN NOT q.quality_ok THEN 'low_quality'
+              WHEN rep.is_repetitive THEN 'repetitive'
               WHEN NOT l.lang_ok THEN 'lang_mismatch'
+              WHEN wflag.winnow_hit THEN 'winnow_overlap'
               WHEN coalesce(contam.is_contaminated, 0) = 1 THEN 'contaminated'
               ELSE 'kept' END AS drop_reason
   FROM documents d
   JOIN dup USING (doc_id)
   JOIN q USING (doc_id)
+  JOIN qs USING (doc_id)
   JOIN l USING (doc_id)
+  JOIN rep USING (doc_id)
+  JOIN lth ON lth.lang = d.lang
+  JOIN wflag ON wflag.doc_id = d.doc_id
   LEFT JOIN contam USING (doc_id)
 )
 SELECT doc_id, drop_reason,
@@ -2743,8 +2912,48 @@ FROM scored s JOIN th t USING (lang)
 
 # --- C46 winnowing fingerprints (MOSS) --------------------------------------
 
-WINNOW_K = 4   # k-gram width (tokens)
-WINNOW_W = 5   # winnowing window (hashes)
+# WINNOW_K / WINNOW_W are defined with the pipeline constants at the
+# top of the module (CORPUS_FILTER_SQL needs them at f-string time).
+
+
+def _winnow_gram_hashes(text_col) -> "F.Column":
+    """Row-local md5 hash per k-token gram of a text column. Shared by
+    doc_winnowing and corpus_filter_pipeline's winnow-overlap stage so
+    the two can never drift."""
+    toks = F.split(F.trim(text_col), " +")
+    empty = F.array().cast("array<string>")
+    return F.when(
+        F.size(toks) >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (WINNOW_K - 1)),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, i + j) for j in range(WINNOW_K)],
+                )
+            ),
+        ),
+    ).otherwise(empty)
+
+
+def _winnow_select(gh) -> "F.Column":
+    """Winnowing selection over an ALREADY-PROJECTED gram-hash array
+    column: sliding w-window minimum, distinct + sorted — the per-doc
+    fingerprint set. Takes a named column so the gram hashing is
+    evaluated once in a prior projection, not re-expanded per window
+    slice."""
+    empty = F.array().cast("array<string>")
+    return F.when(
+        F.size(gh) >= WINNOW_W,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(gh) - (WINNOW_W - 1)),
+                    lambda i: F.array_min(F.slice(gh, i, WINNOW_W)),
+                )
+            )
+        ),
+    ).otherwise(empty)
 
 
 def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2762,36 +2971,13 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sorted fingerprints) pins the exact selected set against the
     oracle, not just its cardinality."""
     d = _docs(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), " +")
-    empty = F.array().cast("array<string>")
-    # sequence(1, 0) yields [1, 0] in Spark — gate each ladder
-    gram_hashes = F.when(
-        F.size(toks) >= WINNOW_K,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (WINNOW_K - 1)),
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ",
-                    *[F.element_at(toks, i + j) for j in range(WINNOW_K)],
-                )
-            ),
-        ),
-    ).otherwise(empty)
+    # sequence(1, 0) yields [1, 0] in Spark — the helpers gate each
+    # ladder on having at least one gram/window
     d2 = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        gram_hashes.alias("gh"),
+        _winnow_gram_hashes(F.col("text")).alias("gh"),
     )
-    selected = F.when(
-        F.size("gh") >= WINNOW_W,
-        F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("gh") - (WINNOW_W - 1)),
-                    lambda i: F.array_min(F.slice(F.col("gh"), i, WINNOW_W)),
-                )
-            )
-        ),
-    ).otherwise(empty)
+    selected = _winnow_select(F.col("gh"))
     return d2.select(
         "doc_id",
         F.size("gh").cast("long").alias("n_grams"),
