@@ -802,3 +802,62 @@ def test_avi_rejects_malformed():
     # a frame-count bomb: the cap fires before collecting frames
     with pytest.raises(ValueError, match="too many frames"):
         decode_avi_mjpeg(encode_avi_mjpeg(frames, 8, 8), max_frames=2)
+
+
+def test_avi_encode_validates_parameters():
+    """fps=0 used to ZeroDivisionError and width>65535 OverflowError
+    deep inside the byte packing — both must be clear ValueErrors up
+    front (ADVICE r6)."""
+    from tradesignal_mtm_runner_spark.operators.avi import encode_avi_mjpeg
+
+    with pytest.raises(ValueError, match="fps"):
+        encode_avi_mjpeg([b"x"], 8, 8, fps=0)
+    with pytest.raises(ValueError, match="65535"):
+        encode_avi_mjpeg([b"x"], 70000, 8)
+    with pytest.raises(ValueError, match="65535"):
+        encode_avi_mjpeg([b"x"], 8, 0)
+
+
+def _wrap_movi_in_rec(blob: bytes, group: int) -> bytes:
+    """Repack an encoded AVI so the movi list's frame chunks are
+    grouped inside nested 'rec ' lists of ``group`` frames each, with
+    idx1 untouched (its frame entries still match)."""
+    at = blob.find(b"LIST")
+    while blob[at + 8 : at + 12] != b"movi":
+        at = blob.find(b"LIST", at + 1)
+    ln = int.from_bytes(blob[at + 4 : at + 8], "little")
+    body = blob[at + 12 : at + 8 + ln]
+    chunks, j = [], 0
+    while j + 8 <= len(body):
+        cln = int.from_bytes(body[j + 4 : j + 8], "little")
+        step = 8 + cln + (cln & 1)
+        chunks.append(body[j : j + step])
+        j += step
+    recs = b""
+    for k in range(0, len(chunks), group):
+        rb = b"rec " + b"".join(chunks[k : k + group])
+        recs += b"LIST" + len(rb).to_bytes(4, "little") + rb
+    new_movi = b"LIST" + (len(recs) + 4).to_bytes(4, "little") + b"movi" + recs
+    out = blob[:at] + new_movi + blob[at + 8 + ln + (ln & 1):]
+    return b"RIFF" + (len(out) - 8).to_bytes(4, "little") + out[8:]
+
+
+def test_avi_rec_grouping_lists_are_walked():
+    """Frames nested inside 'rec ' grouping lists (the AVI interleave
+    convention) must be collected, not silently skipped (ADVICE r6:
+    the old walk dropped them, surfacing only as an idx1 mismatch or
+    a silent short count)."""
+    from tradesignal_mtm_runner_spark.operators.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    frames = [bytes([0xFF, 0xD8, i, 0xFF, 0xD9]) for i in range(6)]
+    blob = encode_avi_mjpeg(frames, 8, 8)
+    rec_blob = _wrap_movi_in_rec(blob, group=2)
+    assert decode_avi_mjpeg(rec_blob) == frames
+
+    # a nested list that is NOT 'rec ' is a declared boundary
+    bad = rec_blob.replace(b"rec ", b"xxx ", 1)
+    with pytest.raises(ValueError, match="unsupported nested list"):
+        decode_avi_mjpeg(bad)

@@ -43,6 +43,13 @@ def encode_avi_mjpeg(
     offsets relative to the 'movi' fourcc per convention)."""
     if not frames:
         raise ValueError("no frames")
+    if fps < 1:
+        raise ValueError(f"fps must be >= 1, got {fps}")
+    if not (1 <= width <= 65535 and 1 <= height <= 65535):
+        raise ValueError(
+            f"width/height must be in [1, 65535] (rcFrame is 16-bit), "
+            f"got {width}x{height}"
+        )
     n = len(frames)
     max_bytes = max(len(f) for f in frames)
 
@@ -120,11 +127,13 @@ def decode_avi_mjpeg(
 ) -> list[bytes]:
     """AVI -> list of JPEG frame payloads, in stream order. Walks the
     RIFF tree strictly: sizes validated against the buffer, '00dc'/
-    '00db' chunks collected from the movi list, RIFF pad bytes
-    honored, and — when an idx1 is present — the index's entry count
-    cross-checked against the frames actually walked. Raises
-    ValueError on malformed structure or more than ``max_frames``
-    declared frames."""
+    '00db' chunks collected from the movi list — RECURSING into
+    nested 'rec ' grouping lists (interleave convention) so their
+    frames are never silently dropped — RIFF pad bytes honored, and,
+    when an idx1 is present, the index's entry count cross-checked
+    against the frames actually walked. Raises ValueError on
+    malformed structure, non-'rec ' nested lists, or more than
+    ``max_frames`` declared frames."""
     b = bytes(payload)
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
@@ -133,6 +142,35 @@ def decode_avi_mjpeg(
         raise ValueError("RIFF size exceeds buffer")
     frames: list[bytes] = []
     idx1_entries: int | None = None
+
+    def _walk_frames(j: int, stop: int) -> None:
+        while j + 8 <= stop:
+            fcc = b[j : j + 4]
+            fln = int.from_bytes(b[j + 4 : j + 8], "little")
+            if fln > stop - j - 8:
+                raise ValueError("frame chunk exceeds movi list")
+            if fcc[2:4] in (b"dc", b"db"):
+                if max_frames is not None and len(frames) >= max_frames:
+                    raise ValueError("too many frames")
+                frames.append(b[j + 8 : j + 8 + fln])
+            elif fcc == b"LIST":
+                if b[j + 8 : j + 12] != b"rec ":
+                    raise ValueError(
+                        f"unsupported nested list {b[j + 8 : j + 12]!r} "
+                        "in movi (only 'rec ' grouping lists)"
+                    )
+                # depth is bounded at 1 by construction: a 'rec '
+                # list's children are frame chunks; a 'rec ' inside a
+                # 'rec ' hits the same LIST branch and recurses, still
+                # size-bounded by the parent
+                _walk_frames(j + 12, j + 8 + fln)
+            else:
+                raise ValueError(
+                    f"unsupported movi chunk {fcc!r} (single video "
+                    "stream only)"
+                )
+            j += 8 + fln + (fln & 1)
+
     i = 12
     end = min(len(b), 8 + declared)
     while i + 8 <= end:
@@ -142,29 +180,18 @@ def decode_avi_mjpeg(
             raise ValueError("chunk size exceeds buffer")
         body_at = i + 8
         if cid == b"LIST" and b[body_at : body_at + 4] == b"movi":
-            j = body_at + 4
-            movi_end = body_at + ln
-            while j + 8 <= movi_end:
-                fcc = b[j : j + 4]
-                fln = int.from_bytes(b[j + 4 : j + 8], "little")
-                if fln > movi_end - j - 8:
-                    raise ValueError("frame chunk exceeds movi list")
-                if fcc[2:4] in (b"dc", b"db"):
-                    if max_frames is not None and len(frames) >= max_frames:
-                        raise ValueError("too many frames")
-                    frames.append(b[j + 8 : j + 8 + fln])
-                elif fcc == b"LIST":
-                    pass  # rec lists would nest here — walk past
-                else:
-                    raise ValueError(
-                        f"unsupported movi chunk {fcc!r} (single video "
-                        "stream only)"
-                    )
-                j += 8 + fln + (fln & 1)
+            _walk_frames(body_at + 4, body_at + ln)
         elif cid == b"idx1":
             if ln % 16:
                 raise ValueError("idx1 size not a multiple of 16")
-            idx1_entries = ln // 16
+            # count only FRAME entries: files using 'rec ' grouping
+            # also index the lists themselves (AVIIF_LIST entries),
+            # which must not skew the frame-count cross-check
+            idx1_entries = sum(
+                1
+                for k in range(body_at, body_at + ln, 16)
+                if b[k + 2 : k + 4] in (b"dc", b"db")
+            )
         i = body_at + ln + (ln & 1)
     if not frames:
         raise ValueError("no video frames in movi list")
