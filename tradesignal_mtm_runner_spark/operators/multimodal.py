@@ -158,9 +158,12 @@ def parse_media_header(payload: bytes) -> tuple[str | None, int | None, int | No
 
 # ---------------------------------------------------------------------------
 # Real PNG codec (stdlib zlib only): encode + full pixel decode with
-# scanline unfiltering. Covers 8-bit RGB (color type 2); everything a
-# training pipeline needs to treat the image column as real data
-# without shipping PIL in the container.
+# scanline unfiltering. Covers every 8-bit color type — gray (0),
+# RGB (2), palette (3, PLTE), gray+alpha (4), RGBA (6) — the forms a
+# real crawl actually contains; everything a training pipeline needs
+# to treat the image column as real data without shipping PIL in the
+# container. Decode always lands on (h, w, 3) RGB (gray replicated,
+# alpha dropped, palette expanded).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -180,44 +183,85 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png_rgb(pixels: np.ndarray) -> bytes:
-    """Serialize an (h, w, 3) uint8 array as a complete, spec-valid PNG
-    (signature + IHDR + IDAT + IEND, correct CRCs). Scanlines alternate
-    filter Sub (even rows) / Up (odd rows) so decoders must actually
-    unfilter — a filter-0-only writer would let a broken decoder pass."""
-    h, w, _ = pixels.shape
+#: samples per pixel for the supported 8-bit color types
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_encode(samples: np.ndarray, color_type: int, plte: bytes | None = None) -> bytes:
+    """Core writer shared by every color-type encoder: ``samples`` is
+    (h, w*channels) uint8 raw sample rows. Scanlines alternate filter
+    Sub (even rows) / Up (odd rows) so decoders must actually unfilter
+    — a filter-0-only writer would let a broken decoder pass. The
+    filter's ``bpp`` distance is the channel count, exactly as the
+    spec keys it to the pixel layout."""
+    h = samples.shape[0]
+    ch = _PNG_CHANNELS[color_type]
+    w = samples.shape[1] // ch
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, adaptive, no ilace
+        + bytes([8, color_type, 0, 0, 0])  # depth 8, deflate, adaptive
     )
-    px = pixels.astype(np.int16)
+    px = samples.astype(np.int16)
     lines = bytearray()
     for y in range(h):
-        row = px[y].reshape(-1)  # stride = w*3
-        if y % 2 == 0:  # Sub: subtract left pixel (bpp=3 bytes back)
-            left = np.concatenate([np.zeros(3, np.int16), row[:-3]])
+        row = px[y]
+        if y % 2 == 0:  # Sub: subtract left pixel (bpp = ch bytes back)
+            left = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
             lines += bytes([1]) + ((row - left) % 256).astype(np.uint8).tobytes()
         else:  # Up: subtract the prior raw scanline
-            prior = px[y - 1].reshape(-1)
+            prior = px[y - 1]
             lines += bytes([2]) + ((row - prior) % 256).astype(np.uint8).tobytes()
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
-        + _png_chunk(b"IEND", b"")
+    body = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += _png_chunk(b"PLTE", plte)
+    return body + _png_chunk(b"IDAT", zlib.compress(bytes(lines))) + _png_chunk(
+        b"IEND", b""
+    )
+
+
+def encode_png_rgb(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> complete spec-valid RGB PNG (color type 2)."""
+    h, w, _ = pixels.shape
+    return _png_encode(pixels.reshape(h, w * 3), 2)
+
+
+def encode_png_gray(pixels: np.ndarray) -> bytes:
+    """(h, w) uint8 -> grayscale PNG (color type 0)."""
+    return _png_encode(pixels, 0)
+
+
+def encode_png_rgba(pixels: np.ndarray) -> bytes:
+    """(h, w, 4) uint8 -> RGBA PNG (color type 6)."""
+    h, w, _ = pixels.shape
+    return _png_encode(pixels.reshape(h, w * 4), 6)
+
+
+def encode_png_palette(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) uint8 index array + (n, 3) uint8 palette -> indexed-color
+    PNG (color type 3 with a PLTE chunk)."""
+    n = palette.shape[0]
+    if not 1 <= n <= 256:
+        raise ValueError(f"palette must hold 1..256 entries, got {n}")
+    if indices.size and int(indices.max()) >= n:
+        raise ValueError("palette index out of range")
+    return _png_encode(
+        indices, 3, plte=palette.astype(np.uint8).tobytes()
     )
 
 
 def decode_png_rgb(payload: bytes) -> np.ndarray:
     """Full PNG pixel decode: chunk walk with CRC verification, IDAT
     zlib-inflate, and per-scanline unfiltering for all five filter
-    types (None/Sub/Up/Average/Paeth). Returns an (h, w, 3) uint8
-    array. Raises ValueError on malformed bytes."""
+    types (None/Sub/Up/Average/Paeth), for every 8-bit color type —
+    gray / RGB / palette(PLTE) / gray+alpha / RGBA. Always returns an
+    (h, w, 3) uint8 RGB array (gray replicated, alpha dropped,
+    palette expanded — the training-pipeline normal form). Raises
+    ValueError on malformed bytes."""
     b = bytes(payload)
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
-    i, idat, w, h = 8, b"", None, None
+    i, idat, w, h, ctype, plte = 8, b"", None, None, None, None
     while i + 12 <= len(b):
         ln = int.from_bytes(b[i : i + 4], "big")
         if ln > len(b) - i - 12:
@@ -234,8 +278,15 @@ def decode_png_rgb(payload: bytes) -> np.ndarray:
                 raise ValueError("bad dimensions")
             if w * h > MAX_DECODE_PIXELS:
                 raise ValueError(f"image too large: {w}x{h}")
-            if data[8] != 8 or data[9] != 2:
-                raise ValueError("only 8-bit RGB supported")
+            if data[8] != 8 or data[9] not in _PNG_CHANNELS:
+                raise ValueError(
+                    "only 8-bit gray/RGB/palette/gray+alpha/RGBA supported"
+                )
+            ctype = data[9]
+        elif typ == b"PLTE":
+            if ln % 3 or not 3 <= ln <= 768:
+                raise ValueError("bad PLTE length")
+            plte = data
         elif typ == b"IDAT":
             if w is None:
                 raise ValueError("IDAT before IHDR")
@@ -245,7 +296,8 @@ def decode_png_rgb(payload: bytes) -> np.ndarray:
         i += 12 + ln
     if w is None or not idat:
         raise ValueError("missing IHDR or IDAT")
-    bpp, stride = 3, w * 3
+    bpp = _PNG_CHANNELS[ctype]
+    stride = w * bpp
     # bounded inflate: never allocate more than the dims warrant, no
     # matter what the (possibly adversarial) deflate stream expands to
     expected = h * (stride + 1)
@@ -285,7 +337,21 @@ def decode_png_rgb(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unknown filter type {ft}")
         out[y] = np.frombuffer(bytes(line), np.uint8)
-    return out.reshape(h, w, 3)
+    arr = out.reshape(h, w, bpp)
+    if ctype == 2:
+        return arr
+    if ctype == 6:
+        return arr[:, :, :3].copy()
+    if ctype in (0, 4):  # gray / gray+alpha -> replicate luminance
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    # ctype == 3: palette lookup
+    if plte is None:
+        raise ValueError("palette image missing PLTE")
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    idx = arr[:, :, 0]
+    if int(idx.max()) >= pal.shape[0]:
+        raise ValueError("palette index out of range")
+    return pal[idx]
 
 
 def decode_pixels(payload: bytes, media_type: str):
@@ -395,14 +461,49 @@ def gradient_pixels(doc_id: int, w: int, h: int) -> np.ndarray:
     ).astype(np.uint8)
 
 
+def png_variant_payload(doc_id: int, w: int, h: int) -> bytes:
+    """The per-id PNG container form: doc_id % 24 picks the color type
+    (PNG ids are multiples of 6, so all four arms are hit) —
+    0 -> RGBA (alpha = (id + x*y) % 256, dropped on decode),
+    6 -> palette (the gradient's unique colors as a PLTE),
+    12 -> grayscale (value = (id + x + y) % 256, replicated to RGB),
+    18 -> plain RGB. RGBA/palette decode to the SAME gradient means
+    as RGB — three container forms, one oracle formula — while the
+    gray form's means follow its own closed form (the oracle CASEs on
+    doc_id % 24 = 12)."""
+    v = doc_id % 24
+    if v == 12:
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        gray = ((doc_id + x + y) % 256).astype(np.uint8)
+        return encode_png_gray(np.broadcast_to(gray, (h, w)))
+    g = gradient_pixels(doc_id, w, h)
+    if v == 0:
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        alpha = np.broadcast_to((doc_id + x * y) % 256, (h, w)).astype(
+            np.uint8
+        )
+        return encode_png_rgba(np.concatenate([g, alpha[..., None]], axis=2))
+    if v == 6:
+        pal, inv = np.unique(g.reshape(-1, 3), axis=0, return_inverse=True)
+        return encode_png_palette(
+            inv.reshape(h, w).astype(np.uint8), pal
+        )
+    return encode_png_rgb(g)
+
+
 def attach_png_pixel_payloads(
     docs: DataFrame, id_col: str = "doc_id", max_w: int = 16, max_h: int = 12
 ) -> DataFrame:
     """PNG-id subset of ``documents`` (doc_id % 6 == 0, matching the
     attach_payloads media split) with a complete gradient PNG per row:
-    w = id % max_w + 1, h = id % max_h + 1. Synthesis runs Arrow-batched
-    in ``mapInPandas`` — executor-parallel, no shuffle, images bounded
-    at max_w x max_h so payloads stay a few hundred bytes."""
+    w = id % max_w + 1, h = id % max_h + 1, cycling through ALL FOUR
+    8-bit color-type container forms (RGBA / palette / gray / RGB via
+    ``png_variant_payload``) so every decode path runs against its
+    oracle. Synthesis runs Arrow-batched in ``mapInPandas`` —
+    executor-parallel, no shuffle, images bounded at max_w x max_h so
+    payloads stay a few hundred bytes."""
     subset = docs.filter(F.col(id_col) % 6 == 0).select(
         F.col(id_col).cast("long").alias("doc_id")
     )
@@ -414,10 +515,8 @@ def attach_png_pixel_payloads(
                 {
                     "doc_id": ids,
                     "payload": [
-                        encode_png_rgb(
-                            gradient_pixels(
-                                i, int(i % max_w + 1), int(i % max_h + 1)
-                            )
+                        png_variant_payload(
+                            i, int(i % max_w + 1), int(i % max_h + 1)
                         )
                         for i in ids
                     ],

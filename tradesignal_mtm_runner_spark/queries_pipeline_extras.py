@@ -2233,10 +2233,14 @@ SELECT doc_id, img_format, width, height,
        round(avg(CASE WHEN img_format = 'png' THEN (doc_id + x + y) % 256
                       ELSE (7 * doc_id + 5 * (x // 8) + 11 * (y // 8)) % 256
                  END), {R}) AS mean_r,
-       round(avg(CASE WHEN img_format = 'png' THEN (2 * doc_id + x) % 256
+       round(avg(CASE WHEN img_format = 'png' THEN
+                      CASE WHEN doc_id % 24 = 12 THEN (doc_id + x + y) % 256
+                           ELSE (2 * doc_id + x) % 256 END
                       ELSE (7 * doc_id + 5 * (x // 8) + 11 * (y // 8)) % 256
                  END), {R}) AS mean_g,
-       round(avg(CASE WHEN img_format = 'png' THEN (3 * doc_id + y) % 256
+       round(avg(CASE WHEN img_format = 'png' THEN
+                      CASE WHEN doc_id % 24 = 12 THEN (doc_id + x + y) % 256
+                           ELSE (3 * doc_id + y) % 256 END
                       ELSE (7 * doc_id + 5 * (x // 8) + 11 * (y // 8)) % 256
                  END), {R}) AS mean_b,
        CAST(count(*) AS BIGINT) AS n_px
@@ -2298,10 +2302,14 @@ SELECT doc_id, img_format,
        round(avg(CASE WHEN img_format = 'png' THEN (doc_id + sx + sy) % 256
                       ELSE (7 * doc_id + 5 * (sx // 8) + 11 * (sy // 8)) % 256
                  END), {R}) AS mean_r,
-       round(avg(CASE WHEN img_format = 'png' THEN (2 * doc_id + sx) % 256
+       round(avg(CASE WHEN img_format = 'png' THEN
+                      CASE WHEN doc_id % 24 = 12 THEN (doc_id + sx + sy) % 256
+                           ELSE (2 * doc_id + sx) % 256 END
                       ELSE (7 * doc_id + 5 * (sx // 8) + 11 * (sy // 8)) % 256
                  END), {R}) AS mean_g,
-       round(avg(CASE WHEN img_format = 'png' THEN (3 * doc_id + sy) % 256
+       round(avg(CASE WHEN img_format = 'png' THEN
+                      CASE WHEN doc_id % 24 = 12 THEN (doc_id + sx + sy) % 256
+                           ELSE (3 * doc_id + sy) % 256 END
                       ELSE (7 * doc_id + 5 * (sx // 8) + 11 * (sy // 8)) % 256
                  END), {R}) AS mean_b,
        CAST(count(*) AS BIGINT) AS n_px
