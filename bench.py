@@ -128,6 +128,119 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["bookkeeper_500k_bars"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # standing-index probes (VERDICT r6 item 6): the continual-ingest
+    # hot path — index BUILT once untimed, the probe (the per-batch
+    # production cost) timed best-of-3. Regressions in the
+    # zero/one-shuffle probe plans now show in BENCH, not just in the
+    # plan pins.
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bench_idx")
+
+    def _time_probe(key: str, build, probe) -> None:
+        try:
+            build()
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                probe().write.format("noop").mode("overwrite").save()
+                dt = round(time.time() - t0, 3)
+                best = dt if best is None else min(best, dt)
+            timings[key] = best
+        except Exception as exc:  # noqa: BLE001
+            errors[key] = f"{type(exc).__name__}: {exc}"[:500]
+
+    from tradesignal_mtm_runner_spark.operators.dedup import (
+        lsh_bands_from_wide,
+        minhash_signatures_wide,
+        probe_band_index,
+        probe_hash_index,
+        write_band_index,
+        write_hash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+
+    def _build_hash() -> None:
+        write_hash_index(
+            hashed.filter(F.col("doc_id") % 4 != 0), "bench_idx.hash_idx"
+        )
+        (
+            hashed.filter(F.col("doc_id") % 4 == 0)
+            .write.bucketBy(32, "h")
+            .sortBy("h")
+            .mode("overwrite")
+            .saveAsTable("bench_idx.hash_batch")
+        )
+
+    _time_probe(
+        "index_probe_hash",
+        _build_hash,
+        lambda: probe_hash_index(
+            spark, spark.table("bench_idx.hash_batch"), "bench_idx.hash_idx"
+        ),
+    )
+
+    def _build_band() -> None:
+        bands = lsh_bands_from_wide(
+            minhash_signatures_wide(docs, num_hashes=16, shingle_k=3),
+            num_bands=4,
+            num_hashes=16,
+        )
+        write_band_index(
+            bands.filter(F.col("doc_id") % 4 != 0), "bench_idx.band_idx"
+        )
+        (
+            bands.filter(F.col("doc_id") % 4 == 0)
+            .write.bucketBy(32, "band", "band_sig")
+            .sortBy("band", "band_sig")
+            .mode("overwrite")
+            .saveAsTable("bench_idx.band_batch")
+        )
+
+    _time_probe(
+        "index_probe_band",
+        _build_band,
+        lambda: probe_band_index(
+            spark, spark.table("bench_idx.band_batch"), "bench_idx.band_idx"
+        ),
+    )
+
+    from tradesignal_mtm_runner_spark.operators.similarity import (
+        _centroid,
+        probe_ivf_index,
+        with_double_vec,
+        write_ivf_index,
+    )
+
+    ivf_path = os.path.join(tempfile.mkdtemp(prefix="bench_ivf_"), "ivf_idx")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def _build_ivf() -> None:
+        cent_rows = with_double_vec(emb).orderBy("vec_id").limit(32).collect()
+        cents = [
+            _centroid(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in cent_rows
+        ]
+        write_ivf_index(emb.filter(F.col("vec_id") % 4 != 0), ivf_path, cents)
+
+    _time_probe(
+        "index_probe_ivf",
+        _build_ivf,
+        lambda: probe_ivf_index(
+            spark,
+            emb.filter(F.col("vec_id") < 50),
+            ivf_path,
+            k=5,
+            nprobe=4,
+        ),
+    )
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
