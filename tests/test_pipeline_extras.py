@@ -328,9 +328,7 @@ def test_pq_topk_invariants(spark):
         (F.col("n") != ANN_TOPK) | (F.col("lo") != 1) | (F.col("hi") != ANN_TOPK)
     ).count() == 0
     assert out.filter(F.col("approx_dist") < 0).count() == 0
-    from tradesignal_mtm_runner_spark.queries import QUERIES
-
-    exact = QUERIES["ann_cosine_topk"](spark, SF_SMOKE).select(
+    exact = ALL_QUERIES["ann_cosine_topk"](spark, SF_SMOKE).select(
         "query_id", "corpus_id"
     )
     hits = out.join(exact, ["query_id", "corpus_id"]).count()
