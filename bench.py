@@ -48,10 +48,14 @@ HEADLINERS = [
     # full pixel codec path (round 5): synthesize + decode real
     # PNG and JPEG payloads for every image id at the bench SF
     "multimodal_pixels",
+    # streaming strategy-grid sweep (round 7): per-(symbol, config)
+    # applyInPandasWithState replay — the streaming twin of the batch
+    # sweep, timed once (stream setup dominates repeat runs)
+    "mtm_sweep_stream",
 ]
 
 #: benched once instead of best-of-3 (long-running throughput entries)
-SWEEP_ONCE = {"mtm_sweep_scale"}
+SWEEP_ONCE = {"mtm_sweep_scale", "mtm_sweep_stream"}
 SWEEP_CONFIGS = 32  # grid size of mtm_sweep_scale, for configs/sec
 
 
@@ -133,13 +137,23 @@ def main() -> None:
     # production cost) timed best-of-3. Regressions in the
     # zero/one-shuffle probe plans now show in BENCH, not just in the
     # plan pins.
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F  # noqa: N812
 
     from tradesignal_mtm_runner_spark.sources import load_table
 
-    spark.sql("CREATE DATABASE IF NOT EXISTS bench_idx")
+    # a previous bench run (possibly another session) may have left the
+    # managed tables' files behind without catalog entries — saveAsTable
+    # then fails with LOCATION_ALREADY_EXISTS; clean both layers
+    spark.sql("DROP DATABASE IF EXISTS bench_idx CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        os.path.join(wh.removeprefix("file:"), "bench_idx.db"),
+        ignore_errors=True,
+    )
+    spark.sql("CREATE DATABASE bench_idx")
 
     def _time_probe(key: str, build, probe) -> None:
         try:
