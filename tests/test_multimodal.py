@@ -884,6 +884,51 @@ def test_avi_rejects_malformed():
         decode_avi_mjpeg(encode_avi_mjpeg(frames, 8, 8), max_frames=2)
 
 
+def test_dhash_invariances():
+    """The perceptual hash must be invariant to (a) the CONTAINER form
+    — RGB / RGBA / palette encodings of the same pixels hash
+    identically after decode — and (b) uniform brightness shifts
+    without clipping (adjacent-comparison bits see only differences);
+    and a genuinely different image must differ."""
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.multimodal import (
+        decode_png_rgb,
+        dhash_bits,
+        encode_png_palette,
+        encode_png_rgb,
+        encode_png_rgba,
+        gradient_pixels,
+    )
+
+    px = gradient_pixels(11, 12, 10)
+    base = dhash_bits(px)
+
+    rgba = np.concatenate(
+        [px, np.full((10, 12, 1), 77, np.uint8)], axis=2
+    )
+    assert dhash_bits(decode_png_rgb(encode_png_rgba(rgba))) == base
+    pal, inv = np.unique(px.reshape(-1, 3), axis=0, return_inverse=True)
+    assert (
+        dhash_bits(
+            decode_png_rgb(
+                encode_png_palette(inv.reshape(10, 12).astype(np.uint8), pal)
+            )
+        )
+        == base
+    )
+    assert dhash_bits(decode_png_rgb(encode_png_rgb(px))) == base
+
+    # clip-free brightness shift: cap samples at 239 so +9 can't wrap
+    small = (px % 240).astype(np.uint8)
+    assert dhash_bits((small + 9).astype(np.uint8)) == dhash_bits(small)
+
+    # a different doc_id only shifts the gradient by a constant, which
+    # dHash is (correctly) invariant to — mirroring reverses every
+    # adjacent comparison, a genuinely different image
+    assert dhash_bits(px[:, ::-1, :].copy()) != base
+
+
 def test_avi_encode_validates_parameters():
     """fps=0 used to ZeroDivisionError and width>65535 OverflowError
     deep inside the byte packing — both must be clear ValueErrors up

@@ -338,6 +338,7 @@ def test_multimodal_decode_paths_are_shuffle_free(spark):
         "multimodal_resize",
         "multimodal_frames",
         "multimodal_gif",
+        "image_dhash",
     ):
         df = _xdf(spark, name)
         assert P.exchange_count(df) == 0, name

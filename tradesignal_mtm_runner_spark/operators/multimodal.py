@@ -1064,3 +1064,69 @@ def extract_resized_stats(
             )
 
     return assets.mapInPandas(_stats, PIXEL_STATS_SCHEMA)
+
+
+#: dHash grid: DHASH_H sampled rows of DHASH_W samples, compared
+#: pairwise along x -> (DHASH_W - 1) x DHASH_H = 64 bits. The classic
+#: perceptual difference hash, robust to re-encodes and resizes.
+DHASH_W = 9
+DHASH_H = 8
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("img_format", StringType()),
+        StructField("dhash_hi", LongType()),
+        StructField("dhash_lo", LongType()),
+    ]
+)
+
+
+def dhash_bits(rgb: np.ndarray) -> tuple[int, int]:
+    """64-bit dHash of an (h, w, 3) uint8 image, carried as two 32-bit
+    halves (the SimHash signed-overflow-free carriage). Nearest-
+    neighbor sample to a DHASH_W x DHASH_H grid (sx = x*w//DHASH_W,
+    sy = y*h//DHASH_H — the same integer source map as resize_nearest,
+    so a SQL oracle can restate it), integer grayscale (r+g+b)//3,
+    then bit(y, x) = gray[y][x+1] > gray[y][x]. Entirely integer
+    arithmetic: bit-identical on any engine."""
+    h, w, _ = rgb.shape
+    xs = (np.arange(DHASH_W, dtype=np.int64) * w) // DHASH_W
+    ys = (np.arange(DHASH_H, dtype=np.int64) * h) // DHASH_H
+    g = rgb[np.ix_(ys, xs)].astype(np.int64)
+    gray = (g[:, :, 0] + g[:, :, 1] + g[:, :, 2]) // 3
+    bits = gray[:, 1:] > gray[:, :-1]  # (DHASH_H, DHASH_W - 1)
+    hi = lo = 0
+    half = DHASH_H // 2
+    for y in range(DHASH_H):
+        for x in range(DHASH_W - 1):
+            if bits[y, x]:
+                if y < half:
+                    hi |= 1 << (y * (DHASH_W - 1) + x)
+                else:
+                    lo |= 1 << ((y - half) * (DHASH_W - 1) + x)
+    return hi, lo
+
+
+def extract_dhash(assets: DataFrame) -> DataFrame:
+    """Decode every image payload and emit its 64-bit perceptual
+    dHash — the image twin of the text fingerprint family: near-dup
+    IMAGES (re-encoded / resized / slightly-edited copies) land at
+    small hamming distances, so the SimHash band-blocking machinery
+    finds candidate pairs with no O(n^2) step. Arrow-batched
+    ``mapInPandas``: scales with input partitions, no shuffle."""
+
+    def _hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fmt = _sniff_format(payload)
+                px = decode_pixels(payload, "image")
+                hi, lo = dhash_bits(px)
+                rows.append((int(doc_id), fmt, hi, lo))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "img_format", "dhash_hi", "dhash_lo"],
+            )
+
+    return assets.mapInPandas(_hashes, DHASH_SCHEMA)

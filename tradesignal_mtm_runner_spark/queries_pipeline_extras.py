@@ -3023,7 +3023,159 @@ FROM sel
 """
 
 
+# --- C48 perceptual image dedup (dHash) -------------------------------------
+
+# measured on testdata: true near-dup images (same degenerate resample
+# pattern / shifted gradients) sit at hamming 0-1; the background pair
+# distribution starts at 6 — 2 separates signal from noise, mirroring
+# the SimHash threshold's derivation.
+DHASH_MAX_HAMMING = 2
+
+
+def _image_assets(spark: SparkSession, sf_dir: str):
+    from .operators.multimodal import (
+        attach_jpeg_pixel_payloads,
+        attach_png_pixel_payloads,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return attach_png_pixel_payloads(docs).unionByName(
+        attach_jpeg_pixel_payloads(docs)
+    )
+
+
+def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual 64-bit dHash per image, computed from REAL decoded
+    pixels (PNG across all four color-type container forms + baseline
+    JPEG): nearest-neighbor 9x8 grid sample, integer grayscale,
+    adjacent-comparison bits — the image twin of doc_fingerprint.
+    Zero shuffles: synthesis + decode + hash ride one Arrow pass.
+    The oracle restates the hash ANALYTICALLY from the closed-form
+    gradient (no codec): any bug in the decoders, the grid map, or
+    the bit packing shifts the hash."""
+    from .operators.multimodal import extract_dhash
+
+    return extract_dhash(_image_assets(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "img_format",
+        F.col("dhash_hi").cast("long").alias("dhash_hi"),
+        F.col("dhash_lo").cast("long").alias("dhash_lo"),
+    )
+
+
+def image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs: the dHash signatures feed the exact
+    SimHash band-blocking machinery (4 x 16-bit bands, count-capped
+    hot values, map-side hamming filter) — perceptual image dedup
+    with no O(n^2) step, the shape an image-corpus pipeline runs at
+    100 TB. Re-encoded / resized copies collapse to hamming <= 2."""
+    from .operators.dedup import simhash_near_dup_pairs
+    from .operators.multimodal import extract_dhash
+    from .queries_pipeline import SIMHASH_MAX_BUCKET
+
+    sig = extract_dhash(_image_assets(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dhash_hi").alias("simhash_hi"),
+        F.col("dhash_lo").alias("simhash_lo"),
+    )
+    return simhash_near_dup_pairs(
+        sig, max_hamming=DHASH_MAX_HAMMING, max_bucket=SIMHASH_MAX_BUCKET
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+# the analytic dhash: the sampled grid is sx = x*w//9, sy = y*h//8
+# (identical integer map to the codec-side dhash_bits); gray follows
+# the synthesis closed forms — JPEG block-constant, PNG gradient with
+# the gray-container special case (doc_id % 24 = 12), RGBA/palette
+# decoding to the same RGB gradient as the plain form.
+_DHASH_SIG_SQL = """
+d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0 THEN 'png' ELSE 'jpeg' END AS img_format,
+         CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+         CAST(doc_id % 12 + 1 AS BIGINT) AS h
+  FROM documents WHERE doc_id % 6 = 0 OR doc_id % 6 = 3
+),
+grid AS (
+  SELECT d.doc_id, d.img_format, xs.x, ys.y,
+         (xs.x * d.w) // 9 AS sx, (ys.y * d.h) // 8 AS sy
+  FROM d
+  JOIN generate_series(0, 8) AS xs(x) ON TRUE
+  JOIN generate_series(0, 7) AS ys(y) ON TRUE
+),
+gr AS (
+  SELECT doc_id, img_format, x, y,
+    CASE WHEN img_format = 'jpeg'
+         THEN (7*doc_id + 5*(sx//8) + 11*(sy//8)) % 256
+         WHEN doc_id % 24 = 12 THEN (doc_id + sx + sy) % 256
+         ELSE ((doc_id + sx + sy) % 256 + (2*doc_id + sx) % 256
+               + (3*doc_id + sy) % 256) // 3
+    END AS gray
+  FROM grid
+),
+dbits AS (
+  SELECT a.doc_id, a.img_format, a.y, a.x,
+         CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+  FROM gr a JOIN gr b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8
+),
+dsig AS (
+  SELECT doc_id, img_format,
+         CAST(sum(CASE WHEN y < 4 THEN bit * (1::BIGINT << (y*8 + x))
+                       ELSE 0 END) AS BIGINT) AS dhash_hi,
+         CAST(sum(CASE WHEN y >= 4 THEN bit * (1::BIGINT << ((y-4)*8 + x))
+                       ELSE 0 END) AS BIGINT) AS dhash_lo
+  FROM dbits GROUP BY doc_id, img_format
+)"""
+
+IMAGE_DHASH_SQL = f"""
+WITH {_DHASH_SIG_SQL}
+SELECT doc_id, img_format, dhash_hi, dhash_lo FROM dsig
+"""
+
+IMAGE_DHASH_PAIRS_SQL = f"""
+WITH {_DHASH_SIG_SQL},
+dbands AS (
+  SELECT doc_id, dhash_hi, dhash_lo, 0 AS band, dhash_hi >> 16 AS val FROM dsig
+  UNION ALL
+  SELECT doc_id, dhash_hi, dhash_lo, 1, dhash_hi & 65535 FROM dsig
+  UNION ALL
+  SELECT doc_id, dhash_hi, dhash_lo, 2, dhash_lo >> 16 FROM dsig
+  UNION ALL
+  SELECT doc_id, dhash_hi, dhash_lo, 3, dhash_lo & 65535 FROM dsig
+),
+dhot AS (
+  -- 1000 mirrors the Spark side's SIMHASH_MAX_BUCKET hot-value cap
+  SELECT band, val FROM dbands GROUP BY band, val
+  HAVING count(*) > 1000
+),
+dbands_c AS (
+  SELECT b.* FROM dbands b
+  WHERE NOT EXISTS (SELECT 1 FROM dhot h WHERE h.band = b.band AND h.val = b.val)
+),
+dcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.dhash_hi AS hi_a, a.dhash_lo AS lo_a,
+         b.dhash_hi AS hi_b, b.dhash_lo AS lo_b
+  FROM dbands_c a
+  JOIN dbands_c b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT)
+         AS hamming
+FROM dcand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+      <= {DHASH_MAX_HAMMING}
+"""
+
+
 PIPELINE_EXTRA_QUERIES = {
+    "image_dhash": image_dhash,
+    "image_dhash_pairs": image_dhash_pairs,
     "doc_repetition": doc_repetition,
     "doc_winnowing": doc_winnowing,
     "quality_thresholds_by_lang": quality_thresholds_by_lang,
@@ -3062,6 +3214,8 @@ PIPELINE_EXTRA_QUERIES = {
 }
 
 PIPELINE_EXTRA_ORACLES = {
+    "image_dhash": IMAGE_DHASH_SQL,
+    "image_dhash_pairs": IMAGE_DHASH_PAIRS_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "doc_winnowing": DOC_WINNOWING_SQL,
     "quality_thresholds_by_lang": QUALITY_THRESHOLDS_SQL,
