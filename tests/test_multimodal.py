@@ -929,6 +929,32 @@ def test_dhash_invariances():
     assert dhash_bits(px[:, ::-1, :].copy()) != base
 
 
+def test_audio_fp_invariances():
+    """The energy fingerprint is invariant to polarity flips (energies
+    square the sign away) and to the WAV container round trip; a
+    time-reversed clip is a genuinely different signal and must
+    differ; short clips (frames < bins) still fingerprint."""
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.multimodal import (
+        audio_fp_bits,
+        sawtooth_samples,
+    )
+    from tradesignal_mtm_runner_spark.operators.wav import (
+        decode_wav_pcm,
+        encode_wav_pcm,
+    )
+
+    s = sawtooth_samples(10, 200)
+    base = audio_fp_bits(s)
+    assert audio_fp_bits(-s) == base
+    decoded, _ = decode_wav_pcm(encode_wav_pcm(s))
+    assert audio_fp_bits(decoded[:, 0]) == base
+    assert audio_fp_bits(s[::-1].copy()) != base
+    hi, lo = audio_fp_bits(sawtooth_samples(3, 5))  # n < bins
+    assert hi >= 0 and lo >= 0
+
+
 def test_avi_encode_validates_parameters():
     """fps=0 used to ZeroDivisionError and width>65535 OverflowError
     deep inside the byte packing — both must be clear ValueErrors up

@@ -339,6 +339,7 @@ def test_multimodal_decode_paths_are_shuffle_free(spark):
         "multimodal_frames",
         "multimodal_gif",
         "image_dhash",
+        "audio_fingerprint",
     ):
         df = _xdf(spark, name)
         assert P.exchange_count(df) == 0, name

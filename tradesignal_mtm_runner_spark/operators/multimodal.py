@@ -1130,3 +1130,65 @@ def extract_dhash(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(_hashes, DHASH_SCHEMA)
+
+
+#: audio fingerprint: AUDIO_FP_BINS frame energies -> 64
+#: adjacent-comparison bits (the Haitsma-Kalker robust-hash shape in
+#: the energy domain — band energies replaced by time-frame energies
+#: since no FFT ships in this container, same comparison structure)
+AUDIO_FP_BINS = 65
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("afp_hi", LongType()),
+        StructField("afp_lo", LongType()),
+    ]
+)
+
+
+def audio_fp_bits(samples: np.ndarray) -> tuple[int, int]:
+    """64-bit audio fingerprint as two 32-bit halves: samples bin to
+    AUDIO_FP_BINS time frames by frame(i) = i*BINS//n (empty frames
+    carry zero energy, so any clip length >= 1 fingerprints), integer
+    frame energy E_f = sum(s^2), bit_f = E_{f+1} > E_f. Entirely
+    integer arithmetic — bit-identical on any engine, and invariant
+    to polarity flips (energies square the sign away)."""
+    s = samples.reshape(-1).astype(np.int64)
+    n = s.size
+    f = (np.arange(n, dtype=np.int64) * AUDIO_FP_BINS) // n
+    e = np.zeros(AUDIO_FP_BINS, dtype=np.int64)
+    np.add.at(e, f, s * s)
+    bits = e[1:] > e[:-1]
+    hi = lo = 0
+    for k in range(32):
+        if bits[k]:
+            hi |= 1 << k
+        if bits[k + 32]:
+            lo |= 1 << k
+    return hi, lo
+
+
+def extract_audio_fp(assets: DataFrame) -> DataFrame:
+    """Decode every WAV payload (RIFF chunk walk, bit-exact PCM) and
+    emit its 64-bit energy fingerprint — the audio member of the
+    cross-modality near-dup family (text MinHash/SimHash, image
+    dHash, embedding cosine). Arrow-batched ``mapInPandas``: scales
+    with input partitions, no shuffle."""
+    from .wav import decode_wav_pcm
+
+    def _fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr, _rate = decode_wav_pcm(payload)
+                mono = arr[:, 0]
+                hi, lo = audio_fp_bits(mono)
+                rows.append((int(doc_id), int(arr.shape[0]), hi, lo))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "afp_hi", "afp_lo"],
+            )
+
+    return assets.mapInPandas(_fps, AUDIO_FP_SCHEMA)

@@ -3173,9 +3173,150 @@ WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
 """
 
 
+# --- C49 audio fingerprint ---------------------------------------------------
+
+# measured on the synthesis family: identical-content clips land at
+# hamming 0 with a thin 1-bit shoulder (183/22 pairs), then the
+# background continuum starts at 2-3 rising steadily — 1 keeps the
+# exact/re-encoded band and none of the continuum.
+AUDIO_FP_MAX_HAMMING = 1
+
+
+def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit audio energy fingerprint per clip from REAL decoded PCM
+    (RIFF/WAVE chunk walk): AUDIO_FP_BINS time-frame energies,
+    adjacent-comparison bits — the audio member of the cross-modality
+    near-dup family (text MinHash/SimHash, image dHash, embedding
+    cosine). Zero shuffles: synthesis + decode + fingerprint ride one
+    Arrow pass. The oracle restates the fingerprint ANALYTICALLY from
+    the closed-form sawtooth (no codec)."""
+    from .operators.multimodal import (
+        attach_wav_audio_payloads,
+        extract_audio_fp,
+    )
+
+    return extract_audio_fp(
+        attach_wav_audio_payloads(_docs(spark, sf_dir))
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("afp_hi").cast("long").alias("afp_hi"),
+        F.col("afp_lo").cast("long").alias("afp_lo"),
+    )
+
+
+def audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO pairs: the energy fingerprints feed the
+    SimHash band-blocking machinery (4 x 16-bit bands, count-capped
+    hot values, map-side hamming filter) — re-encoded / container-
+    variant copies of a clip collapse to hamming <= 1 with no O(n^2)
+    step."""
+    from .operators.dedup import simhash_near_dup_pairs
+    from .operators.multimodal import (
+        attach_wav_audio_payloads,
+        extract_audio_fp,
+    )
+    from .queries_pipeline import SIMHASH_MAX_BUCKET
+
+    sig = extract_audio_fp(
+        attach_wav_audio_payloads(_docs(spark, sf_dir))
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("afp_hi").alias("simhash_hi"),
+        F.col("afp_lo").alias("simhash_lo"),
+    )
+    return simhash_near_dup_pairs(
+        sig, max_hamming=AUDIO_FP_MAX_HAMMING, max_bucket=SIMHASH_MAX_BUCKET
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+# analytic fingerprint: s(i) = (13*id + 7*i) % 2001 - 1000 over
+# n = id % AUDIO_MAX_N + AUDIO_MIN_N samples; frame(i) = i*65//n with
+# empty frames at zero energy (LEFT JOIN against the full frame
+# series), E_f = sum(s^2) exact in BIGINT.
+_AUDIO_FP_SIG_SQL = """
+ad AS (
+  SELECT doc_id, CAST(doc_id % 240 + 16 AS BIGINT) AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+sm AS (
+  SELECT ad.doc_id, ad.n, ii.i,
+         ((13*ad.doc_id + 7*ii.i) % 2001 - 1000) AS s
+  FROM ad JOIN generate_series(0, 255) AS ii(i) ON ii.i < ad.n
+),
+fe AS (
+  SELECT doc_id, n, (i * 65) // n AS f, sum(s*s) AS e
+  FROM sm GROUP BY doc_id, n, (i * 65) // n
+),
+allf AS (
+  SELECT ad.doc_id, ad.n, ff.f, COALESCE(fe.e, 0) AS e
+  FROM ad JOIN generate_series(0, 64) AS ff(f) ON TRUE
+  LEFT JOIN fe ON fe.doc_id = ad.doc_id AND fe.f = ff.f
+),
+abits AS (
+  SELECT a.doc_id, a.n, a.f, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM allf a JOIN allf b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+  WHERE a.f < 64
+),
+asig AS (
+  SELECT doc_id, n AS n_samples,
+    CAST(sum(CASE WHEN f < 32 THEN bit * (1::BIGINT << f) ELSE 0 END)
+         AS BIGINT) AS afp_hi,
+    CAST(sum(CASE WHEN f >= 32 THEN bit * (1::BIGINT << (f - 32)) ELSE 0 END)
+         AS BIGINT) AS afp_lo
+  FROM abits GROUP BY doc_id, n
+)"""
+
+AUDIO_FP_SQL = f"""
+WITH {_AUDIO_FP_SIG_SQL}
+SELECT doc_id, n_samples, afp_hi, afp_lo FROM asig
+"""
+
+AUDIO_FP_PAIRS_SQL = f"""
+WITH {_AUDIO_FP_SIG_SQL},
+fbands AS (
+  SELECT doc_id, afp_hi, afp_lo, 0 AS band, afp_hi >> 16 AS val FROM asig
+  UNION ALL
+  SELECT doc_id, afp_hi, afp_lo, 1, afp_hi & 65535 FROM asig
+  UNION ALL
+  SELECT doc_id, afp_hi, afp_lo, 2, afp_lo >> 16 FROM asig
+  UNION ALL
+  SELECT doc_id, afp_hi, afp_lo, 3, afp_lo & 65535 FROM asig
+),
+fhot AS (
+  -- 1000 mirrors the Spark side's SIMHASH_MAX_BUCKET hot-value cap
+  SELECT band, val FROM fbands GROUP BY band, val
+  HAVING count(*) > 1000
+),
+fbands_c AS (
+  SELECT b.* FROM fbands b
+  WHERE NOT EXISTS (SELECT 1 FROM fhot h WHERE h.band = b.band AND h.val = b.val)
+),
+fcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.afp_hi AS hi_a, a.afp_lo AS lo_a,
+         b.afp_hi AS hi_b, b.afp_lo AS lo_b
+  FROM fbands_c a
+  JOIN fbands_c b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT)
+         AS hamming
+FROM fcand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+      <= {AUDIO_FP_MAX_HAMMING}
+"""
+
+
 PIPELINE_EXTRA_QUERIES = {
     "image_dhash": image_dhash,
     "image_dhash_pairs": image_dhash_pairs,
+    "audio_fingerprint": audio_fingerprint,
+    "audio_fp_pairs": audio_fp_pairs,
     "doc_repetition": doc_repetition,
     "doc_winnowing": doc_winnowing,
     "quality_thresholds_by_lang": quality_thresholds_by_lang,
@@ -3216,6 +3357,8 @@ PIPELINE_EXTRA_QUERIES = {
 PIPELINE_EXTRA_ORACLES = {
     "image_dhash": IMAGE_DHASH_SQL,
     "image_dhash_pairs": IMAGE_DHASH_PAIRS_SQL,
+    "audio_fingerprint": AUDIO_FP_SQL,
+    "audio_fp_pairs": AUDIO_FP_PAIRS_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "doc_winnowing": DOC_WINNOWING_SQL,
     "quality_thresholds_by_lang": QUALITY_THRESHOLDS_SQL,
