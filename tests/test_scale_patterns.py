@@ -158,6 +158,76 @@ def test_approx_distinct_within_tolerance(spark):
     assert rel <= 5 * APPROX_RSD, f"max relative error {rel}"
 
 
+def test_hll_sketch_rollup_merges_correctly(spark):
+    """The mergeable-sketch contract (B38): every daily estimate AND
+    the union-merged TOTAL land within tolerance of the exact distinct
+    counts, the TOTAL's event count is the exact corpus total, and the
+    merged distinct is far below the sum of dailies (the union really
+    dedups overlapping users instead of adding)."""
+    import pyspark.sql.functions as SF
+
+    from tradesignal_mtm_runner_spark.queries_analytics import (
+        sketch_rollup_hll,
+    )
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    out = sketch_rollup_hll(spark, SF_SMOKE).toPandas().set_index("day")
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        SF.to_date("ts").alias("day"), "user_id"
+    )
+    exact_daily = {
+        str(r["day"]): r["n"]
+        for r in ev.groupBy("day")
+        .agg(SF.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_total = ev.select("user_id").distinct().count()
+    n_events = ev.count()
+
+    total_row = out.loc["TOTAL"]
+    assert int(total_row["n_events"]) == n_events
+    assert abs(total_row["est_users"] - exact_total) / exact_total <= 0.10
+    daily = out.drop("TOTAL")
+    assert set(daily.index) == set(exact_daily)
+    for day, row in daily.iterrows():
+        e = exact_daily[day]
+        assert abs(row["est_users"] - e) / e <= 0.10, (day, row["est_users"], e)
+    assert total_row["est_users"] < daily["est_users"].sum() / 2
+
+
+def test_theta_overlap_matches_exact_sets(spark):
+    """Theta-sketch set algebra (B39) vs the exact sets: below the
+    sampling threshold theta sketches are exact, so every estimate
+    must match the true set sizes, and inclusion-exclusion must hold
+    on the output row."""
+    import pyspark.sql.functions as SF
+
+    from tradesignal_mtm_runner_spark.queries_analytics import (
+        audience_overlap_theta,
+    )
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    row = audience_overlap_theta(spark, SF_SMOKE).collect()[0]
+    ev = load_table(spark, SF_SMOKE, "events")
+    users = lambda t: {  # noqa: E731
+        r["user_id"]
+        for r in ev.filter(SF.col("event_type") == t)
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    p, c = users("purchase"), users("click")
+    assert row["purchase_users"] == len(p)
+    assert row["click_users"] == len(c)
+    assert row["union_users"] == len(p | c)
+    assert row["both_users"] == len(p & c)
+    assert row["purchase_only_users"] == len(p - c)
+    assert (
+        row["union_users"]
+        == row["purchase_users"] + row["click_users"] - row["both_users"]
+    )
+
+
 def test_lloyd_training_inertia_is_monotone(spark):
     """Multi-iteration Lloyd refinement must converge: under cosine
     similarity the rounded-mean update is spherical k-means, so the

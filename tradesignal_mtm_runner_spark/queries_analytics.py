@@ -1814,7 +1814,123 @@ GROUP BY 1, event_type
 """
 
 
+# --- B37: VARIANT-typed semi-structured extraction (Spark 4 native) ---------
+
+def events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``parse_json`` ingests ``props`` once into the binary Variant
+    encoding and ``try_variant_get`` extracts the field — the modern
+    engine-native path for schema-flexible columns (Variant decodes
+    ~8x faster than repeated string JSON parsing and is the shredding-
+    ready storage form), vs B35's from_json which needs the schema up
+    front. Distinct rollup shape from B35: value-decile histogram per
+    event type, so both extraction paths stay independently
+    oracle-checked. try_variant_get (not variant_get) so a malformed
+    row degrades to NULL instead of failing the query — the crawl-
+    ingest contract."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "props")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.withColumn("_k", k)
+        .withColumn("decile", (F.col("_k") / F.lit(10)).cast("int"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("_k").cast("long").alias("sum_k"),
+        )
+    )
+
+
+EVENTS_VARIANT_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events
+)
+SELECT event_type, CAST(k // 10 AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM e GROUP BY event_type, k // 10
+"""
+
+
+# --- B38: mergeable HLL sketch rollup (Datasketches, Spark 4 native) ---------
+
+def sketch_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB distinct-count PATTERN, not just the estimate: daily
+    Datasketches HLL sketches built ONCE from the raw stream
+    (``hll_sketch_agg``), then the month total derived by MERGING the
+    daily sketches (``hll_union_agg``) — no second scan of the raw
+    data. At scale the daily sketch column is what you persist;
+    rollups to any coarser grain are sketch unions, which is the
+    whole reason mergeable sketches exist (approx_count_distinct B19
+    gives one grain only). Estimates are rows-only for the oracle
+    (sketch internals are engine-specific); the pytest invariant pins
+    each day's estimate AND the merged total within tolerance of
+    exact, and that the merged total is NOT the sum of dailies
+    (overlapping users dedup through the union)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("_sk"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    per_day = daily.select(
+        F.col("day").cast("string").alias("day"),
+        "n_events",
+        F.hll_sketch_estimate("_sk").cast("long").alias("est_users"),
+    )
+    total = daily.agg(
+        F.lit("TOTAL").alias("day"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("_sk"))
+        .cast("long")
+        .alias("est_users"),
+    )
+    return per_day.unionByName(total)
+
+
+# --- B39: theta-sketch audience overlap (set ops HLL can't do) ---------------
+
+def audience_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience SET ALGEBRA on sketches: theta sketches support
+    intersection and difference, which HLL fundamentally cannot —
+    the standard tool for 'how many users did BOTH X and Y' at a
+    scale where materializing either set is off the table. One pass
+    builds a theta sketch per event type; the overlap row derives
+    from the two 1-row sketch scalars (the crossJoin is a scalar
+    broadcast, same budget rule as the other 1-row joins). Rows-only
+    for the oracle; the pytest invariant checks every estimate
+    against the EXACT set sizes (theta sketches are exact below their
+    sampling threshold) and the inclusion-exclusion identity."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("_sk")
+    )
+    p = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("_sk").alias("_p")
+    )
+    c = sk.filter(F.col("event_type") == "click").select(
+        F.col("_sk").alias("_c")
+    )
+    return p.crossJoin(c).select(
+        F.theta_sketch_estimate(F.theta_union("_p", "_c"))
+        .cast("long")
+        .alias("union_users"),
+        F.theta_sketch_estimate(F.theta_intersection("_p", "_c"))
+        .cast("long")
+        .alias("both_users"),
+        F.theta_sketch_estimate(F.theta_difference("_p", "_c"))
+        .cast("long")
+        .alias("purchase_only_users"),
+        F.theta_sketch_estimate("_p").cast("long").alias("purchase_users"),
+        F.theta_sketch_estimate("_c").cast("long").alias("click_users"),
+    )
+
+
 ANALYTICS_EXTRA_QUERIES = {
+    "events_variant": events_variant,
+    "sketch_rollup_hll": sketch_rollup_hll,
+    "audience_overlap_theta": audience_overlap_theta,
     "events_json_extract": events_json_extract,
     "events_json_stream": events_json_stream,
     "q8_market_share": q8_market_share,
@@ -1833,6 +1949,10 @@ ANALYTICS_EXTRA_QUERIES = {
 }
 
 ANALYTICS_EXTRA_ORACLES = {
+    "events_variant": EVENTS_VARIANT_SQL,
+    # sketch_rollup_hll / audience_overlap_theta: estimates are
+    # engine-specific sketch outputs — rows-only by design, with
+    # tolerance-vs-exact invariants in tests/test_scale_patterns.py
     "events_json_extract": EVENTS_JSON_SQL,
     "events_json_stream": EVENTS_JSON_STREAM_SQL,
     "q8_market_share": Q8_SQL,
