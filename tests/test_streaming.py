@@ -470,3 +470,77 @@ def test_sweep_streaming_matches_batch_across_microbatches(spark, tmp_path):
             a = got[col].astype(float).fillna(np.inf).values
             b = want[col].astype(float).fillna(np.inf).values
             assert np.isclose(a, b, rtol=0, atol=1e-9).all(), (cid, col)
+
+
+def test_foreach_batch_upsert_state_carry_and_idempotence(spark, tmp_path):
+    """The foreachBatch CDC upsert (A23): (1) a 3-file time-ordered
+    replay runs >= 3 micro-batches and the incrementally-merged state
+    equals the batch latest-per-user result; (2) RE-DELIVERING the
+    final batch (the only batch Spark can ever retry) re-merges to an
+    identical state — the idempotence that makes foreachBatch
+    effectively exactly-once over at-least-once delivery."""
+    import pyspark.sql.functions as F
+
+    from tradesignal_mtm_runner_spark.queries_pipeline_extras import (
+        _latest_per_user,
+        make_upsert_sink,
+    )
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "value")
+        .orderBy("ts")
+    )
+    pdf = ev.toPandas()
+    src = tmp_path / "upsert_src"
+    os.makedirs(src)
+    cuts = np.array_split(np.arange(len(pdf)), 3)
+    for i, idx in enumerate(cuts):
+        p = str(src / f"chunk-{i:03d}.parquet")
+        chunk = pdf.iloc[idx].copy()
+        chunk["ts"] = chunk["ts"].astype("datetime64[us]")
+        chunk.to_parquet(p, index=False)
+        t = time.time() - 100 + i * 10
+        os.utime(p, (t, t))
+
+    schema = spark.createDataFrame(pdf.head(1)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    root = str(tmp_path / "upsert_state")
+    merge, cur = make_upsert_sink(root)
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q)
+    assert cur["batches"] >= 3, cur
+
+    spark.catalog.refreshByPath(cur["dir"])
+    g = sorted(map(tuple, spark.read.parquet(cur["dir"]).collect()))
+    want = _latest_per_user(spark.createDataFrame(pdf))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+
+    # a user's value really upserts: the kept row is the max-ts row
+    one = g[0]
+    mx = (
+        spark.createDataFrame(pdf)
+        .filter(F.col("user_id") == one[0])
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    assert one[1] == mx
+
+    # retry the LAST batch: re-deliver the final chunk under its
+    # original batch_id; the state must be unchanged
+    last_id = cur["batches"] - 1
+    last_chunk = spark.createDataFrame(pdf.iloc[cuts[-1]])
+    merge(last_chunk, last_id)
+    spark.catalog.refreshByPath(cur["dir"])
+    again = sorted(map(tuple, spark.read.parquet(cur["dir"]).collect()))
+    assert again == g

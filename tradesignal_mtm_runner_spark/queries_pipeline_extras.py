@@ -38,6 +38,8 @@ Operators (each is what a 100 TB pre-training corpus pipeline runs):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3023,6 +3025,104 @@ FROM sel
 """
 
 
+# --- A23 foreachBatch CDC upsert stream --------------------------------------
+
+def _latest_per_user(df: DataFrame) -> DataFrame:
+    """Deterministic latest-wins reduction: max ts per user, then max
+    value among rows AT that ts (two-step so ties break identically
+    on every engine — arg_max/max_by tie order is engine-specific)."""
+    m = df.groupBy("user_id").agg(F.max("ts").alias("ts"))
+    return (
+        df.join(m, ["user_id", "ts"])
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+
+
+def make_upsert_sink(root: str):
+    """(merge_fn, state) for a foreachBatch latest-wins upsert into
+    alternating parquet generations under ``root``. ``state['dir']``
+    tracks the live generation, ``state['batches']`` the number of
+    batches merged. The merge keyed on batch_id parity is IDEMPOTENT:
+    re-delivering a batch re-merges to the same state — the
+    foreachBatch exactly-once recipe (tests/test_streaming.py pins
+    both properties)."""
+    cur = {"dir": None, "batches": 0}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        # dest and merge-source derive from batch_id ALONE: batch k
+        # always merges generation (k-1) % 2 and writes k % 2, so a
+        # RETRIED batch re-reads the untouched previous generation and
+        # rewrites an identical state — idempotence comes from the
+        # deterministic generation layout, not from mutable bookkeeping
+        # (only the last uncommitted batch can ever be re-delivered).
+        s = batch_df.sparkSession
+        dest = os.path.join(root, f"gen_{batch_id % 2}")
+        latest = _latest_per_user(batch_df)
+        if batch_id > 0:
+            prev = os.path.join(root, f"gen_{(batch_id - 1) % 2}")
+            # each generation path is re-read every other batch after
+            # being overwritten in between; drop Spark's cached file
+            # listing or the read resolves to deleted files
+            s.catalog.refreshByPath(prev)
+            latest = _latest_per_user(
+                s.read.parquet(prev).unionByName(latest)
+            )
+        latest.write.mode("overwrite").parquet(dest)
+        s.catalog.refreshByPath(dest)
+        cur["dir"] = dest
+        cur["batches"] += 1
+
+    return _merge, cur
+
+
+def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert VIA ``foreachBatch`` — the production streaming
+    MERGE pattern none of the other streaming queries cover: each
+    micro-batch latest-wins-merges into a persisted state table
+    (alternating parquet generations standing in for Delta/Iceberg
+    MERGE, which this container doesn't ship; the foreachBatch
+    call-site is identical). The merge is IDEMPOTENT — a replayed
+    batch id re-merges to the same state, which is exactly how
+    foreachBatch achieves effective exactly-once on top of at-least-
+    once batch delivery. State per generation is one row per user
+    (bounded by keys, not events); replay == batch latest-per-user is
+    the oracle."""
+    import tempfile
+
+    from .sources import stream_table
+    from .streaming import await_or_raise
+
+    ev = stream_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    root = tempfile.mkdtemp(prefix="stream_upsert_")
+    _merge, cur = make_upsert_sink(root)
+    q = (
+        ev.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q)
+    if cur["dir"] is None:  # empty source
+        return spark.createDataFrame(
+            [], "user_id long, ts timestamp, value double"
+        )
+    return spark.read.parquet(cur["dir"]).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        F.round("value", R).alias("value"),
+    )
+
+
+STREAM_UPSERT_SQL = """
+WITH m AS (SELECT user_id, max(ts) AS ts FROM events GROUP BY user_id)
+SELECT e.user_id, e.ts, round(max(e.value), 9) AS value
+FROM events e JOIN m ON m.user_id = e.user_id AND m.ts = e.ts
+GROUP BY e.user_id, e.ts
+"""
+
+
 # --- C48 perceptual image dedup (dHash) -------------------------------------
 
 # measured on testdata: true near-dup images (same degenerate resample
@@ -3317,6 +3417,7 @@ PIPELINE_EXTRA_QUERIES = {
     "image_dhash_pairs": image_dhash_pairs,
     "audio_fingerprint": audio_fingerprint,
     "audio_fp_pairs": audio_fp_pairs,
+    "stream_upsert": stream_upsert,
     "doc_repetition": doc_repetition,
     "doc_winnowing": doc_winnowing,
     "quality_thresholds_by_lang": quality_thresholds_by_lang,
@@ -3359,6 +3460,7 @@ PIPELINE_EXTRA_ORACLES = {
     "image_dhash_pairs": IMAGE_DHASH_PAIRS_SQL,
     "audio_fingerprint": AUDIO_FP_SQL,
     "audio_fp_pairs": AUDIO_FP_PAIRS_SQL,
+    "stream_upsert": STREAM_UPSERT_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "doc_winnowing": DOC_WINNOWING_SQL,
     "quality_thresholds_by_lang": QUALITY_THRESHOLDS_SQL,
