@@ -1686,6 +1686,133 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join — the inner
+    join's hard sibling: unmatched purchases must ALSO emit (null-
+    extended) so downstream conversion metrics see non-converters.
+    The production subtlety this query demonstrates is TAIL FLUSHING:
+    an outer row only materializes once the watermark passes
+    p_ts + horizon, so purchases near the end of a stream would sit
+    in the state store forever. The standard fix — an event-time
+    SENTINEL beyond every real row's emission threshold — is staged
+    here by replaying the events through a file source whose last
+    (newest-mtime) file holds two sentinel rows 40 days out (>
+    watermark 30d + horizon 1h), on user_id -1 so they can never join
+    real rows and > horizon apart so they can't join each other; the
+    final no-data micro-batch then evicts and emits every outer row.
+    Replay == the batch LEFT JOIN, which is the DuckDB oracle (the
+    oracle sees only real events; sentinels are filtered from the
+    output)."""
+    import glob as _glob
+    import tempfile
+    import time as _time
+    from datetime import timedelta
+
+    from .sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="stream_join_outer_")
+    data_dir = os.path.join(root, "data")
+    ev.write.mode("overwrite").parquet(data_dir)
+    mx = ev.agg(F.max("ts")).collect()[0][0]  # bounded 1-row scalar
+    sent = spark.createDataFrame(
+        [
+            (-1, mx + timedelta(days=40), -1, "purchase", 0.0),
+            (-2, mx + timedelta(days=40, hours=2), -1, "click", 0.0),
+        ],
+        ev.schema,
+    )
+    sent_dir = os.path.join(root, "sent")
+    sent.coalesce(1).write.parquet(sent_dir)
+
+    # one streaming dir: every data file older than the sentinel file,
+    # maxFilesPerTrigger = #data files -> batch 1 = data, batch 2 =
+    # sentinels, no-data batch 3 = outer flush
+    stream_dir = os.path.join(root, "stream")
+    os.makedirs(stream_dir)
+    now = _time.time()
+    data_files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+    for i, src in enumerate(data_files):
+        dst = os.path.join(stream_dir, f"d{i:04d}.parquet")
+        os.link(src, dst)
+        os.utime(dst, (now - 100, now - 100))
+    sp = _glob.glob(os.path.join(sent_dir, "*.parquet"))[0]
+    sq = os.path.join(stream_dir, "zz-sentinel.parquet")
+    os.link(sp, sq)
+    os.utime(sq, (now - 10, now - 10))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", max(1, len(data_files)))
+        .parquet(stream_dir)
+    )
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_event_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", STREAM_JOIN_WATERMARK)
+    )
+    c = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("c_event_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", STREAM_JOIN_WATERMARK)
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts >= p_ts "
+            f"AND c_ts <= p_ts + INTERVAL {STREAM_JOIN_HORIZON}"
+        ),
+        "left_outer",
+    )
+    sink = f"stream_join_outer_sink_{next(_SJOIN_SINK_SEQ)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q)
+    return (
+        spark.table(sink)
+        .filter(F.col("p_user") >= 0)
+        .select(
+            F.col("p_user").cast("long").alias("user_id"),
+            "p_event_id",
+            "c_event_id",
+            "p_ts",
+            "c_ts",
+            F.round("p_value", R).alias("p_value"),
+        )
+    )
+
+
+STREAM_JOIN_OUTER_SQL = """
+SELECT CAST(p.user_id AS BIGINT) AS user_id,
+       p.event_id AS p_event_id,
+       c.event_id AS c_event_id,
+       p.ts AS p_ts,
+       c.ts AS c_ts,
+       round(p.value, 9) AS p_value
+FROM events p LEFT JOIN events c
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+"""
+
+
 # --- A19 streaming session windows ------------------------------------------
 
 _SSESS_SINK_SEQ = _it.count()
@@ -3418,6 +3545,7 @@ PIPELINE_EXTRA_QUERIES = {
     "audio_fingerprint": audio_fingerprint,
     "audio_fp_pairs": audio_fp_pairs,
     "stream_upsert": stream_upsert,
+    "stream_join_outer": stream_join_outer,
     "doc_repetition": doc_repetition,
     "doc_winnowing": doc_winnowing,
     "quality_thresholds_by_lang": quality_thresholds_by_lang,
@@ -3461,6 +3589,7 @@ PIPELINE_EXTRA_ORACLES = {
     "audio_fingerprint": AUDIO_FP_SQL,
     "audio_fp_pairs": AUDIO_FP_PAIRS_SQL,
     "stream_upsert": STREAM_UPSERT_SQL,
+    "stream_join_outer": STREAM_JOIN_OUTER_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "doc_winnowing": DOC_WINNOWING_SQL,
     "quality_thresholds_by_lang": QUALITY_THRESHOLDS_SQL,

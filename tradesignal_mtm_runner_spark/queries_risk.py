@@ -384,14 +384,104 @@ FROM d
 """
 
 
+# --------------------------------------------------------------------------
+# A18b rolling_beta
+# --------------------------------------------------------------------------
+
+BETA_WINDOW = 20  # trading days in the rolling covariance window
+
+
+def rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol rolling market beta — the portfolio-risk classic the
+    A15 stack stops short of: daily closes (per-symbol/day average),
+    daily returns, the EQUAL-WEIGHT market return across symbols per
+    day, then beta = covar_pop(ret, mret) / var_pop(mret) and the
+    rolling correlation over a BETA_WINDOW-day ROWS frame. Only full
+    windows emit (n = BETA_WINDOW), and var > 0 guards the division.
+
+    Scale shape: one (symbol, day) aggregate, one day-keyed aggregate
+    bounded by #days, one join back, one per-symbol window — all
+    partition-friendly; nothing global except the #days-bounded
+    market relation. corr is scale-invariant to the sample/population
+    distinction so both engines agree; covar/var are explicit _pop."""
+    from .sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("symbol"),
+        F.to_date("ts").alias("day"),
+        "value",
+    )
+    daily = ev.groupBy("symbol", "day").agg(F.avg("value").alias("close"))
+    wlag = Window.partitionBy("symbol").orderBy("day")
+    r = daily.withColumn(
+        "ret", F.col("close") / F.lag("close").over(wlag) - 1
+    ).filter(F.col("ret").isNotNull())
+    m = r.groupBy("day").agg(F.avg("ret").alias("mret"))
+    j = r.join(m, "day")
+    wb = (
+        Window.partitionBy("symbol")
+        .orderBy("day")
+        .rowsBetween(-(BETA_WINDOW - 1), 0)
+    )
+    out = j.select(
+        F.col("symbol").cast("long").alias("symbol"),
+        F.col("day").cast("string").alias("day"),
+        (F.covar_pop("ret", "mret").over(wb) / F.var_pop("mret").over(wb)).alias(
+            "_beta"
+        ),
+        F.corr("ret", "mret").over(wb).alias("_corr"),
+        F.count(F.lit(1)).over(wb).alias("_n"),
+        F.var_pop("mret").over(wb).alias("_varm"),
+    )
+    return out.filter(
+        (F.col("_n") == BETA_WINDOW) & (F.col("_varm") > 0)
+    ).select(
+        "symbol",
+        "day",
+        F.round("_beta", ROUND).alias("beta"),
+        F.round("_corr", ROUND).alias("beta_corr"),
+    )
+
+
+ROLLING_BETA_SQL = f"""
+WITH daily AS (
+  SELECT user_id AS symbol, CAST(ts AS DATE) AS day, avg(value) AS close
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, day,
+         close / lag(close) OVER (PARTITION BY symbol ORDER BY day) - 1 AS ret
+  FROM daily
+),
+rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
+m AS (SELECT day, avg(ret) AS mret FROM rr GROUP BY day),
+j AS (SELECT rr.symbol, rr.day, rr.ret, m.mret FROM rr JOIN m USING (day)),
+wagg AS (
+  SELECT symbol, day,
+    covar_pop(ret, mret) OVER w AS cov,
+    var_pop(mret) OVER w AS varm,
+    corr(ret, mret) OVER w AS c,
+    count(*) OVER w AS n
+  FROM j
+  WINDOW w AS (PARTITION BY symbol ORDER BY day
+               ROWS BETWEEN {BETA_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(symbol AS BIGINT) AS symbol, CAST(day AS VARCHAR) AS day,
+       round(cov / varm, {ROUND}) AS beta, round(c, {ROUND}) AS beta_corr
+FROM wagg WHERE n = {BETA_WINDOW} AND varm > 0
+"""
+
+
 RISK_EXTRA_QUERIES = {
     "risk_metrics": risk_metrics,
     "trade_stats": trade_stats,
     "tech_indicators": tech_indicators,
+    "rolling_beta": rolling_beta,
 }
 
 RISK_EXTRA_ORACLES = {
     "risk_metrics": RISK_METRICS_SQL,
     "trade_stats": TRADE_STATS_SQL,
     "tech_indicators": TECH_INDICATORS_SQL,
+    "rolling_beta": ROLLING_BETA_SQL,
 }
