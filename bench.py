@@ -52,6 +52,10 @@ HEADLINERS = [
     # applyInPandasWithState replay — the streaming twin of the batch
     # sweep, timed once (stream setup dominates repeat runs)
     "mtm_sweep_stream",
+    # cross-modality fingerprints (round 7): full decode + perceptual
+    # hash for every image / audio id at the bench SF
+    "image_dhash",
+    "audio_fingerprint",
 ]
 
 #: benched once instead of best-of-3 (long-running throughput entries)
