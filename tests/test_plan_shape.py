@@ -347,6 +347,38 @@ def test_multimodal_decode_paths_are_shuffle_free(spark):
         assert "MapInPandas" in plan, name
 
 
+def test_events_variant_single_aggregate_shuffle(spark):
+    """VARIANT extraction rides the scan (parse_json + try_variant_get
+    are row-local JVM expressions); the only exchange is the rollup
+    aggregate — no inference pass, no join, no extra shuffle."""
+    df = _xdf(spark, "events_variant")
+    assert P.exchange_count(df) == 1, P.explain_str(df)
+    plan = P.explain_str(df)
+    assert "Join" not in plan
+
+
+def test_rolling_beta_no_global_window(spark):
+    """Every window partitions by symbol (never a global sort); the
+    market relation is bounded by #days; no cartesian product."""
+    df = _xdf(spark, "rolling_beta")
+    plan = P.explain_str(df)
+    assert "CartesianProduct" not in plan
+    # no Window operator without a partition spec: a global window
+    # would show 'Window [...], []' ordering over an empty partition
+    import re
+
+    for m in re.finditer(r"Window \[.*?\], \[(.*?)\]", plan):
+        assert m.group(1).strip(), "global (unpartitioned) window found"
+
+
+def test_sketch_rollup_second_level_is_tiny(spark):
+    """The HLL rollup's second aggregate consumes the DAILY SKETCH
+    relation (bounded by #days), never the raw events twice: exactly
+    two aggregate exchanges in the plan."""
+    df = _xdf(spark, "sketch_rollup_hll")
+    assert P.exchange_count(df) <= 3, P.explain_str(df)
+
+
 def test_feature_hashing_single_aggregate_shuffle(spark):
     """No vocabulary relation anywhere in the plan: explode + ONE
     (doc, bucket) aggregate exchange is the entire cost — the
