@@ -472,6 +472,64 @@ def test_sweep_streaming_matches_batch_across_microbatches(spark, tmp_path):
             assert np.isclose(a, b, rtol=0, atol=1e-9).all(), (cid, col)
 
 
+def test_sweep_stream_blocked_equals_exploded(spark, tmp_path):
+    """The config-BLOCKED streaming sweep (one state key per symbol,
+    all C machines over one bar copy, shuffle volume / C — the shape
+    q_mtm_sweep_stream ships since r7) must be value-identical to the
+    exploded per-(symbol, config)-key form across a multi-batch
+    replay, cross-batch state carry included."""
+    from tradesignal_mtm_runner_spark.streaming.mtm_stream import (
+        streaming_mtm_sweep,
+        streaming_mtm_sweep_blocked,
+    )
+
+    grid = {"a": (0.001, 0.0001), "b": (0.0, 0.0), "c": (0.002, 0.0)}
+    pdf = _signals_pdf(spark)
+    src = tmp_path / "sweep_blocked_src"
+    os.makedirs(src)
+    cuts = np.array_split(np.arange(len(pdf)), 3)
+    for i, idx in enumerate(cuts):
+        p = str(src / f"chunk-{i:03d}.parquet")
+        chunk = pdf.iloc[idx].copy()
+        chunk["timestamp"] = chunk["timestamp"].astype("datetime64[us]")
+        chunk.to_parquet(p, index=False)
+        t = time.time() - 100 + i * 10
+        os.utime(p, (t, t))
+    schema = spark.createDataFrame(pdf.head(1)).schema
+
+    def run(builder, sink):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            builder(stream, grid)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q)
+        return (
+            spark.table(sink)
+            .toPandas()
+            .sort_values(["config_id", "symbol", "timestamp", "event_id"])
+            .reset_index(drop=True)
+        )
+
+    a = run(streaming_mtm_sweep, "sweep_par_exploded")
+    b = run(streaming_mtm_sweep_blocked, "sweep_par_blocked")
+    assert len(a) == len(b) > 0
+    for col in ["config_id", "symbol", "position", "opened", "closed"]:
+        assert (a[col].values == b[col].values).all(), col
+    for col in ["entry_price", "mtm_ratio", "pnl_ratio"]:
+        x = a[col].astype(float).fillna(np.inf).values
+        y = b[col].astype(float).fillna(np.inf).values
+        assert np.isclose(x, y, rtol=0, atol=0).all(), col
+
+
 def test_foreach_batch_upsert_state_carry_and_idempotence(spark, tmp_path):
     """The foreachBatch CDC upsert (A23): (1) a 3-file time-ordered
     replay runs >= 3 micro-batches and the incrementally-merged state

@@ -455,22 +455,25 @@ _SWEEP_STREAM_GRID: dict[str, tuple[float, float]] = {
 
 
 def q_mtm_sweep_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of the strategy-grid sweep (VERDICT r5 item 9):
-    each replayed bar explodes across the 4-config fee/tax grid and
-    every (symbol, config_id) pair is an independent state-store key
-    under ``applyInPandasWithState`` — multi-config keys in the state
-    store, state still a constant-size 5-tuple per key. Replay==batch
-    is the semantics, so the oracle is the batch timeline cross-joined
-    with the config grid (windows partitioned by symbol AND config) —
-    the same full-strength check mtm_streaming gets."""
+    """Streaming twin of the strategy-grid sweep (VERDICT r5 item 9;
+    config-BLOCKED since r7): each symbol is ONE state-store key whose
+    state row carries all 4 per-config 5-tuples, and the state fn runs
+    the 4 machines over a single copy of each micro-batch's bars —
+    shuffle volume into the state operator is bars x 1 instead of
+    bars x 4 (the streaming application of the batch sweep's blocking;
+    value-parity with the exploded form is pytest-pinned).
+    Replay==batch is the semantics, so the oracle is the batch
+    timeline cross-joined with the config grid (windows partitioned
+    by symbol AND config) — the same full-strength check
+    mtm_streaming gets."""
     from .sources import signals_from_events, stream_table
     from .streaming import await_or_raise
-    from .streaming.mtm_stream import streaming_mtm_sweep
+    from .streaming.mtm_stream import streaming_mtm_sweep_blocked
 
     sig = signals_from_events(stream_table(spark, sf_dir, "events"))
     sink = f"mtm_sweep_stream_sink_{next(_STREAM_SINK_SEQ)}"
     q = (
-        streaming_mtm_sweep(sig, _SWEEP_STREAM_GRID)
+        streaming_mtm_sweep_blocked(sig, _SWEEP_STREAM_GRID)
         .writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
