@@ -228,6 +228,36 @@ def test_theta_overlap_matches_exact_sets(spark):
     )
 
 
+def test_lr_training_loss_decreases(spark):
+    """The distributed logistic-regression trainer (C50) must actually
+    DESCEND: mean log-loss of the trained model must sit below the
+    zero-weight model's ln(2), and the final scores must not be
+    degenerate (both classes of score sign present or the weights at
+    least nonzero)."""
+    import math
+
+    import pyspark.sql.functions as SF
+
+    from tradesignal_mtm_runner_spark.queries_pipeline_extras import (
+        classifier_train_lr,
+    )
+
+    out = classifier_train_lr(spark, SF_SMOKE).cache()
+    n = out.count()
+    assert n > 0
+    # log-loss from the (rounded) scores: -[y ln p + (1-y) ln(1-p)]
+    p = SF.lit(1.0) / (SF.lit(1.0) + SF.exp(-SF.col("score")))
+    eps = SF.lit(1e-15)
+    ll = -(
+        SF.col("label") * SF.log(p + eps)
+        + (SF.lit(1) - SF.col("label")) * SF.log(SF.lit(1.0) - p + eps)
+    )
+    mean_loss = out.select(SF.avg(ll).alias("l")).collect()[0]["l"]
+    assert mean_loss < math.log(2.0) - 1e-3, mean_loss
+    # non-degenerate: the model moved off zero
+    assert out.filter(SF.col("score") != 0.0).count() > 0
+
+
 def test_lloyd_training_inertia_is_monotone(spark):
     """Multi-iteration Lloyd refinement must converge: under cosine
     similarity the rounded-mean update is spherical k-means, so the

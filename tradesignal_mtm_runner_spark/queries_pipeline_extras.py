@@ -3250,6 +3250,159 @@ GROUP BY e.user_id, e.ts
 """
 
 
+# --- C50 distributed logistic-regression TRAINING ---------------------------
+
+LR_ITERS = 3     # batch gradient-descent iterations (unrolled in SQL)
+#: learning rate — sized for RAW tf features (counts in the tens): at
+#: 0.01 the log-loss decreases monotonically at every tested SF
+#: (pinned in tests/test_scale_patterns.py); 0.5 visibly diverges.
+LR_RATE = 0.01
+
+
+def classifier_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING over the C41 hashed
+    features — the train-side counterpart of quality_classifier_scores
+    (which only infers with fixed weights): label = (lang == 'en'),
+    LR_ITERS batch gradient-descent steps, each iteration two
+    doc-keyed aggregates (score pass + gradient pass) with the 256-
+    float weight vector carried driver-side between iterations and
+    re-broadcast — the Lloyd/BPE bounded-model-state pattern: the
+    DATA never leaves the cluster, only the model does. Weights are
+    rounded to 9 decimals per iteration ON BOTH ENGINES so float
+    drift cannot compound across iterations (the Lloyd centroid
+    trick). Output is the per-doc final score + prediction, so every
+    trained weight influences every output row; predicted compares
+    the ROUNDED score against 0 (sigmoid(s) > 0.5 <=> s > 0 — no exp
+    at the decision boundary).
+
+    Honest scope note: the synthetic corpus's ``lang`` column
+    disagrees with its own token signal on ~1/3 of docs (the
+    lang_mismatch rate), so accuracy tops out near the majority
+    baseline — the query demonstrates the DISTRIBUTED TRAINING SHAPE
+    (and its engine parity), pinned by the monotone-loss invariant,
+    not a benchmark accuracy."""
+    from .functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    feats = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .withColumn("bucket", F.substring(F.md5(F.col("tok")), 1, 2))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    labels = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    j = feats.join(labels, "doc_id").persist()
+    n = float(j.select("doc_id").distinct().count())  # bounded scalar
+
+    w: dict[str, float] = {}
+    for _ in range(LR_ITERS):
+        wdf = spark.createDataFrame(
+            sorted(w.items()) or [], "bucket string, w double"
+        )
+        scored = (
+            j.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy("doc_id", "y")
+            .agg(
+                F.sum(F.col("tf") * F.coalesce(F.col("w"), F.lit(0.0))).alias(
+                    "s"
+                )
+            )
+        )
+        resid = scored.select(
+            "doc_id",
+            (
+                F.col("y")
+                - F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s")))
+            ).alias("r"),
+        )
+        grad = (
+            j.join(resid, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("tf") * F.col("r")).alias("g"))
+        )
+        neww = (
+            grad.join(wdf, "bucket", "full_outer")
+            .select(
+                "bucket",
+                F.round(
+                    F.coalesce(F.col("w"), F.lit(0.0))
+                    + (F.lit(LR_RATE) * F.coalesce(F.col("g"), F.lit(0.0)))
+                    / F.lit(n),
+                    R,
+                ).alias("w"),
+            )
+        )
+        w = {r["bucket"]: r["w"] for r in neww.collect()}  # <= 256 rows
+
+    wdf = spark.createDataFrame(sorted(w.items()), "bucket string, w double")
+    return (
+        j.join(F.broadcast(wdf), "bucket", "left")
+        .groupBy("doc_id", "y")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.coalesce(F.col("w"), F.lit(0.0))), R
+            ).alias("score")
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("y").cast("long").alias("label"),
+            "score",
+            (F.col("score") > 0).alias("predicted"),
+        )
+    )
+
+
+def _lr_iter_sql(k: int) -> str:
+    prev = f"w{k - 1}"
+    return f"""
+s{k} AS (
+  SELECT j.doc_id, j.y, sum(j.tf * {prev}.w) AS s
+  FROM j JOIN {prev} USING (bucket) GROUP BY j.doc_id, j.y
+),
+r{k} AS (SELECT doc_id, y - 1/(1 + exp(-s)) AS r FROM s{k}),
+g{k} AS (
+  SELECT j.bucket, sum(j.tf * r{k}.r) AS g
+  FROM j JOIN r{k} USING (doc_id) GROUP BY j.bucket
+),
+w{k} AS (
+  SELECT {prev}.bucket,
+         round({prev}.w + ({LR_RATE} * coalesce(g{k}.g, 0)) / nn.n, 9) AS w
+  FROM w{k - 1} LEFT JOIN g{k} USING (bucket) CROSS JOIN nn
+)"""
+
+
+# NB: the CTE names shadow per iteration (w1 reads w0, w2 reads w1...)
+_LR_ITERS_SQL = ",".join(_lr_iter_sql(k) for k in range(1, LR_ITERS + 1))
+
+CLASSIFIER_TRAIN_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+  FROM documents
+),
+f AS (
+  SELECT doc_id, substr(md5(tok), 1, 2) AS bucket,
+         CAST(count(*) AS DOUBLE) AS tf
+  FROM t GROUP BY doc_id, bucket
+),
+l AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+j AS (SELECT f.doc_id, f.bucket, f.tf, l.y FROM f JOIN l USING (doc_id)),
+nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM j),
+w0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM j),
+{_LR_ITERS_SQL}
+SELECT j.doc_id, CAST(j.y AS BIGINT) AS label,
+       round(sum(j.tf * w{LR_ITERS}.w), 9) AS score,
+       round(sum(j.tf * w{LR_ITERS}.w), 9) > 0 AS predicted
+FROM j JOIN w{LR_ITERS} USING (bucket)
+GROUP BY j.doc_id, j.y
+"""
+
+
 # --- C48 perceptual image dedup (dHash) -------------------------------------
 
 # measured on testdata: true near-dup images (same degenerate resample
@@ -3546,6 +3699,7 @@ PIPELINE_EXTRA_QUERIES = {
     "audio_fp_pairs": audio_fp_pairs,
     "stream_upsert": stream_upsert,
     "stream_join_outer": stream_join_outer,
+    "classifier_train_lr": classifier_train_lr,
     "doc_repetition": doc_repetition,
     "doc_winnowing": doc_winnowing,
     "quality_thresholds_by_lang": quality_thresholds_by_lang,
@@ -3590,6 +3744,7 @@ PIPELINE_EXTRA_ORACLES = {
     "audio_fp_pairs": AUDIO_FP_PAIRS_SQL,
     "stream_upsert": STREAM_UPSERT_SQL,
     "stream_join_outer": STREAM_JOIN_OUTER_SQL,
+    "classifier_train_lr": CLASSIFIER_TRAIN_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "doc_winnowing": DOC_WINNOWING_SQL,
     "quality_thresholds_by_lang": QUALITY_THRESHOLDS_SQL,
