@@ -158,6 +158,52 @@ def test_approx_distinct_within_tolerance(spark):
     assert rel <= 5 * APPROX_RSD, f"max relative error {rel}"
 
 
+def test_image_cc_converged_and_dedups(spark):
+    """The image dHash component assignment must be CONVERGED at the
+    fixed unroll (one more iteration changes no label — otherwise the
+    SQL oracle and the Spark loop are both under-iterated), must
+    actually drop duplicate images, and keeps exactly the component
+    minima."""
+    from tradesignal_mtm_runner_spark.operators.dedup import (
+        connected_canonical,
+        simhash_near_dup_pairs,
+    )
+    from tradesignal_mtm_runner_spark.operators.multimodal import extract_dhash
+    from tradesignal_mtm_runner_spark.queries_pipeline import (
+        DEDUP_CC_ITERS,
+        SIMHASH_MAX_BUCKET,
+    )
+    from tradesignal_mtm_runner_spark.queries_pipeline_extras import (
+        DHASH_MAX_HAMMING,
+        _image_assets,
+    )
+
+    sig = extract_dhash(_image_assets(spark, SF_SMOKE)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dhash_hi").alias("simhash_hi"),
+        F.col("dhash_lo").alias("simhash_lo"),
+    )
+    pairs = simhash_near_dup_pairs(
+        sig, max_hamming=DHASH_MAX_HAMMING, max_bucket=SIMHASH_MAX_BUCKET
+    )
+    ids = sig.select("doc_id")
+    a = (
+        connected_canonical(ids, pairs, iters=DEDUP_CC_ITERS)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        connected_canonical(ids, pairs, iters=DEDUP_CC_ITERS + 1)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (a["canonical_id"].values == b["canonical_id"].values).all()
+    assert (~a["keep"]).sum() > 0
+    assert set(a[a["keep"]]["doc_id"]) == set(a["canonical_id"])
+
+
 def test_hll_sketch_rollup_merges_correctly(spark):
     """The mergeable-sketch contract (B38): every daily estimate AND
     the union-merged TOTAL land within tolerance of the exact distinct

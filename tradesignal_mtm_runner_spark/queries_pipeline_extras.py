@@ -3553,6 +3553,101 @@ WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
 """
 
 
+def image_dedup_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-corpus DEDUP DECISION: connected-component canonical
+    assignment over the dHash near-dup graph (min-label propagation,
+    same machinery as the text-side dedup_connected) — every image
+    gets the minimum doc_id reachable through hamming <= 2 edges and
+    keep = (doc is its own component minimum). dHash-0 clusters are
+    cliques, so propagation converges in few hops; the fixed unroll
+    matches the text pipeline's DEDUP_CC_ITERS and convergence is
+    pytest-pinned."""
+    from .operators.dedup import connected_canonical, simhash_near_dup_pairs
+    from .operators.multimodal import extract_dhash
+    from .queries_pipeline import DEDUP_CC_ITERS, SIMHASH_MAX_BUCKET
+
+    sig = extract_dhash(_image_assets(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dhash_hi").alias("simhash_hi"),
+        F.col("dhash_lo").alias("simhash_lo"),
+    )
+    pairs = simhash_near_dup_pairs(
+        sig, max_hamming=DHASH_MAX_HAMMING, max_bucket=SIMHASH_MAX_BUCKET
+    )
+    ids = (
+        _docs(spark, sf_dir)
+        .filter((F.col("doc_id") % 6 == 0) | (F.col("doc_id") % 6 == 3))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    out = connected_canonical(ids, pairs, iters=DEDUP_CC_ITERS)
+    return out.select(
+        "doc_id",
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "keep",
+    )
+
+
+def _img_cc_iter_sql(k: int) -> str:
+    prev = f"il{k - 1}"
+    return f"""
+il{k} AS (
+  SELECT l.doc_id, least(l.lab, coalesce(min(n.lab), l.lab)) AS lab
+  FROM {prev} l
+  LEFT JOIN ie ON ie.src = l.doc_id
+  LEFT JOIN {prev} n ON n.doc_id = ie.dst
+  GROUP BY l.doc_id, l.lab
+)"""
+
+
+def _image_cc_sql() -> str:
+    from .queries_pipeline import DEDUP_CC_ITERS
+
+    iters = ",".join(_img_cc_iter_sql(k) for k in range(1, DEDUP_CC_ITERS + 1))
+    return f"""
+WITH {_DHASH_SIG_SQL},
+dbands AS (
+  SELECT doc_id, dhash_hi, dhash_lo, 0 AS band, dhash_hi >> 16 AS val FROM dsig
+  UNION ALL
+  SELECT doc_id, dhash_hi, dhash_lo, 1, dhash_hi & 65535 FROM dsig
+  UNION ALL
+  SELECT doc_id, dhash_hi, dhash_lo, 2, dhash_lo >> 16 FROM dsig
+  UNION ALL
+  SELECT doc_id, dhash_hi, dhash_lo, 3, dhash_lo & 65535 FROM dsig
+),
+dhot AS (
+  SELECT band, val FROM dbands GROUP BY band, val HAVING count(*) > 1000
+),
+dbands_c AS (
+  SELECT b.* FROM dbands b
+  WHERE NOT EXISTS (SELECT 1 FROM dhot h WHERE h.band = b.band AND h.val = b.val)
+),
+dcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.dhash_hi AS hi_a, a.dhash_lo AS lo_a,
+         b.dhash_hi AS hi_b, b.dhash_lo AS lo_b
+  FROM dbands_c a
+  JOIN dbands_c b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+),
+ip AS (
+  SELECT id_a, id_b FROM dcand
+  WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+        <= {DHASH_MAX_HAMMING}
+),
+ie AS (
+  SELECT id_a AS src, id_b AS dst FROM ip
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM ip
+),
+il0 AS (
+  SELECT doc_id, doc_id AS lab FROM documents
+  WHERE doc_id % 6 = 0 OR doc_id % 6 = 3
+),
+{iters}
+SELECT doc_id, lab AS canonical_id, doc_id = lab AS keep
+FROM il{DEDUP_CC_ITERS}
+"""
+
+
 # --- C49 audio fingerprint ---------------------------------------------------
 
 # measured on the synthesis family: identical-content clips land at
@@ -3700,6 +3795,7 @@ PIPELINE_EXTRA_QUERIES = {
     "stream_upsert": stream_upsert,
     "stream_join_outer": stream_join_outer,
     "classifier_train_lr": classifier_train_lr,
+    "image_dedup_connected": image_dedup_connected,
     "doc_repetition": doc_repetition,
     "doc_winnowing": doc_winnowing,
     "quality_thresholds_by_lang": quality_thresholds_by_lang,
@@ -3745,6 +3841,7 @@ PIPELINE_EXTRA_ORACLES = {
     "stream_upsert": STREAM_UPSERT_SQL,
     "stream_join_outer": STREAM_JOIN_OUTER_SQL,
     "classifier_train_lr": CLASSIFIER_TRAIN_SQL,
+    "image_dedup_connected": _image_cc_sql(),
     "doc_repetition": DOC_REPETITION_SQL,
     "doc_winnowing": DOC_WINNOWING_SQL,
     "quality_thresholds_by_lang": QUALITY_THRESHOLDS_SQL,

@@ -472,11 +472,98 @@ FROM wagg WHERE n = {BETA_WINDOW} AND varm > 0
 """
 
 
+# --------------------------------------------------------------------------
+# A26 resample_ffill
+# --------------------------------------------------------------------------
+
+
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward fill — the other half of
+    A13's OHLC downsample: ticks land irregularly, but indicators /
+    joins / models want ONE row per (symbol, hour) with the
+    last-known close carried through silent hours and an is_observed
+    flag so downstream code can tell data from fill. Per-symbol grid
+    = sequence(first hour, last hour) exploded (row-local, bounded by
+    the span); observed hourly closes reduce via the deterministic
+    two-step tiebreak (max ts in hour, then max value at that ts);
+    the carry-forward is one last-ignore-nulls window per symbol. No
+    leading nulls: each symbol's grid starts at its first observed
+    hour."""
+    from .sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "ts",
+        "value",
+    )
+    mx = ev.groupBy("symbol", "h").agg(F.max("ts").alias("_mts"))
+    obs = (
+        ev.join(mx, ["symbol", "h"])
+        .filter(F.col("ts") == F.col("_mts"))
+        .groupBy("symbol", "h")
+        .agg(F.max("value").alias("obs_close"))
+    )
+    span = ev.groupBy("symbol").agg(
+        F.min("h").alias("_a"), F.max("h").alias("_b")
+    )
+    grid = span.select(
+        "symbol",
+        F.explode(
+            F.sequence(F.col("_a"), F.col("_b"), F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    j = grid.join(obs, ["symbol", "h"], "left")
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        F.col("symbol").cast("long").alias("symbol"),
+        F.col("h").alias("ts_hour"),
+        F.round(F.last("obs_close", ignorenulls=True).over(w), ROUND).alias(
+            "close"
+        ),
+        F.col("obs_close").isNotNull().alias("is_observed"),
+    )
+
+
+RESAMPLE_FFILL_SQL = f"""
+WITH e AS (
+  SELECT user_id AS symbol, date_trunc('hour', ts) AS h, ts, value
+  FROM events
+),
+mx AS (SELECT symbol, h, max(ts) AS mts FROM e GROUP BY 1, 2),
+obs AS (
+  SELECT e.symbol, e.h, max(e.value) AS obs_close
+  FROM e JOIN mx ON mx.symbol = e.symbol AND mx.h = e.h AND e.ts = mx.mts
+  GROUP BY e.symbol, e.h
+),
+span AS (SELECT symbol, min(h) AS a, max(h) AS b FROM e GROUP BY symbol),
+grid AS (
+  SELECT span.symbol, g.h
+  FROM span, UNNEST(generate_series(a, b, INTERVAL 1 HOUR)) AS g(h)
+),
+j AS (
+  SELECT grid.symbol, grid.h, obs.obs_close
+  FROM grid LEFT JOIN obs USING (symbol, h)
+)
+SELECT CAST(symbol AS BIGINT) AS symbol, h AS ts_hour,
+       round(last_value(obs_close IGNORE NULLS) OVER (
+         PARTITION BY symbol ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), {ROUND}) AS close,
+       obs_close IS NOT NULL AS is_observed
+FROM j
+"""
+
+
 RISK_EXTRA_QUERIES = {
     "risk_metrics": risk_metrics,
     "trade_stats": trade_stats,
     "tech_indicators": tech_indicators,
     "rolling_beta": rolling_beta,
+    "resample_ffill": resample_ffill,
 }
 
 RISK_EXTRA_ORACLES = {
@@ -484,4 +571,5 @@ RISK_EXTRA_ORACLES = {
     "trade_stats": TRADE_STATS_SQL,
     "tech_indicators": TECH_INDICATORS_SQL,
     "rolling_beta": ROLLING_BETA_SQL,
+    "resample_ffill": RESAMPLE_FFILL_SQL,
 }
