@@ -1896,6 +1896,89 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19b: session windows with a DYNAMIC per-event gap — purchases
+    hold a session open for 30 minutes, everything else 10 — the
+    engagement-weighted sessionization real funnels use (a fixed gap
+    either fragments purchase journeys or glues casual browsing).
+    ``session_window`` takes the gap as an expression, so the state
+    merge is still engine-native; sessions merge by interval overlap
+    (each event contributes [ts, ts+its_gap)), which is ORDER-FREE
+    set semantics — the oracle restates it as a running-max-of-ends
+    island computation with a deterministic (ts, event_id) tie order.
+    COMPLETE mode + availableNow emits tail sessions, same contract
+    as A19."""
+    from .sources import stream_table
+
+    ev = stream_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    agg = (
+        ev.groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.floor(F.unix_timestamp(F.col("session_window.start")))
+            .cast("long")
+            .alias("session_start_epoch"),
+            F.floor(F.unix_timestamp(F.col("session_window.end")))
+            .cast("long")
+            .alias("session_end_epoch"),
+            "n_events",
+            "total_value",
+        )
+    )
+    sink = f"stream_session_dyn_sink_{next(_SSESS_SINK_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q)
+    return spark.table(sink)
+
+
+STREAM_SESSION_DYNAMIC_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'purchase' THEN INTERVAL 30 MINUTE
+              ELSE INTERVAL 10 MINUTE END AS gap
+  FROM events
+),
+m AS (
+  SELECT user_id, ts, event_id, value, ts + gap AS e_end,
+         max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_end
+  FROM e
+),
+s AS (
+  SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END
+              AS new_s
+  FROM m
+),
+g AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(floor(epoch(max(e_end))) AS BIGINT) AS session_end_epoch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM g GROUP BY user_id, sid
+"""
+
+
 # --- A20 stream-static enrichment join ---------------------------------------
 
 _SENRICH_SINK_SEQ = _it.count()
@@ -3829,6 +3912,7 @@ PIPELINE_EXTRA_QUERIES = {
     "token_cms_topk": token_cms_topk,
     "doc_perplexity": doc_perplexity,
     "stream_session": stream_session,
+    "stream_session_dynamic": stream_session_dynamic,
     "bpe_apply": bpe_apply,
     "stream_enrich": stream_enrich,
 }
@@ -3876,6 +3960,7 @@ PIPELINE_EXTRA_ORACLES = {
     "token_cms_topk": TOKEN_CMS_SQL,
     "doc_perplexity": DOC_PERPLEXITY_SQL,
     "stream_session": STREAM_SESSION_SQL,
+    "stream_session_dynamic": STREAM_SESSION_DYNAMIC_SQL,
     "bpe_apply": BPE_APPLY_SQL,
     "stream_enrich": STREAM_ENRICH_SQL,
 }
