@@ -58,3 +58,40 @@ def test_rotation_invariants():
     assert set(q.ROTATED_OUT_R5) <= set(q.EXTRA_QUERIES)
     assert set(q.ROTATED_OUT_R6) <= set(q.EXTRA_QUERIES)
     assert set(q.ALL_QUERIES) == set(q.QUERIES) | set(q.EXTRA_QUERIES)
+
+
+@pytest.mark.parametrize(
+    "name", ["mtm_sweep_stream", "mtm_streaming", "mtm_timeline"]
+)
+def test_no_negative_zero_in_either_engine(name, spark, duck):
+    """Pin the r7 driver-hash regression class: the driver hashes the
+    VALUE REPRESENTATION, so IEEE -0.0 vs +0.0 is a mismatch even
+    though every numeric comparison calls them equal. The declarative
+    oracle's `prev_pos * price_diff` emits -0.0 exactly where a Python
+    state machine's `gross = 0.0` branch emits +0.0 — visible only in
+    zero-fee/zero-tax grid cells (mtm_sweep_stream's fee0_tax0 /
+    fee_only configs). Both engines must canonicalize after rounding
+    (`round(x, 9) + 0.0`, mtm_shared.r9 / the oracle SELECTs), so
+    NEITHER output may contain a negative zero anywhere."""
+    import numpy as np
+
+    def neg_zero_cells(df, side):
+        bad = {}
+        for col in df.columns:
+            vals = df[col]
+            if vals.dtype.kind != "f":
+                continue
+            arr = vals.to_numpy()
+            n = int((np.signbit(arr) & (arr == 0.0)).sum())
+            if n:
+                bad[col] = n
+        assert not bad, f"{name}/{side}: negative zeros {bad}"
+
+    got = QUERIES[name](spark, SF_SMOKE).toPandas()
+    want = duck.execute(ORACLES[name]).df()
+    neg_zero_cells(got, "spark")
+    neg_zero_cells(want, "oracle")
+    # and the zero-fee cells genuinely exercise the class: the sweep
+    # must contain exact zeros in mtm_ratio (else this pin is vacuous)
+    if name == "mtm_sweep_stream":
+        assert (got["mtm_ratio"].to_numpy() == 0.0).any()

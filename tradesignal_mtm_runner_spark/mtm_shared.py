@@ -44,7 +44,14 @@ def _timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def r9(c) -> F.Column:
-    return F.round(c, ROUND)
+    # + 0.0 canonicalizes IEEE -0.0 to +0.0 after rounding (NULL/NaN
+    # unaffected). The sign of zero is invisible to numeric comparison
+    # but not to the driver's representation hash: the declarative
+    # oracle's `prev_pos * price_diff` emits -0.0 where a Python state
+    # machine's `gross = 0.0` branch emits +0.0 (surfaced by
+    # mtm_sweep_stream's zero-fee grid cells in round 7). Every paired
+    # DuckDB oracle applies the same `round(x, 9) + 0.0`.
+    return F.round(c, ROUND) + F.lit(0.0)
 
 
 # --------------------------------------------------------------------------

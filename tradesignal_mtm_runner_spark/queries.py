@@ -239,36 +239,36 @@ ORACLES: dict[str, str] = {
     "price_movement": f"""
 WITH {_SIGNALS_SQL}
 SELECT symbol, timestamp, event_id, close,
-       round(close - lag(close) OVER ({_W}), {ROUND}) AS price_movement
+       round(close - lag(close) OVER ({_W}), {ROUND}) + 0.0 AS price_movement
 FROM signals
 """,
     "mtm_timeline": f"""
 {_TIMELINE_SQL}
 SELECT symbol, timestamp, event_id, close, buy, sell, position, opened, closed,
-       round(entry_price, {ROUND}) AS entry_price,
-       round(mtm_ratio, {ROUND}) AS mtm_ratio,
-       round(pnl_ratio, {ROUND}) AS pnl_ratio
+       round(entry_price, {ROUND}) + 0.0 AS entry_price,
+       round(mtm_ratio, {ROUND}) + 0.0 AS mtm_ratio,
+       round(pnl_ratio, {ROUND}) + 0.0 AS pnl_ratio
 FROM timeline
 """,
     "pnl_per_symbol": f"""
 {_TIMELINE_SQL}
-SELECT symbol, round(sum(mtm_ratio), {ROUND}) AS pnl FROM timeline GROUP BY symbol
+SELECT symbol, round(sum(mtm_ratio), {ROUND}) + 0.0 AS pnl FROM timeline GROUP BY symbol
 """,
     "max_drawdown": f"""
 {_TIMELINE_SQL}
-SELECT symbol, round(max(greatest(0.0, rm) - pnl_ratio), {ROUND}) AS max_drawdown
+SELECT symbol, round(max(greatest(0.0, rm) - pnl_ratio), {ROUND}) + 0.0 AS max_drawdown
 FROM (SELECT *, max(pnl_ratio) OVER ({_WCUM}) AS rm FROM timeline)
 GROUP BY symbol
 """,
     "sharpe_ratio": f"""
 {_SUMMARY_SQL}
-SELECT symbol, round(sharpe_ratio, {ROUND}) AS sharpe_ratio FROM summary
+SELECT symbol, round(sharpe_ratio, {ROUND}) + 0.0 AS sharpe_ratio FROM summary
 """,
     "mtm_summary": f"""
 {_SUMMARY_SQL}
-SELECT symbol, round(pnl, {ROUND}) AS pnl,
-       round(max_drawdown, {ROUND}) AS max_drawdown,
-       round(sharpe_ratio, {ROUND}) AS sharpe_ratio,
+SELECT symbol, round(pnl, {ROUND}) + 0.0 AS pnl,
+       round(max_drawdown, {ROUND}) + 0.0 AS max_drawdown,
+       round(sharpe_ratio, {ROUND}) + 0.0 AS sharpe_ratio,
        mkt_start_epoch, mkt_end_epoch,
        long_trades_closed, long_trades_outstanding
 FROM summary
@@ -287,18 +287,18 @@ exits AS (
 )
 SELECT e.symbol, CAST(e.trade_id AS BIGINT) AS trade_id,
        'LONG' AS direction,
-       e.entry_datetime, round(e.entry_price, {ROUND}) AS entry_price,
-       x.exit_datetime, round(x.exit_price, {ROUND}) AS exit_price,
+       e.entry_datetime, round(e.entry_price, {ROUND}) + 0.0 AS entry_price,
+       x.exit_datetime, round(x.exit_price, {ROUND}) + 0.0 AS exit_price,
        x.exit_datetime IS NOT NULL AS is_closed,
        CASE WHEN x.exit_datetime IS NOT NULL THEN 'SIGNAL' END AS close_reason,
-       round((x.exit_price - e.entry_price) / e.entry_price, {ROUND}) AS pnl_normalized_gross
+       round((x.exit_price - e.entry_price) / e.entry_price, {ROUND}) + 0.0 AS pnl_normalized_gross
 FROM entries e LEFT JOIN exits x ON e.symbol = x.symbol AND e.trade_id = x.trade_id
 """,
     "buy_hold_mtm": f"""
 WITH {_SIGNALS_SQL}
 SELECT DISTINCT symbol,
        round((last_value(close) OVER wf - first_value(close) OVER wf)
-             / first_value(close) OVER wf, {ROUND}) AS pnl_buy_hold
+             / first_value(close) OVER wf, {ROUND}) + 0.0 AS pnl_buy_hold
 FROM signals
 WINDOW wf AS ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
@@ -543,9 +543,9 @@ timeline AS (
 )
 SELECT config_id, symbol, timestamp, event_id, close, buy, sell,
        position, opened, closed,
-       round(entry_price, {ROUND}) AS entry_price,
-       round(mtm_ratio, {ROUND}) AS mtm_ratio,
-       round(pnl_ratio, {ROUND}) AS pnl_ratio
+       round(entry_price, {ROUND}) + 0.0 AS entry_price,
+       round(mtm_ratio, {ROUND}) + 0.0 AS mtm_ratio,
+       round(pnl_ratio, {ROUND}) + 0.0 AS pnl_ratio
 FROM timeline
 """
 
@@ -586,7 +586,7 @@ def q_drawdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRAWDOWN_STATS_SQL = f"""
 {_TIMELINE_SQL},
 d1 AS (
-  SELECT *, round(greatest(0.0, max(pnl_ratio) OVER ({_WCUM})) - pnl_ratio, {ROUND}) AS dd
+  SELECT *, round(greatest(0.0, max(pnl_ratio) OVER ({_WCUM})) - pnl_ratio, {ROUND}) + 0.0 AS dd
   FROM timeline
 ),
 d2 AS (SELECT *, CASE WHEN dd > 0 THEN 1 ELSE 0 END AS uw FROM d1),
@@ -595,7 +595,7 @@ per_streak AS (
   SELECT symbol, streak, sum(uw) AS run_len FROM d3 GROUP BY symbol, streak
 ),
 stats AS (
-  SELECT symbol, round(max(dd), {ROUND}) AS max_drawdown,
+  SELECT symbol, round(max(dd), {ROUND}) + 0.0 AS max_drawdown,
          CAST(sum(uw) AS BIGINT) AS n_underwater_bars
   FROM d3 GROUP BY symbol
 ),
@@ -631,10 +631,10 @@ def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESAMPLE_OHLC_SQL = f"""
 WITH {_SIGNALS_SQL}
 SELECT symbol, date_trunc('hour', timestamp) AS bar_ts,
-       round(arg_min(close, timestamp), {ROUND}) AS open,
-       round(max(close), {ROUND}) AS high,
-       round(min(close), {ROUND}) AS low,
-       round(arg_max(close, timestamp), {ROUND}) AS close,
+       round(arg_min(close, timestamp), {ROUND}) + 0.0 AS open,
+       round(max(close), {ROUND}) + 0.0 AS high,
+       round(min(close), {ROUND}) + 0.0 AS low,
+       round(arg_max(close, timestamp), {ROUND}) + 0.0 AS close,
        count(*) AS n_ticks
 FROM signals
 GROUP BY symbol, date_trunc('hour', timestamp)

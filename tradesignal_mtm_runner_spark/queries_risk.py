@@ -161,13 +161,13 @@ cv AS (
 )
 SELECT p.symbol,
   round(CASE WHEN p.down = 0 THEN {MIN_NUMERIC_VALUE}
-             ELSE p.slipsum / p.hours / p.down * sqrt({ANNUAL_HOURS}) END, {ROUND}) AS sortino_ratio,
+             ELSE p.slipsum / p.hours / p.down * sqrt({ANNUAL_HOURS}) END, {ROUND}) + 0.0 AS sortino_ratio,
   round(CASE WHEN p.mdd = 0 THEN NULL
-             ELSE p.pnl / p.hours * {ANNUAL_HOURS} / p.mdd END, {ROUND}) AS calmar_ratio,
-  round(p.vol * sqrt({ANNUAL_HOURS}), {ROUND}) AS ann_volatility,
-  round(p.mdd, {ROUND}) AS max_drawdown,
-  round(p.var_95, {ROUND}) AS var_95,
-  round(c.cvar, {ROUND}) AS cvar_95
+             ELSE p.pnl / p.hours * {ANNUAL_HOURS} / p.mdd END, {ROUND}) + 0.0 AS calmar_ratio,
+  round(p.vol * sqrt({ANNUAL_HOURS}), {ROUND}) + 0.0 AS ann_volatility,
+  round(p.mdd, {ROUND}) + 0.0 AS max_drawdown,
+  round(p.var_95, {ROUND}) + 0.0 AS var_95,
+  round(c.cvar, {ROUND}) + 0.0 AS cvar_95
 FROM per p JOIN cv c ON p.symbol = c.symbol
 """
 
@@ -232,14 +232,14 @@ trades AS (
 )
 SELECT symbol,
   CAST(count(*) AS BIGINT) AS n_trades,
-  round(avg(CAST(pnl > 0 AS DOUBLE)), {ROUND}) AS win_rate,
+  round(avg(CAST(pnl > 0 AS DOUBLE)), {ROUND}) + 0.0 AS win_rate,
   round(CASE WHEN sum(CASE WHEN pnl < 0 THEN -pnl ELSE 0.0 END) = 0 THEN NULL
              ELSE sum(CASE WHEN pnl > 0 THEN pnl ELSE 0.0 END)
-                  / sum(CASE WHEN pnl < 0 THEN -pnl ELSE 0.0 END) END, {ROUND}) AS profit_factor,
-  round(avg(CASE WHEN pnl > 0 THEN pnl END), {ROUND}) AS avg_win,
-  round(avg(CASE WHEN pnl < 0 THEN pnl END), {ROUND}) AS avg_loss,
-  round(max(pnl), {ROUND}) AS best_trade,
-  round(min(pnl), {ROUND}) AS worst_trade,
+                  / sum(CASE WHEN pnl < 0 THEN -pnl ELSE 0.0 END) END, {ROUND}) + 0.0 AS profit_factor,
+  round(avg(CASE WHEN pnl > 0 THEN pnl END), {ROUND}) + 0.0 AS avg_win,
+  round(avg(CASE WHEN pnl < 0 THEN pnl END), {ROUND}) + 0.0 AS avg_loss,
+  round(max(pnl), {ROUND}) + 0.0 AS best_trade,
+  round(min(pnl), {ROUND}) + 0.0 AS worst_trade,
   round(avg(hold_ms), 3) AS avg_holding_ms
 FROM trades GROUP BY symbol
 """
@@ -368,18 +368,18 @@ d AS (
          f20b AS ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
 )
 SELECT symbol, timestamp, event_id, close,
-  round(CASE WHEN n20 = 20 THEN sma END, {ROUND}) AS sma_20,
-  round(CASE WHEN n20 = 20 THEN sma + 2 * sd END, {ROUND}) AS bb_upper,
-  round(CASE WHEN n20 = 20 THEN sma - 2 * sd END, {ROUND}) AS bb_lower,
+  round(CASE WHEN n20 = 20 THEN sma END, {ROUND}) + 0.0 AS sma_20,
+  round(CASE WHEN n20 = 20 THEN sma + 2 * sd END, {ROUND}) + 0.0 AS bb_upper,
+  round(CASE WHEN n20 = 20 THEN sma - 2 * sd END, {ROUND}) + 0.0 AS bb_lower,
   round(CASE WHEN nd = 14 THEN
           CASE WHEN al = 0 THEN 100.0
                ELSE 100.0 - 100.0 / (1.0 + ag / al) END
-        END, {ROUND}) AS rsi_14,
-  round(roc, {ROUND}) AS roc_10,
-  round(CASE WHEN nr = 20 THEN vol END, {ROUND}) AS vol_20,
-  round(ema12, {ROUND}) AS ema_12,
-  round(ema26, {ROUND}) AS ema_26,
-  round(ema12 - ema26, {ROUND}) AS macd
+        END, {ROUND}) + 0.0 AS rsi_14,
+  round(roc, {ROUND}) + 0.0 AS roc_10,
+  round(CASE WHEN nr = 20 THEN vol END, {ROUND}) + 0.0 AS vol_20,
+  round(ema12, {ROUND}) + 0.0 AS ema_12,
+  round(ema26, {ROUND}) + 0.0 AS ema_26,
+  round(ema12 - ema26, {ROUND}) + 0.0 AS macd
 FROM d
 """
 
@@ -438,8 +438,8 @@ def rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "symbol",
         "day",
-        F.round("_beta", ROUND).alias("beta"),
-        F.round("_corr", ROUND).alias("beta_corr"),
+        r9(F.col("_beta")).alias("beta"),
+        r9(F.col("_corr")).alias("beta_corr"),
     )
 
 
@@ -467,7 +467,7 @@ wagg AS (
                ROWS BETWEEN {BETA_WINDOW - 1} PRECEDING AND CURRENT ROW)
 )
 SELECT CAST(symbol AS BIGINT) AS symbol, CAST(day AS VARCHAR) AS day,
-       round(cov / varm, {ROUND}) AS beta, round(c, {ROUND}) AS beta_corr
+       round(cov / varm, {ROUND}) + 0.0 AS beta, round(c, {ROUND}) + 0.0 AS beta_corr
 FROM wagg WHERE n = {BETA_WINDOW} AND varm > 0
 """
 
@@ -522,9 +522,7 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         F.col("symbol").cast("long").alias("symbol"),
         F.col("h").alias("ts_hour"),
-        F.round(F.last("obs_close", ignorenulls=True).over(w), ROUND).alias(
-            "close"
-        ),
+        r9(F.last("obs_close", ignorenulls=True).over(w)).alias("close"),
         F.col("obs_close").isNotNull().alias("is_observed"),
     )
 
@@ -552,7 +550,7 @@ j AS (
 SELECT CAST(symbol AS BIGINT) AS symbol, h AS ts_hour,
        round(last_value(obs_close IGNORE NULLS) OVER (
          PARTITION BY symbol ORDER BY h
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), {ROUND}) AS close,
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), {ROUND}) + 0.0 AS close,
        obs_close IS NOT NULL AS is_observed
 FROM j
 """
