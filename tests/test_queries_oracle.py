@@ -53,10 +53,14 @@ def test_rotation_invariants():
 
     assert len(q.QUERIES) == 50
     assert set(q.QUERIES).isdisjoint(q.EXTRA_QUERIES)
-    assert set(q.ROTATED_IN_R5) <= set(q.QUERIES)
+    assert set(q.ROTATED_IN_R5) - set(q.ROTATED_OUT_R8) <= set(q.QUERIES)
     assert set(q.ROTATED_IN_R6) <= set(q.QUERIES)
+    assert set(q.ROTATED_IN_R7) <= set(q.QUERIES)
+    assert set(q.ROTATED_IN_R8) <= set(q.QUERIES)
     assert set(q.ROTATED_OUT_R5) <= set(q.EXTRA_QUERIES)
     assert set(q.ROTATED_OUT_R6) <= set(q.EXTRA_QUERIES)
+    assert set(q.ROTATED_OUT_R7) <= set(q.EXTRA_QUERIES)
+    assert set(q.ROTATED_OUT_R8) <= set(q.EXTRA_QUERIES)
     assert set(q.ALL_QUERIES) == set(q.QUERIES) | set(q.EXTRA_QUERIES)
 
 

@@ -868,10 +868,49 @@ ROTATED_IN_R7 = (
     "embedding_outliers",
     "symbol_correlation",
 )
+# --- round-8 rotation (VERDICT r7, next-round item 2) -----------------------
+# Twelve more keys from the never-driver-verified queue (SURVEY §2
+# preamble, oldest first) rotate IN: the round-2 training-pipeline
+# extras and the sketch/probabilistic family. mtm_sweep_stream STAYS
+# in the window so its r7 negative-zero hash fix is driver-verified.
+# Twelve long-green slots rotate OUT: the r1 cohort whose shapes are
+# covered by remaining keys (events_sessionize by stream_session,
+# events_json_extract by events_json_stream, bpe_apply by the
+# incoming bpe_train, multimodal_decode by the five pixel-level
+# codec keys) and the r5 cohort green since first exposure.
+ROTATED_OUT_R8 = (
+    "events_sessionize",
+    "asof_join",
+    "skew_join_salted",
+    "events_error_burst",
+    "price_quantiles",
+    "q8_market_share",
+    "q21_late_suppliers",
+    "events_json_extract",
+    "risk_metrics",
+    "trade_stats",
+    "bpe_apply",
+    "multimodal_decode",
+)
+ROTATED_IN_R8 = (
+    "stream_dedup",
+    "train_val_split",
+    "pii_scrub",
+    "embedding_quantize",
+    "sequence_pack",
+    "stratified_sample",
+    "ngram_counts",
+    "bpe_train",
+    "ann_pq_topk",
+    "token_cms_topk",
+    "doc_perplexity",
+    "bloom_prefilter",
+)
 for _out, _in in (
     (ROTATED_OUT_R5, ROTATED_IN_R5),
     (ROTATED_OUT_R6, ROTATED_IN_R6),
     (ROTATED_OUT_R7, ROTATED_IN_R7),
+    (ROTATED_OUT_R8, ROTATED_IN_R8),
 ):
     for _k in _out:
         EXTRA_QUERIES[_k] = QUERIES.pop(_k)
