@@ -286,6 +286,68 @@ def test_session_window_merges_across_microbatches(spark, tmp_path):
     ).all()
 
 
+def test_dynamic_session_window_merges_across_microbatches(spark, tmp_path):
+    """A19b: the DYNAMIC-gap twin must carry open sessions across
+    micro-batch boundaries exactly like the fixed-gap one — and since
+    r8 it applies the same conditional watermark (VERDICT r7 item 3),
+    so this also pins that the watermark does not evict sessions the
+    time-ordered replay still needs (all events inside one batch file
+    are within the watermark of that batch's max ts)."""
+    from tradesignal_mtm_runner_spark.queries_pipeline_extras import (
+        session_event_stats_dynamic,
+    )
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    pdf = ev.toPandas().sort_values(["ts", "user_id"]).reset_index(drop=True)
+
+    src = tmp_path / "sess_dyn_src"
+    os.makedirs(src)
+    cuts = np.array_split(np.arange(len(pdf)), 3)
+    for i, idx in enumerate(cuts):
+        p = str(src / f"chunk-{i:03d}.parquet")
+        chunk = pdf.iloc[idx].copy()
+        chunk["ts"] = chunk["ts"].astype("datetime64[us]")
+        chunk.to_parquet(p, index=False)
+        t = time.time() - 100 + i * 10
+        os.utime(p, (t, t))
+
+    schema = spark.createDataFrame(pdf.head(1)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    streamed = session_event_stats_dynamic(stream)
+    # the watermark must actually be attached on the streaming path
+    assert "EventTimeWatermark" in streamed._jdf.queryExecution().logical().toString()
+    sink = "sess_dyn_stream_parity"
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q)
+    key = ["user_id", "session_start_epoch"]
+    got = spark.table(sink).toPandas().sort_values(key).reset_index(drop=True)
+    want = (
+        session_event_stats_dynamic(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for col in ["user_id", "session_start_epoch", "session_end_epoch", "n_events"]:
+        assert (got[col].values == want[col].values).all(), col
+    assert np.isclose(
+        got["total_value"].values, want["total_value"].values, rtol=0, atol=1e-9
+    ).all()
+
+
 def test_rocksdb_state_store_backend(spark):
     """The default HDFS-backed state store keeps every key in executor
     heap — fine locally, a memory wall for 100 TB streaming state. The
@@ -578,8 +640,18 @@ def test_foreach_batch_upsert_state_carry_and_idempotence(spark, tmp_path):
     await_or_raise(q)
     assert cur["batches"] >= 3, cur
 
-    spark.catalog.refreshByPath(cur["dir"])
-    g = sorted(map(tuple, spark.read.parquet(cur["dir"]).collect()))
+    def state_rows():
+        spark.catalog.refreshByPath(cur["dir"])
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(cur["dir"])
+                .select("user_id", "ts", "value")
+                .collect(),
+            )
+        )
+
+    g = state_rows()
     want = _latest_per_user(spark.createDataFrame(pdf))
     w = sorted(map(tuple, want.collect()))
     assert g == w and len(g) > 0
@@ -599,6 +671,83 @@ def test_foreach_batch_upsert_state_carry_and_idempotence(spark, tmp_path):
     last_id = cur["batches"] - 1
     last_chunk = spark.createDataFrame(pdf.iloc[cuts[-1]])
     merge(last_chunk, last_id)
+    assert state_rows() == g
+
+
+def test_foreach_batch_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The r8 bucketed upsert layout: a micro-batch whose keys land in
+    a subset of the hash buckets must leave every OTHER bucket's files
+    byte-identical (dynamic partition overwrite = per-batch write cost
+    O(touched keys), the property a real MERGE has — VERDICT r7 item
+    4). Also pins that the merge across the in-place layout is still
+    correct: touched buckets absorb the new rows, untouched carry."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from tradesignal_mtm_runner_spark.queries_pipeline_extras import (
+        UPSERT_BUCKETS,
+        _latest_per_user,
+        make_upsert_sink,
+    )
+
+    base = spark.range(0, 64).select(
+        F.col("id").alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    root = str(tmp_path / "bucketed_upsert")
+    merge, cur = make_upsert_sink(root)
+    merge(base, 0)
+
+    # pick ONE real user so the second batch touches exactly one bucket
+    probe = spark.createDataFrame(
+        [(7, 13.5)], "user_id long, value double"
+    ).select(
+        "user_id",
+        F.timestamp_seconds(F.lit(1_800_000_000)).alias("ts"),
+        "value",
+    )
+    touched_bucket = spark.createDataFrame([(7,)], "user_id long").select(
+        F.pmod(F.xxhash64(F.col("user_id")), F.lit(UPSERT_BUCKETS)).alias("b")
+    ).collect()[0][0]
+
+    def bucket_digests():
+        out = {}
+        for b in range(UPSERT_BUCKETS):
+            d = os.path.join(cur["dir"], f"bucket={b}")
+            if not os.path.isdir(d):
+                continue
+            h = hashlib.sha256()
+            for f in sorted(os.listdir(d)):
+                h.update(f.encode())
+                with open(os.path.join(d, f), "rb") as fh:
+                    h.update(fh.read())
+            out[b] = h.hexdigest()
+        return out
+
+    before = bucket_digests()
+    merge(probe, 1)
+    after = bucket_digests()
+
+    assert set(before) == set(after)  # no bucket appears or vanishes
+    for b in before:
+        if b == touched_bucket:
+            assert after[b] != before[b], "touched bucket must be rewritten"
+        else:
+            assert after[b] == before[b], f"untouched bucket {b} was rewritten"
+
+    # and the merged state is still latest-per-user over both batches
     spark.catalog.refreshByPath(cur["dir"])
-    again = sorted(map(tuple, spark.read.parquet(cur["dir"]).collect()))
-    assert again == g
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(cur["dir"])
+            .select("user_id", "ts", "value")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, _latest_per_user(base.unionByName(probe)).collect())
+    )
+    assert got == want
