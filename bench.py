@@ -107,6 +107,14 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
+    # the Spark timing loop is done: release the caches the capped
+    # dedup operators persist (tracked via cache_registry), so the
+    # rest of the bench — and anything embedding it — runs against a
+    # clean cache manager (ADVICE r7: persists had no release hook)
+    from tradesignal_mtm_runner_spark.cache_registry import release_caches
+
+    release_caches()
+
     # single-group stress: one 500k-bar symbol through the bookkeeper
     # state machine (the per-task unit of the 100 TB sweep; driver-side
     # numpy, no Spark overhead in the measurement)

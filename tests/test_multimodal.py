@@ -1012,3 +1012,25 @@ def test_avi_rec_grouping_lists_are_walked():
     bad = rec_blob.replace(b"rec ", b"xxx ", 1)
     with pytest.raises(ValueError, match="unsupported nested list"):
         decode_avi_mjpeg(bad)
+
+
+def test_avi_rec_nesting_depth_bomb_is_rejected():
+    """A crafted AVI nests 'rec ' inside 'rec ' at ~12 bytes per level
+    — a few-KB payload must hit the explicit depth ValueError, never a
+    RecursionError (ADVICE r7: the walk recursed unbounded)."""
+    from tradesignal_mtm_runner_spark.operators.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    frames = [bytes([0xFF, 0xD8, 0, 0xFF, 0xD9])]
+    blob = encode_avi_mjpeg(frames, 8, 8)
+    deep = _wrap_movi_in_rec(blob, group=1)
+    for _ in range(500):  # re-wrap: rec(rec(...)) 500 levels deep
+        deep = _wrap_movi_in_rec(deep, group=1)
+    with pytest.raises(ValueError, match="nested deeper"):
+        decode_avi_mjpeg(deep)
+
+    # spec-legal single-level grouping still decodes (the bound is a
+    # cap on adversarial nesting, not on the interleave convention)
+    assert decode_avi_mjpeg(_wrap_movi_in_rec(blob, group=1)) == frames

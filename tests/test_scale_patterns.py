@@ -729,3 +729,32 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     assert len(res) > 0
     appended_ids = {int(r["vec_id"]) for r in batch.collect()}
     assert any(int(c) in appended_ids for c in res["corpus_id"])
+
+
+def test_tracked_persists_are_releasable(spark):
+    """The capped candidate generators persist their bands relation so
+    the count-filter branch and the collect branch share one
+    computation; those caches must be registered with the central
+    cache registry so a long-lived session can release them at a
+    checkpoint instead of leaning on LRU eviction (ADVICE r7). Pin:
+    running a capped dedup query leaves >= 1 tracked live cache, and
+    release_caches() empties both the registry and Spark's cache
+    manager of them."""
+    from tradesignal_mtm_runner_spark.cache_registry import (
+        _LIVE,
+        release_caches,
+    )
+    from tradesignal_mtm_runner_spark.queries_pipeline import (
+        dedup_minhash_lsh,
+    )
+
+    release_caches()  # start clean regardless of test order
+    dedup_minhash_lsh(spark, SF_SMOKE).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    assert len(_LIVE) >= 1
+    cached = [df for df in _LIVE if df.storageLevel.useMemory]
+    assert cached, "tracked relations should be persisted"
+    n = release_caches()
+    assert n >= 1 and not _LIVE
+    assert all(not df.storageLevel.useMemory for df in cached)

@@ -1,0 +1,49 @@
+"""Tracked persist() for relations whose cache must outlive their
+builder function.
+
+The capped candidate generators (operators/dedup.py: LSH bands, SimHash
+bands, CC edges) and the LR trainer persist an intermediate relation so
+two consumer branches (count-filter + collect, or an iterative loop)
+share one computation. Because the builders return LAZY DataFrames, the
+cache cannot be unpersisted inside the builder — it must stay alive
+until the caller materializes the result. Left untracked, those caches
+accumulate for the life of the session (ADVICE r7: the leak forced a
+clearCache() workaround in scripts/gen_plans.py).
+
+This registry makes the lifetime explicit and centrally releasable:
+builders call :func:`persist_tracked`, and long-lived drivers (bench.py
+between queries, scripts/gen_plans.py between plan snapshots, any
+service embedding the operators) call :func:`release_caches` at their
+natural checkpoint. Spark's LRU eviction remains the backstop in
+between — the registry bounds the steady state, it does not change
+query semantics or plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """``df.persist()`` + register for a later :func:`release_caches`."""
+    out = df.persist()
+    _LIVE.append(out)
+    return out
+
+
+def release_caches() -> int:
+    """Unpersist every tracked relation; returns how many were live.
+
+    Safe to call at any point where no tracked query is mid-flight
+    (between bench queries, between plan snapshots, after a batch of
+    dedup work). Unpersisting is non-blocking and idempotent.
+    """
+    n = len(_LIVE)
+    while _LIVE:
+        try:
+            _LIVE.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n

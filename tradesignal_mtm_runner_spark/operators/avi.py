@@ -143,7 +143,13 @@ def decode_avi_mjpeg(
     frames: list[bytes] = []
     idx1_entries: int | None = None
 
-    def _walk_frames(j: int, stop: int) -> None:
+    def _walk_frames(j: int, stop: int, depth: int = 0) -> None:
+        # spec-conforming writers nest 'rec ' at most once inside movi,
+        # but the format admits rec-inside-rec, and ~12 bytes buys each
+        # extra level — bound the depth explicitly or a few-KB payload
+        # turns a ValueError contract into a RecursionError
+        if depth > 4:
+            raise ValueError("'rec ' lists nested deeper than 4")
         while j + 8 <= stop:
             fcc = b[j : j + 4]
             fln = int.from_bytes(b[j + 4 : j + 8], "little")
@@ -159,11 +165,7 @@ def decode_avi_mjpeg(
                         f"unsupported nested list {b[j + 8 : j + 12]!r} "
                         "in movi (only 'rec ' grouping lists)"
                     )
-                # depth is bounded at 1 by construction: a 'rec '
-                # list's children are frame chunks; a 'rec ' inside a
-                # 'rec ' hits the same LIST branch and recurses, still
-                # size-bounded by the parent
-                _walk_frames(j + 12, j + 8 + fln)
+                _walk_frames(j + 12, j + 8 + fln, depth + 1)
             else:
                 raise ValueError(
                     f"unsupported movi chunk {fcc!r} (single video "

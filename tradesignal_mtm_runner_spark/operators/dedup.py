@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache_registry import persist_tracked
+
 from ..functions.text import shingle_set, shingles, tokens
 
 
@@ -209,7 +211,7 @@ def lsh_candidate_pairs(
     (band, band_sig, id) input rows (tolerated public API) from
     emitting self-pairs."""
     if max_bucket is not None:
-        bands = bands.persist()
+        bands = persist_tracked(bands)
         hot = (
             bands.groupBy("band", "band_sig")
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -371,7 +373,7 @@ def simhash_near_dup_pairs(
         F.col("bv.band").alias("band"), F.col("bv.val").alias("val"),
     )
     if max_bucket is not None:
-        bands = bands.persist()
+        bands = persist_tracked(bands)
         hot = (
             bands.groupBy("band", "val")
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -459,7 +461,7 @@ def connected_canonical(
     # iterative algorithm: without this, every iteration (and the
     # final action) re-runs the whole upstream pair pipeline — the
     # standard Pregel-style persist; Spark LRU-evicts it later
-    edges = edges.persist()
+    edges = persist_tracked(edges)
     labels = ids.select(F.col(id_col), F.col(id_col).alias("lab"))
     for _ in range(iters):
         nbr = (

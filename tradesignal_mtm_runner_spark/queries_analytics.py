@@ -1832,7 +1832,9 @@ def events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
     return (
         ev.withColumn("_k", k)
-        .withColumn("decile", (F.col("_k") / F.lit(10)).cast("int"))
+        # floor, not truncate-toward-zero: the oracle's `k // 10`
+        # floors, and the two diverge for negative k (ADVICE r7)
+        .withColumn("decile", F.floor(F.col("_k") / F.lit(10)).cast("int"))
         .groupBy("event_type", "decile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
