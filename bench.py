@@ -56,6 +56,11 @@ HEADLINERS = [
     # hash for every image / audio id at the bench SF
     "image_dhash",
     "audio_fingerprint",
+    # cross-modality near-dup PAIRS (round 8): the banded self-joins
+    # over those fingerprints — the capped-band machinery's scaling
+    # claim now gets a measured 10x point like the text dedup family
+    "image_dhash_pairs",
+    "audio_fp_pairs",
 ]
 
 #: benched once instead of best-of-3 (long-running throughput entries)
