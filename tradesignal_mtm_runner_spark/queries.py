@@ -768,6 +768,13 @@ from .queries_risk import RISK_EXTRA_ORACLES, RISK_EXTRA_QUERIES  # noqa: E402
 EXTRA_QUERIES.update(RISK_EXTRA_QUERIES)
 EXTRA_ORACLES.update(RISK_EXTRA_ORACLES)
 
+# round-8 surface: SCD2 history, table profiling, distributed PCA,
+# BM25 / hybrid retrieval, boilerplate stripping (same reason)
+from .queries_r8 import R8_ORACLES, R8_QUERIES  # noqa: E402
+
+EXTRA_QUERIES.update(R8_QUERIES)
+EXTRA_ORACLES.update(R8_ORACLES)
+
 # --- round-5 driver-window rotation (VERDICT r4, next-round item 1) ---------
 # The driver CORRECTNESS harness only ever sees the first 50 queries();
 # everything else is verified by the identical DuckDB harness in pytest.
