@@ -163,7 +163,6 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     dim = len(emb.select("e").first()["e"])
-    n = emb.count()  # 1 scalar
 
     # pass 1: the corpus mean, rounded (d rows collected once)
     mu_df = (
@@ -207,7 +206,6 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    assert n > 0
     return emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         _r9(proj).alias("pc1_proj"),
@@ -226,10 +224,13 @@ WITH e AS (
 ),
 d AS (SELECT len(v) AS dim FROM e LIMIT 1),
 mu AS (
+  -- DuckDB 1.0.0 lacks UNNEST ... WITH ORDINALITY; generate_subscripts
+  -- zips with unnest in the same SELECT and is 1-based (pos is only
+  -- grouped/ordered on, never used as a value, so the base is moot)
   SELECT list(m ORDER BY pos) AS m FROM (
-    SELECT u.pos AS pos, round(avg(u.x), 9) + 0.0 AS m
-    FROM e, UNNEST(v) WITH ORDINALITY AS u(x, pos)
-    GROUP BY u.pos
+    SELECT pos, round(avg(x), 9) + 0.0 AS m
+    FROM (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e)
+    GROUP BY pos
   )
 ),
 c AS (
@@ -247,9 +248,13 @@ v0 AS (
         steps.append(f"""
 u{k} AS (
   SELECT list(u ORDER BY pos) AS u FROM (
-    SELECT z.pos AS pos, round(sum(z.c * list_dot_product(c.cv, (SELECT w FROM v{k}))), 9) + 0.0 AS u
-    FROM c, UNNEST(c.cv) WITH ORDINALITY AS z(c, pos)
-    GROUP BY z.pos
+    SELECT pos, round(sum(cx * dp), 9) + 0.0 AS u
+    FROM (
+      SELECT generate_subscripts(cv, 1) AS pos, unnest(cv) AS cx,
+             list_dot_product(cv, (SELECT w FROM v{k})) AS dp
+      FROM c
+    )
+    GROUP BY pos
   )
 ),
 v{k + 1} AS (
