@@ -56,6 +56,15 @@ SNAPSHOT = [
     ("rolling_beta", "#days-bounded market relation + symbol-partitioned window"),
     ("sketch_rollup_hll", "daily HLL sketches; total = union merge, no rescan"),
     ("classifier_train_lr", "final scoring pass of the GD-trained weights"),
+    # round-8/9 additions
+    ("scd2_history", "one key shuffle + one lead window: the SCD2 layout"),
+    ("table_profile", "one scan, multi-distinct as a single Expand"),
+    ("approx_table_profile", "one scan, sketch NDVs: no Expand, no distinct shuffle"),
+    ("embedding_pca_power", "matrix-free PCA: model-literal projection, zero exchanges"),
+    ("bm25_topk", "query-vocab isin rides the scan; bounded broadcast stats"),
+    ("hybrid_search_rrf", "exact x PQ rank fusion: full-outer rank join per query"),
+    ("hybrid_bm25_pq_rrf", "BM25 x PQ+rerank fusion: both arms sublinear-shaped"),
+    ("boilerplate_segments", "segment hash df aggregate + one key join back"),
 ]
 
 

@@ -74,11 +74,18 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-match excluded).
 
     queries is expected small (broadcast); the corpus side streams —
-    one pass, no shuffle besides the final per-query top-k."""
+    one pass, no shuffle besides the final per-query top-k.
+
+    ``round_digits``: when set, the score is rounded BEFORE the rank
+    window, so rank assignment is engine-stable (ties broken on
+    corpus_id after rounding — the recipe every oracle-checked caller
+    needs; without it callers had to over-fetch with an inflated k
+    and re-rank on the rounded score themselves)."""
     c = with_double_vec(_fan_out(corpus), vec_col).select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
     )
@@ -86,13 +93,12 @@ def cosine_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     pairs = c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id",
-        "corpus_id",
-        (_dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))).alias(
-            "cosine"
-        ),
+    score = _dot(F.col("_qv"), F.col("_cv")) / (
+        _norm(F.col("_qv")) * _norm(F.col("_cv"))
     )
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    scored = pairs.select("query_id", "corpus_id", score.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

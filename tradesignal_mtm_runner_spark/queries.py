@@ -771,9 +771,12 @@ EXTRA_ORACLES.update(RISK_EXTRA_ORACLES)
 # round-8 surface: SCD2 history, table profiling, distributed PCA,
 # BM25 / hybrid retrieval, boilerplate stripping (same reason)
 from .queries_r8 import R8_ORACLES, R8_QUERIES  # noqa: E402
+from .queries_r9 import R9_ORACLES, R9_QUERIES  # noqa: E402
 
 EXTRA_QUERIES.update(R8_QUERIES)
 EXTRA_ORACLES.update(R8_ORACLES)
+EXTRA_QUERIES.update(R9_QUERIES)
+EXTRA_ORACLES.update(R9_ORACLES)
 
 # --- round-5 driver-window rotation (VERDICT r4, next-round item 1) ---------
 # The driver CORRECTNESS harness only ever sees the first 50 queries();
@@ -913,11 +916,50 @@ ROTATED_IN_R8 = (
     "doc_perplexity",
     "bloom_prefilter",
 )
+# --- round-9 rotation (VERDICT r8, next-round item 4) -----------------------
+# The never-driver-verified queue heads (SURVEY §2 preamble, oldest
+# first) rotate IN: the remaining TPC-H analytics cohort, the
+# streaming media decode, and the image-dedup pair family. The entire
+# r7 cohort rotates OUT — every one of its 12 keys has been
+# driver-green for two consecutive rounds (r7 first exposure, r8
+# confirm), including mtm_sweep_stream whose r7 hash fix is now
+# driver-verified; their shapes stay covered in-window (streaming by
+# stream_dedup/mtm_streaming/events_stream_window/events_json_stream,
+# doc quality/dedup by the C-family keys that remain).
+ROTATED_OUT_R9 = (
+    "mtm_sweep_stream",
+    "doc_repetition",
+    "doc_winnowing",
+    "quality_thresholds_by_lang",
+    "tech_indicators",
+    "stream_join",
+    "stream_session",
+    "stream_enrich",
+    "corpus_filter_pipeline",
+    "contamination_check",
+    "embedding_outliers",
+    "symbol_correlation",
+)
+ROTATED_IN_R9 = (
+    "upsert_latest",
+    "q7_volume_shipping",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_pushdown",
+    "q22_idle_customers",
+    "q9_profit_by_nation",
+    "multimodal_stream_decode",
+    "image_dhash",
+    "image_dhash_pairs",
+)
 for _out, _in in (
     (ROTATED_OUT_R5, ROTATED_IN_R5),
     (ROTATED_OUT_R6, ROTATED_IN_R6),
     (ROTATED_OUT_R7, ROTATED_IN_R7),
     (ROTATED_OUT_R8, ROTATED_IN_R8),
+    (ROTATED_OUT_R9, ROTATED_IN_R9),
 ):
     for _k in _out:
         EXTRA_QUERIES[_k] = QUERIES.pop(_k)

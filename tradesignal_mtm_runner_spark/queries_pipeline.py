@@ -521,21 +521,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
     # rank on the rounded cosine so rank assignment is engine-stable
-    scored = cosine_topk(emb, queries, k=ANN_TOPK * 1000)  # raw scores
-    scored = scored.select(
-        "query_id", "corpus_id", F.round("cosine", R).alias("cosine")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= ANN_TOPK)
-        .select(
-            "query_id",
-            "corpus_id",
-            "cosine",
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return cosine_topk(emb, queries, k=ANN_TOPK, round_digits=R)
 
 
 ANN_TOPK_SQL = f"""

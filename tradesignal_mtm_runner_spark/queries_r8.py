@@ -291,17 +291,10 @@ BM25_QUERIES = {
 }
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranking of the document corpus for a fixed query set — the
-    lexical half of production retrieval (the tf-idf query C18 scores
-    *documents' own* terms; BM25 scores documents AGAINST queries with
-    the saturation + length normalization real search uses). Plan: one
-    tokenize pass filtered to the query vocabulary (a tiny literal IN
-    — the filter rides the scan), per-(doc, term) tf and per-term df
-    aggregates, corpus avgdl as a 1-row broadcast scalar, then the
-    score is pure column algebra and a per-query top-k window. The
-    query relation is a driver literal (bounded), never a shuffle
-    side. idf uses the +1 form: ln(1 + (N - df + .5)/(df + .5))."""
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 scoring chain shared by ``bm25_topk`` and the hybrid
+    fusion (queries_r9): per-(query, doc) summed BM25 score, no rank
+    cut — callers apply their own top-k window at their own depth."""
     from .functions.text import tokens
 
     d = _docs(spark, sf_dir)
@@ -330,7 +323,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = F.col("tf") + BM25_K1 * (
         1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
     )
-    scored = (
+    return (
         tf.join(F.broadcast(dfreq), "tok")
         .join(F.broadcast(qrel), "tok")
         .join(dl, "doc_id")
@@ -342,6 +335,20 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the document corpus for a fixed query set — the
+    lexical half of production retrieval (the tf-idf query C18 scores
+    *documents' own* terms; BM25 scores documents AGAINST queries with
+    the saturation + length normalization real search uses). Plan: one
+    tokenize pass filtered to the query vocabulary (a tiny literal IN
+    — the filter rides the scan), per-(doc, term) tf and per-term df
+    aggregates, corpus avgdl as a 1-row broadcast scalar, then the
+    score is pure column algebra and a per-query top-k window. The
+    query relation is a driver literal (bounded), never a shuffle
+    side. idf uses the +1 form: ln(1 + (N - df + .5)/(df + .5))."""
+    scored = bm25_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
@@ -364,8 +371,9 @@ _BM25_TERMS_IN = ", ".join(
     f"'{t}'" for t in sorted({t for q in BM25_QUERIES.values() for t in q})
 )
 
-BM25_SQL = f"""
-WITH toks AS (
+#: the BM25 scoring chain as reusable CTE text (no WITH, no rank cut)
+#: — shared verbatim by BM25_SQL and the r9 hybrid-fusion oracle
+BM25_SCORED_CTES = f"""toks AS (
   SELECT doc_id, u.tok AS tok
   FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
        UNNEST(t) AS u(tok)
@@ -391,7 +399,10 @@ scored AS (
   JOIN dl USING (doc_id)
   CROSS JOIN stats s
   GROUP BY q.query_id, tf.doc_id
-),
+)"""
+
+BM25_SQL = f"""
+WITH {BM25_SCORED_CTES},
 r AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY score DESC, doc_id ASC) AS rank
@@ -428,16 +439,11 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
 
-    # retriever A: exact cosine, ranked on the ROUNDED score so rank
-    # assignment is engine-stable (same recipe as ann_cosine_topk)
-    exact = cosine_topk(emb, queries, k=RRF_POOL * 1000).select(
-        "query_id", "corpus_id", F.round("cosine", R).alias("s")
-    )
-    wa = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("corpus_id"))
-    a = (
-        exact.withColumn("rank_a", F.row_number().over(wa))
-        .filter(F.col("rank_a") <= RRF_POOL)
-        .select("query_id", "corpus_id", "rank_a")
+    # retriever A: exact cosine, ranked directly on the ROUNDED score
+    # (engine-stable rank, same recipe as ann_cosine_topk) — no
+    # over-fetch + re-rank needed
+    a = cosine_topk(emb, queries, k=RRF_POOL, round_digits=R).select(
+        "query_id", "corpus_id", F.col("rank").alias("rank_a")
     )
 
     # retriever B: PQ/ADC — pq_topk already ranks on the rounded
