@@ -61,6 +61,17 @@ HEADLINERS = [
     # claim now gets a measured 10x point like the text dedup family
     "image_dhash_pairs",
     "audio_fp_pairs",
+    # round-8/9 surface: warehouse history, profiling (exact + sketch
+    # twin), matrix-free PCA, retrieval (lexical, hybrid, production
+    # hybrid), boilerplate stripping
+    "scd2_history",
+    "table_profile",
+    "approx_table_profile",
+    "embedding_pca_power",
+    "bm25_topk",
+    "hybrid_search_rrf",
+    "hybrid_bm25_pq_rrf",
+    "boilerplate_segments",
 ]
 
 #: benched once instead of best-of-3 (long-running throughput entries)

@@ -180,6 +180,56 @@ def test_boilerplate_planted_reachable(spark, tmp_path):
         assert out[i]["n_boiler"] == 0 and out[i]["keep"], i
 
 
+# --- C55 char entropy: bounds + planted degenerate docs ----------------------
+
+
+def test_char_entropy_bounds_and_planted_degenerates(spark, tmp_path):
+    """Information-theoretic bounds (0 <= H <= log2(alphabet)) on the
+    real corpus, plus planted reachability: a single-char flood has
+    exactly 0 bits (fails the keep floor), a uniform-alphabet doc hits
+    the log2 bound, natural-ish text passes."""
+    from tradesignal_mtm_runner_spark.queries_r9 import doc_char_entropy
+
+    rows = _df(spark, "doc_char_entropy", SF_MID).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["entropy_bits"] <= np.log2(r["n_unique_chars"]) + 1e-9
+
+    planted = [
+        (0, "a" * 64),                      # flood: H = 0
+        (1, "abcdefgh" * 8),                # uniform 8-char: H = 3 exactly
+        (2, "the quick brown fox jumps"),   # natural: H > 2
+    ]
+    spark.createDataFrame(planted, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {
+        r["doc_id"]: r for r in doc_char_entropy(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["entropy_bits"] == 0.0 and not out[0]["keep"]
+    assert out[1]["entropy_bits"] == pytest.approx(3.0) and out[1]["keep"]
+    assert out[2]["keep"]
+
+
+# --- C56 Zipf fit: plan + statistical sanity ---------------------------------
+
+
+def test_zipf_fit_take_ordered_and_sane(spark):
+    """The vocabulary cut must plan as a distributed TakeOrdered (never
+    a global sort of the vocab), and the fit must look like language:
+    negative slope, r^2 in (0, 1], exactly ZIPF_TOP terms."""
+    from tradesignal_mtm_runner_spark.queries_r9 import ZIPF_TOP
+
+    df = _df(spark, "token_zipf_fit", SF_MID)
+    assert "TakeOrderedAndProject" in P.explain_str(df)
+    row = df.collect()[0]
+    # the synthetic vocabulary can be smaller than the cut (31 terms
+    # at sf0.01) — the fit covers min(vocab, ZIPF_TOP) terms
+    assert 0 < row["n_terms"] <= ZIPF_TOP
+    assert row["zipf_slope"] < 0
+    assert 0.0 < row["r_squared"] <= 1.0
+
+
 # --- B41b approx profile: tolerance pin --------------------------------------
 
 

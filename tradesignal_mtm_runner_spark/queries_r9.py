@@ -281,9 +281,168 @@ FROM r WHERE rank <= {RRF_TOPK}
 """
 
 
+# --- C55 character-entropy quality screen ------------------------------------
+
+#: keep floor: natural text sits near 4 bits/char; random hex ~4, but
+#: single-char spam / whitespace runs collapse toward 0 — the screen
+#: targets the degenerate tail, so the floor is deliberately low
+ENTROPY_MIN_BITS = 2.0
+
+
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap
+    gibberish/degenerate-text screen (binary spam, single-char floods,
+    whitespace runs all collapse toward 0 bits/char; natural language
+    sits near 4). Complements the token-level quality family (C4/C14/
+    C45: those need tokenizable text; entropy works on ANY byte soup —
+    it's the filter you run FIRST). Plan: one char explode + two
+    aggregates ((doc, char) counts, then the per-doc entropy fold) —
+    partial maps collapse per (doc, char) so the shuffle carries at
+    most |alphabet| rows per doc, not characters."""
+    from .queries_pipeline import _docs
+
+    d = _docs(spark, sf_dir)
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    per_char = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n = F.sum("cnt")
+    # entropy = log2(n) - (1/n) * sum cnt*log2(cnt): one pass, no
+    # pre-computed per-doc total needed (algebraic identity)
+    ent = F.log2(n) - F.sum(F.col("cnt") * F.log2("cnt")) / n
+    per_doc = per_char.groupBy("doc_id").agg(
+        n.cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_chars"),
+        _r9(ent).alias("entropy_bits"),
+    )
+    return per_doc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_chars",
+        "n_unique_chars",
+        "entropy_bits",
+        (F.col("entropy_bits") >= ENTROPY_MIN_BITS).alias("keep"),
+    )
+
+
+DOC_CHAR_ENTROPY_SQL = f"""
+WITH chars AS (
+  SELECT doc_id, u.ch AS ch
+  FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+       UNNEST(cs) AS u(ch)
+  WHERE u.ch != ''
+),
+per_char AS (
+  SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY doc_id, ch
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_chars,
+         CAST(count(*) AS BIGINT) AS n_unique_chars,
+         round(log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt), 9) + 0.0
+           AS entropy_bits
+  FROM per_char GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars, n_unique_chars,
+       entropy_bits, entropy_bits >= {ENTROPY_MIN_BITS} AS keep
+FROM per_doc
+"""
+
+
+# --- C56 Zipf-slope corpus diagnostic -----------------------------------------
+
+ZIPF_TOP = 100  # fit over the top-N terms (bounded relation)
+
+
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary — the classic corpus-
+    health diagnostic (natural text has log-freq ~ -1 x log-rank;
+    template/machine-generated corpora bend the slope). Plan: one
+    token aggregate (the C15 shape), a distributed TakeOrdered cut to
+    the top {ZIPF_TOP} terms (never a global sort of the vocabulary),
+    deterministic re-rank of that bounded relation, then ordinary
+    least squares in log-log space computed from SUFFICIENT STATISTICS
+    (sum x, sum y, sum xy, sum x^2, sum y^2 — one aggregate row;
+    distributed regression without collecting a single term). Output
+    is one row: slope, intercept, r^2, n_terms — every statistic
+    value-hashed."""
+    from .functions.text import tokens
+    from .queries_pipeline import _docs
+
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(ZIPF_TOP)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))  # bounded: ZIPF_TOP rows
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r2 = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    ) / (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        _r9(slope).alias("zipf_slope"),
+        _r9(intercept).alias("zipf_intercept"),
+        _r9(r2).alias("r_squared"),
+        F.col("n").cast("long").alias("n_terms"),
+    )
+
+
+TOKEN_ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT u.tok AS tok, count(*) AS cnt
+  FROM (SELECT string_split_regex(trim(text), ' +') AS t FROM documents),
+       UNNEST(t) AS u(tok)
+  GROUP BY u.tok
+),
+top AS (
+  SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+  FROM counts QUALIFY rank <= {ZIPF_TOP}
+),
+xy AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM top
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM xy
+)
+SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) + 0.0 AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9) + 0.0
+         AS zipf_intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) + 0.0 AS r_squared,
+       CAST(n AS BIGINT) AS n_terms
+FROM s
+"""
+
+
 R9_QUERIES = {
     "approx_table_profile": approx_table_profile,
     "hybrid_bm25_pq_rrf": hybrid_bm25_pq_rrf,
+    "doc_char_entropy": doc_char_entropy,
+    "token_zipf_fit": token_zipf_fit,
 }
 
 # approx_table_profile is rows-only BY DESIGN (sketch NDVs are
@@ -293,4 +452,6 @@ R9_QUERIES = {
 # tests/test_r9.py)
 R9_ORACLES = {
     "hybrid_bm25_pq_rrf": _hybrid_sql(),
+    "doc_char_entropy": DOC_CHAR_ENTROPY_SQL,
+    "token_zipf_fit": TOKEN_ZIPF_SQL,
 }
