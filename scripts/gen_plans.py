@@ -65,6 +65,9 @@ SNAPSHOT = [
     ("hybrid_search_rrf", "exact x PQ rank fusion: full-outer rank join per query"),
     ("hybrid_bm25_pq_rrf", "BM25 x PQ+rerank fusion: both arms sublinear-shaped"),
     ("boilerplate_segments", "segment hash df aggregate + one key join back"),
+    ("doc_char_entropy", "char explode + two aggs, alphabet-bounded shuffle"),
+    ("token_zipf_fit", "TakeOrdered vocab cut + OLS from sufficient stats"),
+    ("dedup_keep_best", "CC labels + two-step argmax: keep the longest version"),
 ]
 
 

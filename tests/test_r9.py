@@ -230,6 +230,64 @@ def test_zipf_fit_take_ordered_and_sane(spark):
     assert 0.0 < row["r_squared"] <= 1.0
 
 
+# --- C57 keep-best dedup: invariants + divergence from min-id ----------------
+
+
+def test_dedup_keep_best_invariants(spark, tmp_path):
+    """(a) keep <=> doc is the representative; (b) exactly one keep
+    per component; (c) the representative has the component's max
+    token count (min id among ties); (d) components agree with
+    dedup_connected's; (e) planted pair where the LONGER near-dup has
+    the HIGHER id: min-id would keep the short one — keep-best must
+    keep the long one."""
+    from tradesignal_mtm_runner_spark.queries_r9 import dedup_keep_best
+
+    rows = _df(spark, "dedup_keep_best", SF_MID).collect()
+    assert rows
+    comps: dict = {}
+    for r in rows:
+        comps.setdefault(r["canonical_id"], []).append(r)
+        assert r["keep"] == (r["doc_id"] == r["best_id"])
+    cc = {
+        r["doc_id"]: r["canonical_id"]
+        for r in _df(spark, "dedup_connected", SF_MID).collect()
+    }
+    for cid, members in comps.items():
+        keeps = [r for r in members if r["keep"]]
+        assert len(keeps) == 1, cid
+        best = keeps[0]
+        mx = max(r["n_toks"] for r in members)
+        assert best["n_toks"] == mx
+        assert best["doc_id"] == min(
+            r["doc_id"] for r in members if r["n_toks"] == mx
+        )
+        for r in members:
+            assert cc[r["doc_id"]] == cid
+
+    # planted divergence: doc 1 is doc 0 plus a short tail -> simhash
+    # hamming 1 (measured; the tail must be small RELATIVE to the doc
+    # to stay under SIMHASH_MAX_HAMMING=2), longer, higher id; docs
+    # 2+ are noise singletons
+    base = " ".join(f"w{i % 9}tok{i}" for i in range(256))
+    planted = [
+        (0, base),
+        (1, base + " extra tail"),
+        (2, " ".join(f"zq{i}" for i in range(40))),
+        (3, " ".join(f"vy{i}" for i in range(40))),
+    ]
+    spark.createDataFrame(
+        planted, "doc_id long, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in dedup_keep_best(spark, str(tmp_path)).collect()}
+    assert out[0]["canonical_id"] == out[1]["canonical_id"], (
+        "planted near-dup pair did not land in one component"
+    )
+    assert out[1]["keep"] and not out[0]["keep"], (
+        "keep-best must keep the longer representative, not the min id"
+    )
+    assert out[2]["keep"] and out[3]["keep"]
+
+
 # --- B41b approx profile: tolerance pin --------------------------------------
 
 

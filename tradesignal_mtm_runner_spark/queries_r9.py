@@ -37,6 +37,96 @@ R = 9
 HYB_RERANK_FACTOR = 4
 
 
+# --- C57 keep-best dedup decision ---------------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup decision rule: within each near-dup
+    cluster keep the most COMPLETE document (max token count,
+    deterministic min-doc_id tiebreak) instead of ``dedup_connected``'s
+    min-id — the rule real pipelines use (the arbitrary-id keep throws
+    away the best version of a page; CCNet/RefinedWeb keep the longest
+    representative). Components come from the same simhash near-dup
+    graph + min-label propagation; the representative is a per-
+    component TWO-STEP argmax (max length, then min id at that length
+    — engine-agnostic tie order), two bounded aggregates + two key
+    joins on top of the CC labels. Output: every doc with its
+    component, the kept representative, and its own keep flag."""
+    from .functions.text import tokens
+    from .operators.dedup import (
+        connected_canonical,
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+    from .queries_pipeline import (
+        DEDUP_CC_ITERS,
+        SIMHASH_MAX_BUCKET,
+        SIMHASH_MAX_HAMMING,
+        _docs,
+    )
+
+    d = _docs(spark, sf_dir)
+    sig = simhash_signatures(d)
+    pairs = simhash_near_dup_pairs(
+        sig, max_hamming=SIMHASH_MAX_HAMMING, max_bucket=SIMHASH_MAX_BUCKET
+    )
+    comp = connected_canonical(
+        d.select("doc_id"), pairs, iters=DEDUP_CC_ITERS
+    ).select("doc_id", "canonical_id")
+    lens = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_toks")
+    )
+    cl = comp.join(lens, "doc_id")
+    mx = cl.groupBy("canonical_id").agg(F.max("n_toks").alias("_mx"))
+    best = (
+        cl.join(mx, "canonical_id")
+        .filter(F.col("n_toks") == F.col("_mx"))
+        .groupBy("canonical_id")
+        .agg(F.min("doc_id").alias("best_id"))
+    )
+    return (
+        cl.join(best, "canonical_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("canonical_id").cast("long").alias("canonical_id"),
+            F.col("best_id").cast("long").alias("best_id"),
+            F.col("n_toks").cast("long").alias("n_toks"),
+            (F.col("doc_id") == F.col("best_id")).alias("keep"),
+        )
+    )
+
+
+def _keep_best_sql() -> str:
+    """Oracle: the dedup_connected chain's CTEs verbatim (simhash
+    core, banded candidates, hamming filter, unrolled CC iterations)
+    + token lengths + the two-step per-component argmax."""
+    from .queries_pipeline import DEDUP_CONNECTED_SQL, DEDUP_CC_ITERS
+
+    chain = DEDUP_CONNECTED_SQL.rsplit(
+        "SELECT doc_id, lab AS canonical_id", 1
+    )[0].rstrip()
+    return f"""{chain},
+lens AS (
+  SELECT doc_id, len(string_split_regex(trim(text), ' +')) AS n_toks
+  FROM documents
+),
+comp AS (SELECT doc_id, lab AS canonical_id FROM l{DEDUP_CC_ITERS}),
+cl AS (SELECT c.doc_id, c.canonical_id, l.n_toks FROM comp c JOIN lens l USING (doc_id)),
+mx AS (SELECT canonical_id, max(n_toks) AS _mx FROM cl GROUP BY canonical_id),
+best AS (
+  SELECT cl.canonical_id, min(cl.doc_id) AS best_id
+  FROM cl JOIN mx ON mx.canonical_id = cl.canonical_id AND cl.n_toks = mx._mx
+  GROUP BY cl.canonical_id
+)
+SELECT CAST(cl.doc_id AS BIGINT) AS doc_id,
+       CAST(cl.canonical_id AS BIGINT) AS canonical_id,
+       CAST(b.best_id AS BIGINT) AS best_id,
+       CAST(cl.n_toks AS BIGINT) AS n_toks,
+       cl.doc_id = b.best_id AS keep
+FROM cl JOIN best b ON b.canonical_id = cl.canonical_id
+"""
+
+
 # --- B41b approx table profile (the 100 TB drop-in for B41) -------------------
 
 
@@ -443,6 +533,7 @@ R9_QUERIES = {
     "hybrid_bm25_pq_rrf": hybrid_bm25_pq_rrf,
     "doc_char_entropy": doc_char_entropy,
     "token_zipf_fit": token_zipf_fit,
+    "dedup_keep_best": dedup_keep_best,
 }
 
 # approx_table_profile is rows-only BY DESIGN (sketch NDVs are
@@ -454,4 +545,5 @@ R9_ORACLES = {
     "hybrid_bm25_pq_rrf": _hybrid_sql(),
     "doc_char_entropy": DOC_CHAR_ENTROPY_SQL,
     "token_zipf_fit": TOKEN_ZIPF_SQL,
+    "dedup_keep_best": _keep_best_sql(),
 }
