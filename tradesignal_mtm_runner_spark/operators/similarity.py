@@ -676,6 +676,69 @@ def pq_topk(
     )
 
 
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 200,
+    num_subspaces: int = 4,
+    num_codes: int = 8,
+    round_digits: int = 9,
+) -> DataFrame:
+    """The production two-stage retrieval shape shared by
+    ``ann_pq_rerank`` and the hybrid fusion's vector arm: PQ/ADC
+    shortlist of ``shortlist`` candidates from the compressed codes
+    (cheap — the code relation is ~bytes/vector), then an EXACT
+    cosine re-rank of just that shortlist, cut to ``k``. The full
+    vectors for the shortlist arrive via one bounded join, never a
+    corpus scan per query; rank is assigned on the ROUNDED cosine
+    with corpus_id tie-break (engine-stable, oracle-matched)."""
+    cand = pq_topk(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=shortlist,
+        num_subspaces=num_subspaces,
+        num_codes=num_codes,
+        round_digits=round_digits,
+    ).select("query_id", "corpus_id")
+    v = with_double_vec(corpus, vec_col).select(id_col, vec_col)
+    q = v.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
+    )
+    c = v.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_c")
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "corpus_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_q"), F.col("_c"))
+                / (_norm(F.col("_q")) * _norm(F.col("_c"))),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "corpus_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1320,49 +1320,18 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any exact math — at 100 TB the full vectors for the
     shortlist arrive via one bounded join, never a corpus scan per
     query."""
-    from .operators.similarity import _dot, _norm, pq_topk, with_double_vec
+    from .operators.similarity import pq_rerank_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
-    cand = pq_topk(
+    return pq_rerank_topk(
         emb,
         queries,
-        k=ANN_TOPK * PQ_RERANK_FACTOR,
+        k=ANN_TOPK,
+        shortlist=ANN_TOPK * PQ_RERANK_FACTOR,
         num_subspaces=PQ_M,
         num_codes=PQ_K,
         round_digits=R,
-    ).select("query_id", "corpus_id")
-    v = with_double_vec(emb, "embedding").select("vec_id", "embedding")
-    q = v.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_q")
-    )
-    c = v.select(
-        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("_c")
-    )
-    scored = (
-        cand.join(q, "query_id")
-        .join(c, "corpus_id")
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("_q"), F.col("_c"))
-                / (_norm(F.col("_q")) * _norm(F.col("_c"))),
-                R,
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("corpus_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= ANN_TOPK)
-        .select(
-            "query_id",
-            "corpus_id",
-            "cosine",
-            F.col("rank").cast("int").alias("rank"),
-        )
     )
 
 
@@ -3377,11 +3346,6 @@ def make_upsert_sink(root: str):
         )
         # commit: flip every touched bucket's pointer in one atomic
         # manifest replace
-        superseded = [
-            (man["bucket_gen"][str(b)], b)
-            for b in touched
-            if str(b) in man["bucket_gen"]
-        ]
         for b in touched:
             man["bucket_gen"][str(b)] = gen
         man["next_gen"] = gen + 1
@@ -3390,14 +3354,49 @@ def make_upsert_sink(root: str):
         with open(tmp, "w") as fh:
             json.dump(man, fh)
         os.replace(tmp, _upsert_manifest_path(state_dir))
-        # GC superseded bucket dirs (post-commit; crash-safe garbage)
-        for g, b in superseded:
-            shutil.rmtree(_upsert_bucket_dir(state_dir, g, b), ignore_errors=True)
+        # GC (post-commit; crash-safe): a full SWEEP against the
+        # committed manifest, not just this batch's pointer diff — so
+        # bucket dirs orphaned by a crash between an earlier commit
+        # and its GC, and gen dirs left holding only _SUCCESS, are
+        # also reclaimed. Never touches the manifest-referenced dirs.
+        _upsert_gc(state_dir, man)
         s.catalog.refreshByPath(state_dir)
         cur["dir"] = state_dir
         cur["batches"] = man["batches"]
 
     return _merge, cur
+
+
+def _upsert_gc(state_dir: str, man: dict) -> None:
+    """Remove every generation/bucket directory the manifest does not
+    reference: stale bucket subdirs (superseded pointers, including
+    ones orphaned by a crash between a previous commit and its GC)
+    and whole gen dirs with no referenced bucket left (empty-batch
+    gens, fully superseded gens). Idempotent; safe to crash inside —
+    nothing referenced is ever deleted."""
+    import re
+    import shutil
+
+    live = {
+        (g, int(b)) for b, g in man["bucket_gen"].items()
+    }
+    for entry in os.listdir(state_dir):
+        m = re.fullmatch(r"gen=(\d+)", entry)
+        if not m:
+            continue
+        gen = int(m.group(1))
+        gen_path = os.path.join(state_dir, entry)
+        keep_any = False
+        for sub in os.listdir(gen_path):
+            bm = re.fullmatch(r"bucket=(\d+)", sub)
+            if not bm:
+                continue  # _SUCCESS etc. — handled with the gen dir
+            if (gen, int(bm.group(1))) in live:
+                keep_any = True
+            else:
+                shutil.rmtree(os.path.join(gen_path, sub), ignore_errors=True)
+        if not keep_any:
+            shutil.rmtree(gen_path, ignore_errors=True)
 
 
 def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -84,22 +84,28 @@ GROUP BY 1, 2
 
 # --- A27 streaming trending top-k ----------------------------------------------
 
+import itertools as _it_r9  # noqa: E402
+
 TREND_WINDOW = "1 hour"
 TREND_WATERMARK = "2 hours"
 TREND_TOPK = 3
+_TREND_SINK_SEQ = _it_r9.count()
 
 
 def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending event types per hour FROM THE STREAM: watermarked
-    tumbling-window counts maintained by Structured Streaming (state
-    bounded by open windows x event types), with the top-k RANKING
-    applied at read over the sink table — rank functions aren't
-    streamable post-aggregation, and the split is exactly how a
-    production trending dashboard works (the stream maintains the
-    per-window counters; the serving query ranks them). availableNow
-    replay == batch group-by + rank is the oracle."""
-    import itertools
-
+    tumbling-window counts maintained by Structured Streaming in
+    UPDATE mode — watermark state eviction is ACTIVE in update mode
+    (complete mode ignores it and would retain every window forever),
+    so state really is bounded by open windows x event types. The
+    sink receives one row per counter REVISION; the final counters
+    are the last revision per (window, type) — extracted with a
+    max-n_events argmax, valid because a counter's n_events strictly
+    increases across its revisions. The top-k RANK is applied at read
+    over those finals — rank isn't streamable post-aggregation, and
+    the split is exactly how a production trending dashboard works
+    (the stream maintains counters; the serving query ranks them).
+    availableNow replay == batch group-by + rank is the oracle."""
     from .sources import stream_table
     from .streaming import await_or_raise
 
@@ -120,26 +126,29 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    global _TREND_SINK_SEQ
-    try:
-        _TREND_SINK_SEQ
-    except NameError:
-        _TREND_SINK_SEQ = itertools.count()
     sink = f"trend_sink_{next(_TREND_SINK_SEQ)}"
     q = (
         agg.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
     await_or_raise(q)
+    wlast = Window.partitionBy("window_start_epoch", "event_type").orderBy(
+        F.desc("n_events")
+    )
+    final = (
+        spark.table(sink)
+        .withColumn("_rev", F.row_number().over(wlast))
+        .filter(F.col("_rev") == 1)
+        .drop("_rev")
+    )
     wr = Window.partitionBy("window_start_epoch").orderBy(
         F.desc("n_events"), F.asc("event_type")
     )
     return (
-        spark.table(sink)
-        .withColumn("rank", F.row_number().over(wr))
+        final.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= TREND_TOPK)
         .select(
             "window_start_epoch",
@@ -327,7 +336,7 @@ def hybrid_bm25_pq_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exact-reranks an RRF_POOL x {HYB_RERANK_FACTOR} shortlist.
     rrf = sum 1/(K + rank); FULL OUTER rank join so a doc surfaced by
     one arm still scores; all per-query work partitions by query_id."""
-    from .operators.similarity import _dot, _norm, pq_topk, with_double_vec
+    from .operators.similarity import pq_rerank_topk
     from .queries_pipeline_extras import PQ_K, PQ_M
 
     qids = _hyb_query_ids()
@@ -347,45 +356,22 @@ def hybrid_bm25_pq_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # vector arm: PQ/ADC shortlist -> exact cosine re-rank (C30b)
+    # vector arm: PQ/ADC shortlist -> exact cosine re-rank (the C30b
+    # shape, shared helper)
     emb = _emb(spark, sf_dir)
     qvecs = emb.filter(F.col("vec_id").isin(qids))
-    cand = pq_topk(
+    vec = pq_rerank_topk(
         emb,
         qvecs,
-        k=RRF_POOL * HYB_RERANK_FACTOR,
+        k=RRF_POOL,
+        shortlist=RRF_POOL * HYB_RERANK_FACTOR,
         num_subspaces=PQ_M,
         num_codes=PQ_K,
         round_digits=R,
-    ).select("query_id", "corpus_id")
-    v = with_double_vec(emb, "embedding").select("vec_id", "embedding")
-    q = v.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_q")
-    )
-    c = v.select(
-        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("_c")
-    )
-    wv = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("corpus_id")
-    )
-    vec = (
-        cand.join(q, "query_id")
-        .join(c, "corpus_id")
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("_q"), F.col("_c"))
-                / (_norm(F.col("_q")) * _norm(F.col("_c"))),
-                R,
-            ),
-        )
-        .withColumn("rank_vec", F.row_number().over(wv))
-        .filter(F.col("rank_vec") <= RRF_POOL)
-        .select(
-            F.col("query_id").cast("int").alias("query_id"),
-            F.col("corpus_id").cast("long").alias("doc_id"),
-            "rank_vec",
-        )
+    ).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("corpus_id").cast("long").alias("doc_id"),
+        F.col("rank").alias("rank_vec"),
     )
 
     fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").withColumn(
