@@ -110,9 +110,13 @@ def test_windowed_agg_matches_batch_across_microbatches(spark, tmp_path):
     """A11: the watermarked window aggregation must merge partial
     windows across micro-batch boundaries — a time-ordered 3-way split
     cuts through windows mid-flight, so getting this right exercises
-    the window state store, not just a single-batch group-by."""
+    the window state store AND (since r9, update mode) the read-side
+    last-revision extraction: boundary windows emit multiple revisions
+    into the sink and latest_window_counts must collapse them to the
+    batch truth."""
     from tradesignal_mtm_runner_spark.sources import load_table
     from tradesignal_mtm_runner_spark.streaming.windowed import (
+        latest_window_counts,
         windowed_event_counts,
     )
 
@@ -141,13 +145,18 @@ def test_windowed_agg_matches_batch_across_microbatches(spark, tmp_path):
         windowed_event_counts(stream)
         .writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
     await_or_raise(q)
     key = ["window_start_epoch", "user_id", "event_type"]
-    got = spark.table(sink).toPandas().sort_values(key).reset_index(drop=True)
+    got = (
+        latest_window_counts(spark.table(sink), key)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
     want = (
         windowed_event_counts(spark.createDataFrame(pdf))
         .toPandas()

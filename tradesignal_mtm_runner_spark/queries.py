@@ -643,12 +643,15 @@ GROUP BY symbol, date_trunc('hour', timestamp)
 
 def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: watermarked tumbling-window aggregation on the event
-    stream (streaming/windowed.py). COMPLETE mode + availableNow so a
-    finite replay emits every window — the oracle is the plain batch
-    group-by."""
+    stream (streaming/windowed.py). UPDATE mode + availableNow: the
+    watermark actually evicts closed-window state (it is inert in
+    complete mode — r9), every counter revision lands in the sink,
+    and the final counters are recovered at read with
+    latest_window_counts. Replay == the plain batch group-by, which
+    is the oracle."""
     from .sources import stream_table
     from .streaming import await_or_raise
-    from .streaming.windowed import windowed_event_counts
+    from .streaming.windowed import latest_window_counts, windowed_event_counts
 
     ev = stream_table(spark, sf_dir, "events")
     sink = f"events_window_sink_{next(_STREAM_SINK_SEQ)}"
@@ -656,12 +659,14 @@ def q_events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_event_counts(ev)
         .writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
     await_or_raise(q)
-    return spark.table(sink)
+    return latest_window_counts(
+        spark.table(sink), ["window_start_epoch", "user_id", "event_type"]
+    )
 
 
 EVENTS_STREAM_WINDOW_SQL = """

@@ -1783,11 +1783,12 @@ def events_json_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last batch/stream asymmetry in the registry (every other
     batch family already has a streaming twin): replaying the finite
     stream must equal the plain batch group-by, which is the oracle.
-    COMPLETE mode + availableNow so end-of-stream windows emit, same
-    contract as events_stream_window (A11)."""
+    UPDATE mode + availableNow (same contract as events_stream_window
+    A11, since r9): watermark eviction active, final counters
+    recovered at read via latest_window_counts."""
     from .sources import stream_table
     from .streaming import await_or_raise
-    from .streaming.windowed import windowed_json_rollup
+    from .streaming.windowed import latest_window_counts, windowed_json_rollup
 
     ev = stream_table(spark, sf_dir, "events")
     sink = f"events_json_sink_{next(_JSON_SINK_SEQ)}"
@@ -1795,12 +1796,14 @@ def events_json_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_json_rollup(ev)
         .writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
     await_or_raise(q)
-    return spark.table(sink)
+    return latest_window_counts(
+        spark.table(sink), ["window_start_epoch", "event_type"]
+    )
 
 
 EVENTS_JSON_STREAM_SQL = """

@@ -9,19 +9,43 @@ unbounded stream the watermark bounds state — windows older than
 
 Semantics contract: replaying a finite stream must equal the batch
 group-by on the same bars (the oracle is plain SQL over the events
-table). The driver-facing query runs in COMPLETE output mode so the
-tail windows still open at end-of-stream are emitted too — append
-mode would hold them back and replay != batch.
+table). The driver-facing queries run in UPDATE output mode — the
+one mode where the claim above is actually true end-to-end: watermark
+state eviction is INERT in complete mode (state would grow with
+stream lifetime; r9 finding), and append mode holds back the tail
+windows still open at end-of-stream (replay != batch). Update mode
+evicts closed windows AND emits every counter revision; the final
+counters are recovered at read with :func:`latest_window_counts`
+(last revision per key — valid because a window's event count
+strictly increases across its revisions).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 WINDOW = "1 minute"
 WATERMARK = "10 minutes"
 R_VALUE = 4
+
+
+def latest_window_counts(
+    sink: DataFrame, key_cols: list[str], count_col: str = "n_events"
+) -> DataFrame:
+    """Final counters from an UPDATE-mode sink table: the sink holds
+    one row per counter REVISION; the final state of each key is the
+    revision with the highest count (a window's count strictly
+    increases across its revisions, so the argmax is unique and
+    deterministic). This read-side extraction is what lets the
+    driver-facing windowed queries run in update mode — the only
+    output mode where the watermark actually bounds state."""
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(count_col))
+    return (
+        sink.withColumn("_rev", F.row_number().over(w))
+        .filter(F.col("_rev") == 1)
+        .drop("_rev")
+    )
 
 
 def windowed_json_rollup(
