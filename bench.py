@@ -72,6 +72,13 @@ HEADLINERS = [
     "hybrid_search_rrf",
     "hybrid_bm25_pq_rrf",
     "boilerplate_segments",
+    # round-9 surface: gibberish screen, corpus-health fit, keep-best
+    # dedup decision, retention triangle, streaming trending top-k
+    "doc_char_entropy",
+    "token_zipf_fit",
+    "dedup_keep_best",
+    "retention_cohort",
+    "stream_topk_trending",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput
@@ -314,7 +321,21 @@ def main() -> None:
     # blocked-vs-explode regression reference (VERDICT r5 item 5): the
     # per-config explode twin of the same 32-config grid, timed once;
     # reported as separate fields so the headline total still measures
-    # only the shipped (blocked) sweep
+    # only the shipped (blocked) sweep.
+    # Full memory cleanup first: three bench rounds leave one memory-
+    # sink TEMP VIEW per streaming query per round (each round mints a
+    # fresh sink name), and those tables live in the unified memory
+    # pool outside cache_registry's tracking — at sf1 the accumulation
+    # tipped the explode twin's bars x 32 shuffle into
+    # UNABLE_TO_ACQUIRE_MEMORY (r9). Everything timed is done; drop it
+    # all.
+    try:
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+    except Exception:  # noqa: BLE001 - cleanup must not fail the bench
+        pass
+    spark.catalog.clearCache()
     try:
         from tradesignal_mtm_runner_spark.queries import (
             q_mtm_sweep_scale_explode,

@@ -478,6 +478,13 @@ def connected_canonical(
                 ),
             )
         )
+        # each iteration's labels feed BOTH sides of the next join
+        # (nbr build + the left join) and the final action: without
+        # materializing, iteration k re-executes iterations 1..k-1
+        # per consumer — O(iters^2) recompute of the join chain
+        # (measured ~2x on dedup_connected at sf0.1). One row per
+        # doc, same bounded footprint as the edges persist.
+        labels = persist_tracked(labels)
     return labels.select(
         F.col(id_col),
         F.col("lab").alias("canonical_id"),

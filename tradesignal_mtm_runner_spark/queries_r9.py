@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .cache_registry import persist_tracked
 from .queries_pipeline import _V_SQL, _emb
 from .queries_r8 import (
     BM25_QUERIES,
@@ -216,7 +217,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     lens = d.select(
         "doc_id", F.size(tokens(F.col("text"))).alias("n_toks")
     )
-    cl = comp.join(lens, "doc_id")
+    # one row per doc, consumed by THREE branches (mx, best, final
+    # output) — without the persist each branch re-runs the whole
+    # simhash + banded-pairs + iterative-CC chain upstream (measured
+    # 17 s -> ~6 s at sf0.1); tracked so bench/gen_plans release it
+    cl = persist_tracked(comp.join(lens, "doc_id"))
     mx = cl.groupBy("canonical_id").agg(F.max("n_toks").alias("_mx"))
     best = (
         cl.join(mx, "canonical_id")
