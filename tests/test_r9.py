@@ -141,6 +141,28 @@ def test_hybrid_bm25_pq_both_arms_reachable(spark):
     assert all(n <= RRF_POOL for n in per_q.values())
 
 
+def test_hybrid_bm25_pq_recall_floor_vs_exact(spark):
+    """Direct recall floor on the production hybrid (VERDICT r9 item
+    4): for the shared query ids, hybrid_bm25_pq_rrf's fused top-k
+    must retain a healthy fraction of the EXACT cosine top-k — both
+    arms are approximate (BM25 lexical, PQ/ADC + re-rank vector), so
+    perfect overlap is not expected, but a dead vector arm, a rank
+    sign flip, or a broken fusion join craters it. Measured at
+    sf0.01: 0.40 (6/15 pairs over the 3 shared queries); floor 0.25
+    (measured minus margin, the C53 pattern)."""
+    fused_rows = _df(spark, "hybrid_bm25_pq_rrf", SF_MID).collect()
+    assert fused_rows
+    qids = {r["query_id"] for r in fused_rows}
+    exact = {
+        (r["query_id"], r["corpus_id"])
+        for r in _df(spark, "ann_cosine_topk", SF_MID).collect()
+        if r["query_id"] in qids
+    }
+    fused = {(r["query_id"], r["doc_id"]) for r in fused_rows}
+    assert exact
+    assert len(exact & fused) / len(exact) >= 0.25
+
+
 # --- C54 boilerplate: planted reachability -----------------------------------
 
 

@@ -170,6 +170,157 @@ def test_windowed_agg_matches_batch_across_microbatches(spark, tmp_path):
     ).all()
 
 
+def test_windowed_agg_out_of_order_late_rows_merge_not_drop(spark, tmp_path):
+    """Pin the MEASURED out-of-order replay semantics documented at
+    sources.stream_table (ADVICE r9): on Spark 4.1 update-mode
+    aggregation, rows arriving below the watermark are NOT dropped
+    (numRowsDroppedByWatermark stays 0) — they merge into surviving
+    window state or recreate it. A recent-first/old-second 2-batch
+    replay therefore still reproduces the full batch aggregation: the
+    old half is processed under a watermark weeks ahead of it, yet
+    every row lands. (The divergence mode — counter restart after
+    eviction — is pinned by the companion test below.)"""
+    from tradesignal_mtm_runner_spark.sources import load_table
+    from tradesignal_mtm_runner_spark.streaming.windowed import (
+        latest_window_counts,
+        windowed_event_counts,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    n = len(pdf)
+    old, recent = pdf.iloc[: n // 2], pdf.iloc[n // 2 :]
+    # sanity: the halves are separated by far more than the watermark
+    gap_s = (recent["ts"].max() - old["ts"].max()).total_seconds()
+    assert gap_s > 3600, "testdata no longer spans enough time"
+
+    src = tmp_path / "ooo_src"
+    os.makedirs(src)
+    for name, frame, age in (
+        ("0-recent.parquet", recent, 100),  # oldest mtime -> processed first
+        ("1-old.parquet", old, 50),
+    ):
+        p = str(src / name)
+        chunk = frame.copy()
+        chunk["ts"] = chunk["ts"].astype("datetime64[us]")
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (time.time() - age, time.time() - age))
+
+    schema = spark.createDataFrame(pdf.head(1)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sink = "win_stream_ooo"
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q)
+    # the old half ran under a watermark ~2 weeks ahead of its data,
+    # and still nothing was dropped
+    for p in q.recentProgress:
+        for so in p["stateOperators"]:
+            assert so.get("numRowsDroppedByWatermark", 0) == 0
+    key = ["window_start_epoch", "user_id", "event_type"]
+    got = (
+        latest_window_counts(spark.table(sink), key)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = (
+        windowed_event_counts(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["n_events"].values == want["n_events"].values).all()
+
+
+def test_windowed_agg_evicted_window_restarts_counter(spark, tmp_path):
+    """The actual out-of-order divergence mode (documented at
+    sources.stream_table): eviction runs at END of batch k with the
+    watermark derived from batches < k, so a window whose state was
+    evicted BETWEEN two of its own row batches restarts its counter —
+    the last-revision read then undercounts vs batch truth. Four
+    single-file batches: (1) one row of window W; (2) a recent row
+    (watermark still old during it — W survives); (3) another recent
+    row, now under a recent watermark -> W evicted at batch end;
+    (4) a second W row -> fresh state, counter restarts at 1. Batch
+    truth for W is 2; the stream's final revision must be 1. This is
+    the intended production contract: late data past the watermark
+    never silently merges into an already-finalized aggregate."""
+    import pandas as pd
+
+    from tradesignal_mtm_runner_spark.streaming.windowed import (
+        latest_window_counts,
+        windowed_event_counts,
+    )
+
+    def ev_frame(ts_list, user):
+        return pd.DataFrame(
+            {
+                "user_id": [user] * len(ts_list),
+                "event_type": ["view"] * len(ts_list),
+                "ts": pd.to_datetime(ts_list).astype("datetime64[us]"),
+                "value": [1.0] * len(ts_list),
+            }
+        )
+
+    w_epoch = int(pd.Timestamp("2024-01-01 00:00:00").timestamp())
+    files = [
+        ev_frame(["2024-01-01 00:00:10"], 1),  # W, first row
+        ev_frame(["2024-02-01 10:00:00"], 2),  # advances max event time
+        ev_frame(["2024-02-01 10:30:00"], 2),  # runs under recent wm -> evicts W
+        ev_frame(["2024-01-01 00:00:20"], 1),  # W again, post-eviction
+    ]
+    src = tmp_path / "restart_src"
+    os.makedirs(src)
+    now = time.time()
+    for i, frame in enumerate(files):
+        p = str(src / f"{i}.parquet")
+        frame.to_parquet(p, index=False)
+        os.utime(p, (now - 100 + i * 10, now - 100 + i * 10))
+
+    schema = spark.createDataFrame(files[0]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sink = "win_stream_restart"
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q)
+    evicted = sum(
+        so.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert evicted >= 1, "watermark eviction never fired"
+    key = ["window_start_epoch", "user_id", "event_type"]
+    got = latest_window_counts(spark.table(sink), key).toPandas()
+    w_final = got[got["window_start_epoch"] == w_epoch]["n_events"]
+    assert len(w_final) == 1
+    # batch truth is 2; the restarted counter reports 1
+    assert int(w_final.iloc[0]) == 1
+
+
 def test_signal_stream_datasource_replays_exactly(spark, tmp_path):
     """Python Data Source connector (sources/signal_stream.py): the
     streamed rows must equal the static read bit-for-bit, arrive over

@@ -705,11 +705,15 @@ def pq_rerank_topk(
         num_codes=num_codes,
         round_digits=round_digits,
     ).select("query_id", "corpus_id")
-    v = with_double_vec(corpus, vec_col).select(id_col, vec_col)
-    q = v.select(
+    # Query vectors come from the PASSED queries relation, not the
+    # corpus: a query id absent from the corpus must still re-rank its
+    # shortlist rather than silently vanish from the output (ADVICE
+    # r9 — the corpus-side join dropped such ids; both in-repo callers
+    # pass queries ⊆ corpus so their results are unchanged).
+    q = with_double_vec(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
     )
-    c = v.select(
+    c = with_double_vec(corpus, vec_col).select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_c")
     )
     scored = (

@@ -3249,8 +3249,19 @@ def _upsert_read_manifest(state_dir: str) -> dict:
     p = _upsert_manifest_path(state_dir)
     if not os.path.isfile(p):
         return {"bucket_gen": {}, "next_gen": 0, "batches": 0}
-    with open(p) as fh:
-        return json.load(fh)
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except (json.JSONDecodeError, OSError) as exc:
+        # An unreadable manifest means the atomic-replace contract was
+        # violated upstream (e.g. torn write on a filesystem without
+        # rename atomicity). Fail loudly with a recovery hint rather
+        # than bricking callers with a bare JSONDecodeError (ADVICE r9).
+        raise RuntimeError(
+            f"upsert manifest {p!r} is corrupt ({exc}); the committed "
+            "state cannot be trusted — restore the manifest from a "
+            "backup or delete the state dir to rebuild from source"
+        ) from exc
 
 
 def _upsert_bucket_dir(state_dir: str, gen: int, bucket: int) -> str:
@@ -3353,7 +3364,15 @@ def make_upsert_sink(root: str):
         tmp = os.path.join(state_dir, ".manifest.tmp")
         with open(tmp, "w") as fh:
             json.dump(man, fh)
+            fh.flush()
+            os.fsync(fh.fileno())  # durable before the rename (ADVICE r9)
         os.replace(tmp, _upsert_manifest_path(state_dir))
+        # fsync the directory so the rename itself survives power loss
+        dfd = os.open(state_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         # GC (post-commit; crash-safe): a full SWEEP against the
         # committed manifest, not just this batch's pointer diff — so
         # bucket dirs orphaned by a crash between an earlier commit

@@ -159,8 +159,17 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final component (every model weight is value-hashed through
     the projections), plus the centered L2 norm for scree-style
     variance accounting."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    from .cache_registry import persist_tracked
+
+    # One parquet scan feeds the dim probe, the mean pass, all
+    # PCA_ITERS power iterations, and the final projection — persist
+    # it so passes 2..N+2 are memory reads, not re-scans (VERDICT r9:
+    # this was the slowest non-sweep key at sf1 purely from 10x
+    # re-reading). Tracked -> released by the bench/plan harness.
+    emb = persist_tracked(
+        _emb(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
     )
     dim = len(emb.select("e").first()["e"])
 

@@ -514,9 +514,17 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_pipeline import _docs
 
     d = _docs(spark, sf_dir)
+    # Split on Unicode CODE POINTS, not UTF-16 code units: Java regex
+    # `.` consumes a full code point (surrogate pairs stay whole),
+    # matching DuckDB's string_split(text, '') semantics — F.split on
+    # "" would shear emoji/non-BMP chars into surrogate halves and
+    # diverge from the oracle (ADVICE r9).
     chars = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
-    ).filter(F.col("ch") != "")
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(r"(?s)."), 0)
+        ).alias("ch"),
+    )
     per_char = chars.groupBy("doc_id", "ch").agg(
         F.count(F.lit(1)).alias("cnt")
     )

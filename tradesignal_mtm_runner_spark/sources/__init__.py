@@ -94,7 +94,25 @@ def register_views(
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """The same table as an unbounded stream (file source). Schema is
     taken from a batch scan; nanos timestamps get the identical
-    long->microsecond conversion as load_table."""
+    long->microsecond conversion as load_table.
+
+    Replay contract (ADVICE r9): each table is ONE parquet file, so
+    ``availableNow`` replays it as a single micro-batch — the
+    watermark is still at epoch 0 while that batch runs, so
+    update-mode watermarked queries reproduce the batch oracle
+    exactly. Multi-batch replays stay oracle-equal when time-ordered
+    (a window's state can only be evicted after all its rows have
+    arrived). Out-of-order replays follow the MEASURED Spark 4.1
+    update-mode semantics (pinned in tests/test_streaming.py):
+    watermark-late rows are NOT dropped (numRowsDroppedByWatermark
+    stays 0 — they merge into surviving state, or recreate it), and
+    eviction runs at END of batch k with the watermark derived from
+    batches < k; a window evicted between two of its own row batches
+    therefore RESTARTS its counter, and the last-revision read
+    undercounts vs batch. Production upshot: late data past the
+    watermark never silently merges into an already-evicted
+    aggregate — replay==batch is only guaranteed for single-batch or
+    time-ordered sources."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     _pin_utc(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
