@@ -59,6 +59,7 @@ def test_rotation_invariants():
         (q.ROTATED_OUT_R7, q.ROTATED_IN_R7),
         (q.ROTATED_OUT_R8, q.ROTATED_IN_R8),
         (q.ROTATED_OUT_R9, q.ROTATED_IN_R9),
+        (q.ROTATED_OUT_R10, q.ROTATED_IN_R10),
     ]
     # replay the rotations generation by generation: a key's FINAL
     # side is decided by the last round that touched it

@@ -959,12 +959,51 @@ ROTATED_IN_R9 = (
     "image_dhash",
     "image_dhash_pairs",
 )
+# --- round-10 rotation (VERDICT r9, next-round item 1) ----------------------
+# Queue heads in, oldest first — this batch finally exposes the r7
+# streaming family (CDC upsert via foreachBatch, watermarked outer
+# join, dynamic session windows) plus the audio/image dedup extras
+# and the r8 profiling pair to the driver's independent harness. The
+# whole r8 cohort rotates OUT: every one of its 12 keys has been
+# driver-green for two consecutive rounds (r8 first exposure, r9
+# confirm); their shapes stay covered in-window (sketches by
+# approx-profile-family pytest pins, the training extras by
+# classifier_train_lr rotating in).
+ROTATED_OUT_R10 = (
+    "stream_dedup",
+    "train_val_split",
+    "pii_scrub",
+    "embedding_quantize",
+    "sequence_pack",
+    "stratified_sample",
+    "ngram_counts",
+    "bpe_train",
+    "ann_pq_topk",
+    "token_cms_topk",
+    "doc_perplexity",
+    "bloom_prefilter",
+)
+ROTATED_IN_R10 = (
+    "image_dedup_connected",
+    "audio_fingerprint",
+    "audio_fp_pairs",
+    "events_variant",
+    "stream_upsert",
+    "stream_join_outer",
+    "stream_session_dynamic",
+    "rolling_beta",
+    "resample_ffill",
+    "classifier_train_lr",
+    "scd2_history",
+    "table_profile",
+)
 for _out, _in in (
     (ROTATED_OUT_R5, ROTATED_IN_R5),
     (ROTATED_OUT_R6, ROTATED_IN_R6),
     (ROTATED_OUT_R7, ROTATED_IN_R7),
     (ROTATED_OUT_R8, ROTATED_IN_R8),
     (ROTATED_OUT_R9, ROTATED_IN_R9),
+    (ROTATED_OUT_R10, ROTATED_IN_R10),
 ):
     for _k in _out:
         EXTRA_QUERIES[_k] = QUERIES.pop(_k)
