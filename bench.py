@@ -79,6 +79,10 @@ HEADLINERS = [
     "dedup_keep_best",
     "retention_cohort",
     "stream_topk_trending",
+    # round-10 surface: incremental CC dedup admission (live chain;
+    # the standing-index probe of the same decision is timed
+    # separately as index_probe_cc)
+    "dedup_cc_probe",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput
@@ -303,6 +307,68 @@ def main() -> None:
             ivf_path,
             k=5,
             nprobe=4,
+        ),
+    )
+
+    from tradesignal_mtm_runner_spark.functions.text import tokens as _toks
+    from tradesignal_mtm_runner_spark.operators.dedup import (
+        cc_probe_from_index,
+        connected_canonical,
+        simhash_near_dup_pairs,
+        simhash_signatures,
+        write_cc_labels,
+        write_simhash_band_index,
+    )
+    from tradesignal_mtm_runner_spark.queries_pipeline import (
+        DEDUP_CC_ITERS,
+        SIMHASH_MAX_BUCKET,
+        SIMHASH_MAX_HAMMING,
+    )
+
+    def _build_cc() -> None:
+        # once-per-refresh half: simhash the corpus, resolve CC labels,
+        # persist the three bucketed tables + the staged batch
+        sig = simhash_signatures(docs)
+        base_sig = sig.filter(F.col("doc_id") % 4 != 0)
+        lens = docs.select(
+            "doc_id", F.size(_toks(F.col("text"))).alias("n_toks")
+        )
+        write_simhash_band_index(
+            base_sig, "bench_idx.cc_bands", max_bucket=SIMHASH_MAX_BUCKET
+        )
+        pairs = simhash_near_dup_pairs(
+            base_sig,
+            max_hamming=SIMHASH_MAX_HAMMING,
+            max_bucket=SIMHASH_MAX_BUCKET,
+        )
+        labels = (
+            connected_canonical(
+                base_sig.select("doc_id"), pairs, iters=DEDUP_CC_ITERS
+            )
+            .select("doc_id", "canonical_id")
+            .join(lens, "doc_id")
+        )
+        write_cc_labels(
+            labels, "bench_idx.cc_labels", best_table="bench_idx.cc_best"
+        )
+        (
+            sig.filter(F.col("doc_id") % 4 == 0)
+            .join(lens, "doc_id")
+            .write.mode("overwrite")
+            .saveAsTable("bench_idx.cc_batch")
+        )
+        release_caches()
+
+    _time_probe(
+        "index_probe_cc",
+        _build_cc,
+        lambda: cc_probe_from_index(
+            spark,
+            spark.table("bench_idx.cc_batch"),
+            "bench_idx.cc_bands",
+            "bench_idx.cc_labels",
+            "bench_idx.cc_best",
+            max_hamming=SIMHASH_MAX_HAMMING,
         ),
     )
 

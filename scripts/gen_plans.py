@@ -69,6 +69,8 @@ SNAPSHOT = [
     ("token_zipf_fit", "TakeOrdered vocab cut + OLS from sufficient stats"),
     ("dedup_keep_best", "CC labels + two-step argmax: keep the longest version"),
     ("retention_cohort", "first-order anchor agg + co-partitioned join back"),
+    # round-10 additions
+    ("dedup_cc_probe", "base CC chain once + banded cross-probe, batch-bounded"),
 ]
 
 

@@ -758,3 +758,107 @@ def test_tracked_persists_are_releasable(spark):
     n = release_caches()
     assert n >= 1 and not _LIVE
     assert all(not df.storageLevel.useMemory for df in cached)
+
+
+def test_cc_label_index_probe_matches_live_and_is_bucket_aligned(
+    spark, bucket_db
+):
+    """The standing CC-label index (VERDICT r9 item 3): the corpus's
+    dedup decision state persists as three bucketed tables (band rows
+    on (band, val), labels on doc_id, keep-best rollup on
+    canonical_id) and the per-drop admission runs from those tables
+    alone — cc_probe_from_index must (a) reproduce the self-contained
+    oracle-checked dedup_cc_probe query exactly, and (b) resolve
+    labels with ZERO exchange when the matched pairs are staged
+    bucketed on the index's key, the proof that the corpus-sized side
+    never reshuffles at 100 TB."""
+    from tradesignal_mtm_runner_spark.functions.text import tokens
+    from tradesignal_mtm_runner_spark.operators.dedup import (
+        cc_probe_from_index,
+        connected_canonical,
+        probe_cc_labels,
+        simhash_near_dup_pairs,
+        simhash_signatures,
+        write_cc_labels,
+        write_simhash_band_index,
+    )
+    from tradesignal_mtm_runner_spark.queries_pipeline import (
+        DEDUP_CC_ITERS,
+        SIMHASH_MAX_BUCKET,
+        SIMHASH_MAX_HAMMING,
+    )
+    from tradesignal_mtm_runner_spark.queries_pipeline_extras import INC_MOD
+    from tradesignal_mtm_runner_spark.queries_r10 import dedup_cc_probe
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    sig = simhash_signatures(docs)
+    base_sig = sig.filter(F.col("doc_id") % INC_MOD != 0)
+    new_sig = sig.filter(F.col("doc_id") % INC_MOD == 0)
+    lens = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_toks")
+    )
+
+    # index build: the once-per-refresh half
+    write_simhash_band_index(
+        base_sig,
+        f"{bucket_db}.cc_bands",
+        max_bucket=SIMHASH_MAX_BUCKET,
+        num_buckets=4,
+    )
+    pairs = simhash_near_dup_pairs(
+        base_sig,
+        max_hamming=SIMHASH_MAX_HAMMING,
+        max_bucket=SIMHASH_MAX_BUCKET,
+    )
+    labels = connected_canonical(
+        base_sig.select("doc_id"), pairs, iters=DEDUP_CC_ITERS
+    ).select("doc_id", "canonical_id").join(lens, "doc_id")
+    write_cc_labels(
+        labels,
+        f"{bucket_db}.cc_labels",
+        num_buckets=4,
+        best_table=f"{bucket_db}.cc_best",
+    )
+
+    # the probe batch: new docs' signatures + token counts
+    batch = new_sig.join(lens, "doc_id")
+    got = cc_probe_from_index(
+        spark,
+        batch,
+        f"{bucket_db}.cc_bands",
+        f"{bucket_db}.cc_labels",
+        f"{bucket_db}.cc_best",
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )
+    want = dedup_cc_probe(spark, SF_SMOKE)
+    assert_frames_match(
+        got.toPandas().sort_values("doc_id").reset_index(drop=True),
+        want.toPandas().sort_values("doc_id").reset_index(drop=True),
+        "cc_probe_index_vs_live",
+    )
+    gp = got.toPandas()
+    matched = gp[~gp["is_new_component"]]
+    fresh = gp[gp["is_new_component"]]
+    assert len(matched) > 0, "no batch doc matched an existing component"
+    assert (fresh["component_id"] == fresh["doc_id"]).all()
+    assert (fresh["n_matches"] == 0).all()
+    assert not fresh["supersedes"].any()
+
+    # bucket alignment: label resolution over a bucket-staged pair
+    # relation runs with zero exchanges (index side never reshuffles)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (
+            want.select(F.col("doc_id").alias("base_id"))
+            .write.bucketBy(4, "base_id")
+            .sortBy("base_id")
+            .mode("overwrite")
+            .saveAsTable(f"{bucket_db}.staged_pairs")
+        )
+        staged = probe_cc_labels(
+            spark, spark.table(f"{bucket_db}.staged_pairs"), f"{bucket_db}.cc_labels"
+        )
+        assert P.exchange_count(staged) == 0, P.explain_str(staged)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -933,3 +933,105 @@ def test_foreach_batch_upsert_rewrites_only_touched_buckets(spark, tmp_path):
         map(tuple, _latest_per_user(base.unionByName(probe)).collect())
     )
     assert got == want
+
+
+def test_near_dup_stream_multibatch_matches_batch_and_is_stateless(
+    spark, tmp_path
+):
+    """Streaming near-dup admission (VERDICT r9 item 6,
+    queries_r10.dedup_incremental_near_stream): the new-doc slice
+    replayed through MULTIPLE micro-batches, each probing the
+    persisted band index via the production foreachBatch closure,
+    must (a) union to exactly the batch C36b hit relation — the probe
+    is stateless per doc, so batch boundaries are invisible — and
+    (b) run with NO state store at all (stateOperators empty in every
+    progress entry): streaming memory is bounded by one micro-batch
+    regardless of stream lifetime, because the dedup "state" is the
+    bucketed index table on disk, not the state store."""
+    from tradesignal_mtm_runner_spark.operators.dedup import (
+        lsh_bands_from_wide,
+        minhash_signatures_wide,
+        write_band_index,
+    )
+    from tradesignal_mtm_runner_spark.queries_pipeline import (
+        BANDS,
+        MINHASH_K,
+        SHINGLE_K,
+    )
+    from tradesignal_mtm_runner_spark.queries_pipeline_extras import (
+        INC_MOD,
+        dedup_incremental_near,
+    )
+    from pyspark.sql import functions as F
+
+    from tradesignal_mtm_runner_spark.queries_r10 import (
+        near_stream_probe_batch,
+    )
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    bands = lsh_bands_from_wide(
+        minhash_signatures_wide(docs, num_hashes=MINHASH_K, shingle_k=SHINGLE_K),
+        num_bands=BANDS,
+        num_hashes=MINHASH_K,
+    )
+    write_band_index(
+        bands.filter(F.col("doc_id") % INC_MOD != 0), "near_stream_test_idx"
+    )
+
+    new_pdf = (
+        docs.filter(F.col("doc_id") % INC_MOD == 0)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    src = tmp_path / "near_src"
+    os.makedirs(src)
+    cuts = np.array_split(np.arange(len(new_pdf)), 3)
+    now = time.time()
+    for i, idx in enumerate(cuts):
+        p = str(src / f"chunk-{i}.parquet")
+        new_pdf.iloc[idx].to_parquet(p, index=False)
+        os.utime(p, (now - 100 + i * 10, now - 100 + i * 10))
+
+    out_dir = str(tmp_path / "near_out")
+    schema = spark.createDataFrame(new_pdf.head(1)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            near_stream_probe_batch("near_stream_test_idx", out_dir)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "near_ckpt"))
+        .start()
+    )
+    await_or_raise(q)
+    n_batches = 0
+    for p in q.recentProgress:
+        assert p["stateOperators"] == [], "probe must not create state"
+        if p["numInputRows"]:
+            n_batches += 1
+    assert n_batches >= 3, f"expected a 3-way multi-batch replay, got {n_batches}"
+
+    got = (
+        spark.read.parquet(out_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        dedup_incremental_near(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got["doc_id"].values == want["doc_id"].values).all()
+    assert (got["n_hit_bands"].values == want["n_hit_bands"].values).all()
+    assert (
+        got["is_near_dup_candidate"].values
+        == want["is_near_dup_candidate"].values
+    ).all()

@@ -332,6 +332,83 @@ def simhash_signatures(
     )
 
 
+def simhash_band_rows(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The 4 x 16-bit band rows of a simhash signature relation —
+    one row per (doc, band) with the band's 16-bit value. Shared by
+    the in-corpus pair generator (simhash_near_dup_pairs) and the
+    incremental cross-probe (simhash_cross_pairs) so both block on
+    identical keys."""
+    hi, lo = F.col("simhash_hi"), F.col("simhash_lo")
+    return signatures.select(
+        id_col,
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.shiftright(hi, 16).alias("val")),
+                F.struct(F.lit(1).alias("band"), hi.bitwiseAND(F.lit(65535)).alias("val")),
+                F.struct(F.lit(2).alias("band"), F.shiftright(lo, 16).alias("val")),
+                F.struct(F.lit(3).alias("band"), lo.bitwiseAND(F.lit(65535)).alias("val")),
+            )
+        ).alias("bv"),
+    ).select(
+        id_col, "simhash_hi", "simhash_lo",
+        F.col("bv.band").alias("band"), F.col("bv.val").alias("val"),
+    )
+
+
+def simhash_cross_pairs(
+    sig_probe: DataFrame,
+    sig_base: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Cross-set near-dup probe: (probe_id, base_id, hamming) pairs
+    between a NEW batch's simhash signatures and the BASE corpus's —
+    the incremental twin of :func:`simhash_near_dup_pairs` (which
+    pairs within one set). Blocking is the same 4 x 16-bit band
+    equi-join; ``max_bucket`` caps hot bands on the BASE side only
+    (matching what a capped standing index contains — probe rows
+    landing on a dropped band simply find nothing). Output is bounded
+    by |probe bands| x max_bucket, never O(base x batch)."""
+    base_bands = simhash_band_rows(sig_base, id_col)
+    if max_bucket is not None:
+        base_bands = persist_tracked(base_bands)
+        hot = (
+            base_bands.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band", "val")
+        )
+        base_bands = base_bands.join(hot, ["band", "val"], "left_anti")
+    probe_bands = simhash_band_rows(sig_probe, id_col)
+    a = probe_bands.select(
+        F.col(id_col).alias("probe_id"),
+        F.col("simhash_hi").alias("_hi_a"),
+        F.col("simhash_lo").alias("_lo_a"),
+        "band",
+        "val",
+    )
+    b = base_bands.select(
+        F.col(id_col).alias("base_id"),
+        F.col("simhash_hi").alias("_hi_b"),
+        F.col("simhash_lo").alias("_lo_b"),
+        "band",
+        "val",
+    )
+    ham = F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b"))) + F.bit_count(
+        F.col("_lo_a").bitwiseXOR(F.col("_lo_b"))
+    )
+    return (
+        a.join(b, on=["band", "val"])
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("probe_id", "base_id", "hamming")
+        .distinct()
+    )
+
+
 def simhash_near_dup_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -355,23 +432,7 @@ def simhash_near_dup_pairs(
     signature pipeline. Docs in a dropped band still pair through
     their other 3 bands — recall degrades gracefully instead of the
     plan exploding (tests/test_scale_patterns.py plants a hot band)."""
-    hi, lo = F.col("simhash_hi"), F.col("simhash_lo")
-    bands = signatures.select(
-        id_col,
-        "simhash_hi",
-        "simhash_lo",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), F.shiftright(hi, 16).alias("val")),
-                F.struct(F.lit(1).alias("band"), hi.bitwiseAND(F.lit(65535)).alias("val")),
-                F.struct(F.lit(2).alias("band"), F.shiftright(lo, 16).alias("val")),
-                F.struct(F.lit(3).alias("band"), lo.bitwiseAND(F.lit(65535)).alias("val")),
-            )
-        ).alias("bv"),
-    ).select(
-        id_col, "simhash_hi", "simhash_lo",
-        F.col("bv.band").alias("band"), F.col("bv.val").alias("val"),
-    )
+    bands = simhash_band_rows(signatures, id_col)
     if max_bucket is not None:
         bands = persist_tracked(bands)
         hot = (
@@ -560,6 +621,194 @@ def write_band_index(
         num_buckets=num_buckets,
         sort_cols=["band", "band_sig"],
         mode=mode,
+    )
+
+
+def write_simhash_band_index(
+    sig: DataFrame,
+    table: str,
+    max_bucket: int | None = None,
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's simhash BAND rows — (doc_id, simhash_hi,
+    simhash_lo, band, val) — bucketed (and sorted) on the blocking key
+    (band, val). Unlike write_band_index (MinHash: DISTINCT signatures
+    only, membership answers), this index keeps the doc id and full
+    signature per row because the simhash probe needs BOTH: the id to
+    resolve component labels, the signature for the exact hamming
+    filter after band blocking. ``max_bucket`` drops over-cap hot
+    bands AT BUILD TIME, so every future probe inherits the
+    degenerate-bucket guard for free (probe rows landing on a dropped
+    band simply find nothing). The corpus is simhashed ONCE here;
+    probes never touch base text again."""
+    from ..sinks import write_bucketed
+
+    bands = simhash_band_rows(sig)
+    if max_bucket is not None:
+        bands = persist_tracked(bands)
+        hot = (
+            bands.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band", "val")
+        )
+        bands = bands.join(hot, ["band", "val"], "left_anti")
+    write_bucketed(
+        bands,
+        table,
+        bucket_cols=["band", "val"],
+        num_buckets=num_buckets,
+        sort_cols=["band", "val"],
+        mode=mode,
+    )
+
+
+def write_cc_labels(
+    labels: DataFrame,
+    table: str,
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+    best_table: str | None = None,
+) -> None:
+    """Persist the dedup DECISION state as a standing index: one row
+    per corpus doc with its connected-component label and token count
+    — (doc_id, canonical_id, n_toks) — bucketed (and sorted) on
+    doc_id. This is the third leg of the incremental-dedup index
+    family (exact hashes: write_hash_index; near-dup band signatures:
+    write_band_index): the band index answers "WHICH base docs does a
+    new doc collide with", this one answers "what COMPONENT is that
+    base doc in, and how complete is it" — together they let
+    keep-best admission run per crawl drop without ever re-running
+    the simhash + banded-pairs + iterative-CC chain over the corpus
+    (VERDICT r9: ~11 s of fixed overhead per invocation at sf0.1,
+    unbounded at 100 TB). Bucketing on doc_id makes the probe's
+    label-resolution join exchange-free on the (corpus-sized) index
+    side; only the batch-sized probe side shuffles.
+
+    ``best_table`` additionally materializes the per-component
+    keep-best rollup — (canonical_id, best_n_toks) — bucketed on
+    canonical_id: the supersede decision then joins a
+    components-sized table instead of re-aggregating the corpus-sized
+    label table per probe."""
+    from ..sinks import write_bucketed
+
+    labels = persist_tracked(labels.select("doc_id", "canonical_id", "n_toks"))
+    write_bucketed(
+        labels,
+        table,
+        bucket_cols=["doc_id"],
+        num_buckets=num_buckets,
+        sort_cols=["doc_id"],
+        mode=mode,
+    )
+    if best_table is not None:
+        write_bucketed(
+            labels.groupBy("canonical_id").agg(
+                F.max("n_toks").alias("best_n_toks")
+            ),
+            best_table,
+            bucket_cols=["canonical_id"],
+            num_buckets=num_buckets,
+            sort_cols=["canonical_id"],
+            mode=mode,
+        )
+
+
+def probe_cc_labels(
+    spark,
+    matches: DataFrame,
+    table: str,
+    base_id_col: str = "base_id",
+) -> DataFrame:
+    """Resolve a batch's matched base doc ids against the standing
+    CC-label index: input is the (probe_id, base_id) collision pairs
+    from the band-index probe (simhash_cross_pairs /
+    probe_band_index), output adds the matched doc's canonical_id and
+    n_toks. The join key is the index's bucket column, so the
+    corpus-sized side reads in place with no exchange; the probe side
+    (batch-sized) shuffles into the index's bucketing. Downstream:
+    group by probe_id for component assignment (min canonical), and
+    compare n_toks for the keep-best supersede decision — see
+    queries_r10.dedup_cc_probe for the full admission shape."""
+    idx = spark.table(table)
+    return (
+        matches.withColumnRenamed(base_id_col, "doc_id")
+        .join(idx, "doc_id")
+        .withColumnRenamed("doc_id", base_id_col)
+    )
+
+
+def cc_probe_from_index(
+    spark,
+    batch: DataFrame,
+    bands_table: str,
+    labels_table: str,
+    best_table: str,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """The full incremental keep-best ADMISSION decision from standing
+    tables only — the persisted-index form of
+    queries_r10.dedup_cc_probe (value-parity pinned in
+    tests/test_scale_patterns.py). ``batch`` carries the new docs'
+    (doc_id, simhash_hi, simhash_lo, n_toks); everything corpus-sized
+    comes from the three bucketed indexes, each joined on its bucket
+    key so the index side never exchanges:
+
+    1. band blocking: batch band rows (computed map-side) join the
+       band index on (band, val) + exact hamming filter -> matched
+       (probe_id, base_id) pairs, bounded by |batch| x 4 x cap;
+    2. label resolution: pairs join the CC-label index on doc_id;
+    3. assignment: per probe doc, component = min matched canonical;
+    4. supersede: the component's best_n_toks from the (components-
+       sized) rollup vs the new doc's own token count.
+
+    Per-probe cost is proportional to the BATCH, never the corpus —
+    the simhash + banded-pairs + iterative-CC chain runs only at
+    index (re)build time."""
+    pb = simhash_band_rows(batch).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("simhash_hi").alias("_hi_a"),
+        F.col("simhash_lo").alias("_lo_a"),
+        "band",
+        "val",
+    )
+    ib = spark.table(bands_table).select(
+        F.col("doc_id").alias("base_id"),
+        F.col("simhash_hi").alias("_hi_b"),
+        F.col("simhash_lo").alias("_lo_b"),
+        "band",
+        "val",
+    )
+    ham = F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b"))) + F.bit_count(
+        F.col("_lo_a").bitwiseXOR(F.col("_lo_b"))
+    )
+    pairs = (
+        pb.join(ib, ["band", "val"])
+        .filter(ham <= max_hamming)
+        .select("probe_id", "base_id")
+        .distinct()
+    )
+    lab = probe_cc_labels(spark, pairs, labels_table)
+    assign = lab.groupBy("probe_id").agg(
+        F.min("canonical_id").alias("assigned"),
+        F.count(F.lit(1)).alias("n_matches"),
+    )
+    best = spark.table(best_table).withColumnRenamed("canonical_id", "_bc")
+    return (
+        batch.select("doc_id", "n_toks")
+        .join(assign.withColumnRenamed("probe_id", "doc_id"), "doc_id", "left")
+        .join(best, F.col("assigned") == F.col("_bc"), "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce("assigned", "doc_id").cast("long").alias("component_id"),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            F.col("assigned").isNull().alias("is_new_component"),
+            F.col("n_toks").cast("long").alias("n_toks"),
+            F.coalesce(
+                F.col("n_toks") > F.col("best_n_toks"), F.lit(False)
+            ).alias("supersedes"),
+        )
     )
 
 

@@ -783,6 +783,13 @@ EXTRA_ORACLES.update(R8_ORACLES)
 EXTRA_QUERIES.update(R9_QUERIES)
 EXTRA_ORACLES.update(R9_ORACLES)
 
+# round-10 surface: incremental CC dedup admission (standing-index
+# probe made oracle-checkable; same reason)
+from .queries_r10 import R10_ORACLES, R10_QUERIES  # noqa: E402
+
+EXTRA_QUERIES.update(R10_QUERIES)
+EXTRA_ORACLES.update(R10_ORACLES)
+
 # --- round-5 driver-window rotation (VERDICT r4, next-round item 1) ---------
 # The driver CORRECTNESS harness only ever sees the first 50 queries();
 # everything else is verified by the identical DuckDB harness in pytest.
