@@ -79,10 +79,11 @@ HEADLINERS = [
     "dedup_keep_best",
     "retention_cohort",
     "stream_topk_trending",
-    # round-10 surface: incremental CC dedup admission (live chain;
-    # the standing-index probe of the same decision is timed
-    # separately as index_probe_cc)
+    # round-10 surface: incremental CC dedup admission + contracted
+    # refresh (live chains; the standing-index probe of the same
+    # decision is timed separately as index_probe_cc)
     "dedup_cc_probe",
+    "dedup_cc_refresh",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput

@@ -71,6 +71,7 @@ SNAPSHOT = [
     ("retention_cohort", "first-order anchor agg + co-partitioned join back"),
     # round-10 additions
     ("dedup_cc_probe", "base CC chain once + banded cross-probe, batch-bounded"),
+    ("dedup_cc_refresh", "contracted mini-CC: merge components at batch cost"),
 ]
 
 

@@ -969,12 +969,15 @@ def test_near_dup_stream_multibatch_matches_batch_and_is_stateless(
     )
     from tradesignal_mtm_runner_spark.sources import load_table
 
+    from tradesignal_mtm_runner_spark.sinks import ensure_table_absent
+
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
     bands = lsh_bands_from_wide(
         minhash_signatures_wide(docs, num_hashes=MINHASH_K, shingle_k=SHINGLE_K),
         num_bands=BANDS,
         num_hashes=MINHASH_K,
     )
+    ensure_table_absent(spark, "near_stream_test_idx")
     write_band_index(
         bands.filter(F.col("doc_id") % INC_MOD != 0), "near_stream_test_idx"
     )

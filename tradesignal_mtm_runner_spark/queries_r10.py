@@ -145,7 +145,7 @@ def _cc_probe_sql() -> str:
   SELECT doc_id, simhash_hi, simhash_lo, 3, simhash_lo & 65535 FROM {src}
 )"""
 
-    return f"""
+    return _materialize(f"""
 WITH {_SIMHASH_CORE},
 basesig AS (SELECT * FROM sig WHERE doc_id % {INC_MOD} != 0),
 newsig AS (SELECT * FROM sig WHERE doc_id % {INC_MOD} = 0),
@@ -208,7 +208,276 @@ SELECT CAST(nl.doc_id AS BIGINT) AS doc_id,
 FROM (SELECT doc_id, n_toks FROM lens WHERE doc_id % {INC_MOD} = 0) nl
 LEFT JOIN assign a ON a.probe_id = nl.doc_id
 LEFT JOIN best b ON b.canonical_id = a.assigned
-"""
+""", ("sig", "bands", "bands_c", "e", "labels", "nb"))
+
+
+#: mini-CC hops over the CONTRACTED refresh graph (supernodes =
+#: new docs + touched base canonicals). Dup clusters are shallow and
+#: contraction collapses every existing component to one node, so the
+#: only chains left are new-doc bridges — 3 hops converges for the
+#: same reason DEDUP_CC_ITERS=3 does on the full graph.
+REFRESH_CC_ITERS = 3
+
+
+def dedup_cc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC INDEX REFRESH — the other half of the admission
+    story: ``dedup_cc_probe`` assigns a new doc to the min matched
+    component but never MERGES components, yet a new doc near-dup of
+    docs in TWO existing components is evidence those components are
+    one cluster (the classic bridge). A full refresh would re-run CC
+    over the whole corpus; this operator re-resolves ONLY the touched
+    subgraph, with component CONTRACTION keeping that subgraph tiny:
+
+    1. existing components contract to their canonical supernode
+       (base-side structure is already transitive — its internal
+       edges add nothing);
+    2. the refresh graph = new docs + touched canonicals, with edges
+       (new_doc -> matched base canonical) from the cross probe and
+       (new_doc <-> new_doc) from the in-batch banded pairs;
+    3. min-label propagation over THAT graph (the same
+       connected_canonical helper, REFRESH_CC_ITERS hops);
+    4. the delta written back = every new doc + every base doc whose
+       component was touched, with old and new labels.
+
+    Refresh cost is proportional to |batch| + |touched components|,
+    never the corpus — at 100 TB the contracted graph for a crawl
+    drop is a few thousand supernodes regardless of index size.
+    ``changed`` marks rows whose label actually moved (what an
+    upsert-style index write would apply; bridged components show up
+    as base rows relabeled to the merged minimum)."""
+    return cc_refresh_frame(_docs(spark, sf_dir))
+
+
+def cc_refresh_frame(d: DataFrame) -> DataFrame:
+    """The refresh over an arbitrary (doc_id, text) frame — split by
+    doc_id % INC_MOD as everywhere in the incremental family. Factored
+    out so tests/test_r10.py can plant a bridge corpus (two base
+    components merged by one new doc) without parquet plumbing."""
+    from .operators.dedup import (
+        connected_canonical,
+        simhash_cross_pairs,
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    sig = persist_tracked(simhash_signatures(d))
+    base_sig = sig.filter(F.col("doc_id") % INC_MOD != 0)
+    new_sig = sig.filter(F.col("doc_id") % INC_MOD == 0)
+
+    # standing index contents (per refresh in production)
+    base_pairs = simhash_near_dup_pairs(
+        base_sig, max_hamming=SIMHASH_MAX_HAMMING, max_bucket=SIMHASH_MAX_BUCKET
+    )
+    labels = persist_tracked(
+        connected_canonical(
+            base_sig.select("doc_id"), base_pairs, iters=DEDUP_CC_ITERS
+        ).select("doc_id", "canonical_id")
+    )
+
+    # edges of the contracted refresh graph
+    cross = simhash_cross_pairs(
+        new_sig,
+        base_sig,
+        max_hamming=SIMHASH_MAX_HAMMING,
+        max_bucket=SIMHASH_MAX_BUCKET,
+    )
+    to_canon = persist_tracked(
+        cross.join(
+            labels.select(F.col("doc_id").alias("base_id"), "canonical_id"),
+            "base_id",
+        )
+        .select(
+            F.col("probe_id").alias("id_a"),
+            F.col("canonical_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    in_batch = simhash_near_dup_pairs(
+        new_sig, max_hamming=SIMHASH_MAX_HAMMING, max_bucket=SIMHASH_MAX_BUCKET
+    ).select("id_a", "id_b")
+    touched = to_canon.select(F.col("id_b").alias("doc_id")).distinct()
+    # LINEAGE CUT before the mini-CC: each min-label hop references its
+    # input twice, so the logical plan doubles per hop — on top of the
+    # cross-probe/labels lineage that compounding OOMs the OPTIMIZER
+    # (not the data) even at toy scale. The contracted graph is
+    # batch-sized by construction (|new docs| + |touched canonicals|
+    # nodes), so an eager localCheckpoint materializes kilobytes and
+    # gives the 2^iters plan a tiny base. The base-side CC never needs
+    # this because its chain starts from a bare scan.
+    nodes = (
+        new_sig.select("doc_id").unionByName(touched).distinct()
+    ).localCheckpoint(eager=True)
+    edges = to_canon.unionByName(in_batch).localCheckpoint(eager=True)
+    mini = connected_canonical(
+        nodes, edges, iters=REFRESH_CC_ITERS
+    ).select("doc_id", F.col("canonical_id").alias("new_component"))
+
+    # delta: new docs carry their mini-label; base docs in touched
+    # components inherit their canonical's mini-label
+    new_rows = (
+        new_sig.select("doc_id")
+        .join(mini, "doc_id")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("old_component"),
+            "new_component",
+            F.lit(True).alias("is_new_doc"),
+        )
+    )
+    base_rows = (
+        labels.join(
+            mini.withColumnRenamed("doc_id", "canonical_id"), "canonical_id"
+        )
+        .select(
+            "doc_id",
+            F.col("canonical_id").alias("old_component"),
+            "new_component",
+            F.lit(False).alias("is_new_doc"),
+        )
+    )
+    return new_rows.unionByName(base_rows).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("old_component").cast("long").alias("old_component"),
+        F.col("new_component").cast("long").alias("new_component"),
+        "is_new_doc",
+        (F.col("old_component") != F.col("new_component")).alias("changed"),
+    )
+
+
+def _materialize(sql: str, names: tuple[str, ...]) -> str:
+    """Force DuckDB to MATERIALIZE the named CTEs. DuckDB 1.0 inlines
+    every CTE by default; the unrolled CC iterations reference the
+    heavy shared relations (sig, the capped band join, the edge sets)
+    once PER HOP, so inlining re-evaluates them 2^hops times — the
+    refresh oracle went from >8 min inlined to 0.2 s materialized at
+    sf0.001. Spark needs the matching treatment on its side anyway
+    (persist_tracked / localCheckpoint), so the two engines stay
+    plan-honest mirrors."""
+    for n in names:
+        sql = sql.replace(f"\n{n} AS (", f"\n{n} AS MATERIALIZED (")
+    return sql
+
+
+def _mini_cc_iter_sql(k: int) -> str:
+    prev = f"m{k - 1}"
+    return f"""
+m{k} AS (
+  SELECT m.doc_id, least(m.lab, coalesce(min(n.lab), m.lab)) AS lab
+  FROM {prev} m
+  LEFT JOIN e2 ON e2.src = m.doc_id
+  LEFT JOIN {prev} n ON n.doc_id = e2.dst
+  GROUP BY m.doc_id, m.lab
+)"""
+
+
+def _cc_refresh_sql() -> str:
+    """Oracle: the base chain + cross probe CTEs of _cc_probe_sql,
+    plus the in-batch banded pairs (own hot cap over NEW bands — the
+    same treatment simhash_near_dup_pairs applies to its input), the
+    contracted edge set, REFRESH_CC_ITERS unrolled mini-CC hops, and
+    the delta join-back."""
+
+    def bands_of(src: str) -> str:
+        return f"""(
+  SELECT doc_id, simhash_hi, simhash_lo, 0 AS band, simhash_hi >> 16 AS val FROM {src}
+  UNION ALL
+  SELECT doc_id, simhash_hi, simhash_lo, 1, simhash_hi & 65535 FROM {src}
+  UNION ALL
+  SELECT doc_id, simhash_hi, simhash_lo, 2, simhash_lo >> 16 FROM {src}
+  UNION ALL
+  SELECT doc_id, simhash_hi, simhash_lo, 3, simhash_lo & 65535 FROM {src}
+)"""
+
+    mini_iters = ",".join(
+        _mini_cc_iter_sql(k) for k in range(1, REFRESH_CC_ITERS + 1)
+    )
+    return _materialize(f"""
+WITH {_SIMHASH_CORE},
+basesig AS (SELECT * FROM sig WHERE doc_id % {INC_MOD} != 0),
+newsig AS (SELECT * FROM sig WHERE doc_id % {INC_MOD} = 0),
+bands AS (SELECT * FROM {bands_of("basesig")}),
+bhot AS (
+  SELECT band, val FROM bands GROUP BY band, val
+  HAVING count(*) > {SIMHASH_MAX_BUCKET}
+),
+bands_c AS (
+  SELECT b.* FROM bands b
+  WHERE NOT EXISTS (SELECT 1 FROM bhot h WHERE h.band = b.band AND h.val = b.val)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash_hi AS hi_a, a.simhash_lo AS lo_a,
+         b.simhash_hi AS hi_b, b.simhash_lo AS lo_b
+  FROM bands_c a JOIN bands_c b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+),
+p AS (
+  SELECT id_a, id_b FROM cand
+  WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= {SIMHASH_MAX_HAMMING}
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+l0 AS (SELECT doc_id, doc_id AS lab FROM basesig),
+{_CC_ITERS_SQL},
+labels AS (SELECT doc_id, lab AS canonical_id FROM l{DEDUP_CC_ITERS}),
+nb AS (SELECT * FROM {bands_of("newsig")}),
+xm AS (
+  SELECT DISTINCT n.doc_id AS probe_id, b.doc_id AS base_id
+  FROM nb n JOIN bands_c b ON n.band = b.band AND n.val = b.val
+  WHERE bit_count(xor(n.simhash_hi, b.simhash_hi))
+      + bit_count(xor(n.simhash_lo, b.simhash_lo)) <= {SIMHASH_MAX_HAMMING}
+),
+to_canon AS (
+  SELECT DISTINCT x.probe_id AS id_a, lb.canonical_id AS id_b
+  FROM xm x JOIN labels lb ON lb.doc_id = x.base_id
+),
+nbhot AS (
+  SELECT band, val FROM nb GROUP BY band, val
+  HAVING count(*) > {SIMHASH_MAX_BUCKET}
+),
+nb_c AS (
+  SELECT b.* FROM nb b
+  WHERE NOT EXISTS (SELECT 1 FROM nbhot h WHERE h.band = b.band AND h.val = b.val)
+),
+in_batch AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM nb_c a JOIN nb_c b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
+      + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= {SIMHASH_MAX_HAMMING}
+),
+edges AS (SELECT id_a, id_b FROM to_canon UNION ALL SELECT id_a, id_b FROM in_batch),
+e2 AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM edges
+),
+nodes AS (
+  SELECT doc_id FROM newsig
+  UNION
+  SELECT id_b AS doc_id FROM to_canon
+),
+m0 AS (SELECT doc_id, doc_id AS lab FROM nodes),
+{mini_iters},
+mini AS (SELECT doc_id, lab AS new_component FROM m{REFRESH_CC_ITERS}),
+new_rows AS (
+  SELECT ns.doc_id, ns.doc_id AS old_component, m.new_component, TRUE AS is_new_doc
+  FROM newsig ns JOIN mini m USING (doc_id)
+),
+base_rows AS (
+  SELECT lb.doc_id, lb.canonical_id AS old_component, m.new_component,
+         FALSE AS is_new_doc
+  FROM labels lb JOIN mini m ON m.doc_id = lb.canonical_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(old_component AS BIGINT) AS old_component,
+       CAST(new_component AS BIGINT) AS new_component,
+       is_new_doc,
+       old_component != new_component AS changed
+FROM (SELECT * FROM new_rows UNION ALL SELECT * FROM base_rows)
+""", ("sig", "bands", "bands_c", "e", "labels", "nb", "e2"))
 
 
 import itertools as _it
@@ -297,8 +566,13 @@ def dedup_incremental_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         num_bands=BANDS,
         num_hashes=MINHASH_K,
     )
+    from .sinks import ensure_table_absent
+
     seq = next(_NEAR_STREAM_SEQ)
     idx_table = f"near_stream_band_idx_{seq}"
+    # a killed prior session leaves the warehouse location behind while
+    # the in-memory catalog forgets the table; clear both first
+    ensure_table_absent(spark, idx_table)
     write_band_index(bands.filter(F.col("doc_id") % INC_MOD != 0), idx_table)
 
     out_dir = _os.path.join(
@@ -316,6 +590,10 @@ def dedup_incremental_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         .start()
     )
     await_or_raise(q)
+    # the admissions live in the parquet sink now; retire the
+    # per-invocation index table so repeated runs don't litter the
+    # warehouse (production would of course keep its standing index)
+    ensure_table_absent(spark, idx_table)
     return spark.read.parquet(out_dir)
 
 
@@ -323,11 +601,13 @@ from .queries_pipeline_extras import DEDUP_INCREMENTAL_NEAR_SQL  # noqa: E402
 
 R10_QUERIES: dict = {
     "dedup_cc_probe": dedup_cc_probe,
+    "dedup_cc_refresh": dedup_cc_refresh,
     "dedup_incremental_near_stream": dedup_incremental_near_stream,
 }
 
 R10_ORACLES: dict = {
     "dedup_cc_probe": _cc_probe_sql(),
+    "dedup_cc_refresh": _cc_refresh_sql(),
     # replay == batch C36b: the streamed admissions must union to the
     # identical per-doc hit relation
     "dedup_incremental_near_stream": DEDUP_INCREMENTAL_NEAR_SQL,

@@ -155,6 +155,29 @@ def stream_to_parquet(
     return w.start()
 
 
+def ensure_table_absent(spark, table: str) -> None:
+    """DROP TABLE IF EXISTS *plus* best-effort removal of the managed
+    table's warehouse location. A killed session leaves the location
+    directory on disk while the (in-memory) catalog forgets the table
+    — the next ``saveAsTable`` then fails with
+    LOCATION_ALREADY_EXISTS even in overwrite mode. Call before
+    creating any managed table whose name can recur across sessions
+    (the streaming band index, test fixtures)."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    if "." in table:
+        db, name = table.split(".", 1)
+        loc = os.path.join(warehouse, f"{db}.db", name)
+    else:
+        loc = os.path.join(warehouse, table)
+    shutil.rmtree(loc, ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
