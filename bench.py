@@ -84,6 +84,9 @@ HEADLINERS = [
     # decision is timed separately as index_probe_cc)
     "dedup_cc_probe",
     "dedup_cc_refresh",
+    "dedup_cc_probe_stream",
+    "embedding_pca_topk",
+    "text_normalize",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput
@@ -313,12 +316,9 @@ def main() -> None:
 
     from tradesignal_mtm_runner_spark.functions.text import tokens as _toks
     from tradesignal_mtm_runner_spark.operators.dedup import (
+        build_cc_index,
         cc_probe_from_index,
-        connected_canonical,
-        simhash_near_dup_pairs,
         simhash_signatures,
-        write_cc_labels,
-        write_simhash_band_index,
     )
     from tradesignal_mtm_runner_spark.queries_pipeline import (
         DEDUP_CC_ITERS,
@@ -329,31 +329,21 @@ def main() -> None:
     def _build_cc() -> None:
         # once-per-refresh half: simhash the corpus, resolve CC labels,
         # persist the three bucketed tables + the staged batch
-        sig = simhash_signatures(docs)
-        base_sig = sig.filter(F.col("doc_id") % 4 != 0)
+        build_cc_index(
+            spark,
+            docs.filter(F.col("doc_id") % 4 != 0),
+            "bench_idx.cc_bands",
+            "bench_idx.cc_labels",
+            "bench_idx.cc_best",
+            max_hamming=SIMHASH_MAX_HAMMING,
+            max_bucket=SIMHASH_MAX_BUCKET,
+            cc_iters=DEDUP_CC_ITERS,
+        )
         lens = docs.select(
             "doc_id", F.size(_toks(F.col("text"))).alias("n_toks")
         )
-        write_simhash_band_index(
-            base_sig, "bench_idx.cc_bands", max_bucket=SIMHASH_MAX_BUCKET
-        )
-        pairs = simhash_near_dup_pairs(
-            base_sig,
-            max_hamming=SIMHASH_MAX_HAMMING,
-            max_bucket=SIMHASH_MAX_BUCKET,
-        )
-        labels = (
-            connected_canonical(
-                base_sig.select("doc_id"), pairs, iters=DEDUP_CC_ITERS
-            )
-            .select("doc_id", "canonical_id")
-            .join(lens, "doc_id")
-        )
-        write_cc_labels(
-            labels, "bench_idx.cc_labels", best_table="bench_idx.cc_best"
-        )
         (
-            sig.filter(F.col("doc_id") % 4 == 0)
+            simhash_signatures(docs.filter(F.col("doc_id") % 4 == 0))
             .join(lens, "doc_id")
             .write.mode("overwrite")
             .saveAsTable("bench_idx.cc_batch")

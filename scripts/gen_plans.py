@@ -72,6 +72,8 @@ SNAPSHOT = [
     # round-10 additions
     ("dedup_cc_probe", "base CC chain once + banded cross-probe, batch-bounded"),
     ("dedup_cc_refresh", "contracted mini-CC: merge components at batch cost"),
+    ("embedding_pca_topk", "deflated power iteration: 2 components, one persisted scan"),
+    ("text_normalize", "four chained column regexes: zero shuffles, zero Python"),
 ]
 
 

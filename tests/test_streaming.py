@@ -1038,3 +1038,98 @@ def test_near_dup_stream_multibatch_matches_batch_and_is_stateless(
         got["is_near_dup_candidate"].values
         == want["is_near_dup_candidate"].values
     ).all()
+
+
+def test_cc_admission_stream_multibatch_matches_batch_and_is_stateless(
+    spark, tmp_path
+):
+    """The full standing-table admission under a 3-way multi-batch
+    replay (queries_r10.dedup_cc_probe_stream): every micro-batch runs
+    the complete decision — simhash, band probe, component resolve,
+    supersede — against the three bucketed index tables via the
+    production foreachBatch closure; the union must equal the batch
+    dedup_cc_probe output and no batch may create ANY state-store
+    state (the dedup state is the index on disk)."""
+    from pyspark.sql import functions as F
+
+    from tradesignal_mtm_runner_spark.operators.dedup import build_cc_index
+    from tradesignal_mtm_runner_spark.queries_pipeline import (
+        DEDUP_CC_ITERS,
+        SIMHASH_MAX_BUCKET,
+        SIMHASH_MAX_HAMMING,
+    )
+    from tradesignal_mtm_runner_spark.queries_pipeline_extras import INC_MOD
+    from tradesignal_mtm_runner_spark.queries_r10 import (
+        cc_stream_probe_batch,
+        dedup_cc_probe,
+    )
+    from tradesignal_mtm_runner_spark.sinks import ensure_table_absent
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    names = ("cc_mb_test_bands", "cc_mb_test_labels", "cc_mb_test_best")
+    for t in names:
+        ensure_table_absent(spark, t)
+    build_cc_index(
+        spark,
+        docs.filter(F.col("doc_id") % INC_MOD != 0),
+        *names,
+        max_hamming=SIMHASH_MAX_HAMMING,
+        max_bucket=SIMHASH_MAX_BUCKET,
+        cc_iters=DEDUP_CC_ITERS,
+    )
+
+    new_pdf = (
+        docs.filter(F.col("doc_id") % INC_MOD == 0)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    src = tmp_path / "cc_src"
+    os.makedirs(src)
+    now = time.time()
+    for i, idx in enumerate(np.array_split(np.arange(len(new_pdf)), 3)):
+        p = str(src / f"chunk-{i}.parquet")
+        new_pdf.iloc[idx].to_parquet(p, index=False)
+        os.utime(p, (now - 100 + i * 10, now - 100 + i * 10))
+
+    out_dir = str(tmp_path / "cc_out")
+    schema = spark.createDataFrame(new_pdf.head(1)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            cc_stream_probe_batch(*names, out_dir)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cc_ckpt"))
+        .start()
+    )
+    await_or_raise(q)
+    n_batches = 0
+    for p in q.recentProgress:
+        assert p["stateOperators"] == [], "admission must not create state"
+        if p["numInputRows"]:
+            n_batches += 1
+    assert n_batches >= 3
+
+    got = (
+        spark.read.parquet(out_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        dedup_cc_probe(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got["doc_id"].values == want["doc_id"].values).all()
+    for col in ["component_id", "n_matches", "is_new_component", "supersedes"]:
+        assert (got[col].values == want[col].values).all(), col
+    for t in names:
+        ensure_table_absent(spark, t)

@@ -739,6 +739,43 @@ def probe_cc_labels(
     )
 
 
+def build_cc_index(
+    spark,
+    docs: DataFrame,
+    bands_table: str,
+    labels_table: str,
+    best_table: str,
+    max_hamming: int = 8,
+    max_bucket: int | None = None,
+    num_buckets: int = 32,
+    cc_iters: int = 3,
+) -> None:
+    """Materialize the full three-table standing CC-dedup index from
+    a corpus in one pass over the text: simhash the docs once, write
+    the capped band index (blocking), resolve components via the
+    banded-pairs + min-label chain and write the label index plus its
+    keep-best rollup. The once-per-refresh half of the incremental
+    dedup story — shared by bench.py's index_probe_cc build, the
+    scale tests, and the streaming admission query so all three
+    construct byte-identical state."""
+    sig = persist_tracked(simhash_signatures(docs))
+    write_simhash_band_index(
+        sig, bands_table, max_bucket=max_bucket, num_buckets=num_buckets
+    )
+    pairs = simhash_near_dup_pairs(
+        sig, max_hamming=max_hamming, max_bucket=max_bucket
+    )
+    lens = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n_toks"))
+    labels = (
+        connected_canonical(sig.select("doc_id"), pairs, iters=cc_iters)
+        .select("doc_id", "canonical_id")
+        .join(lens, "doc_id")
+    )
+    write_cc_labels(
+        labels, labels_table, num_buckets=num_buckets, best_table=best_table
+    )
+
+
 def cc_probe_from_index(
     spark,
     batch: DataFrame,

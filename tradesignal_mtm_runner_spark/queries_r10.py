@@ -211,6 +211,226 @@ LEFT JOIN best b ON b.canonical_id = a.assigned
 """, ("sig", "bands", "bands_c", "e", "labels", "nb"))
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning pass every corpus runs BEFORE hashing/dedup/
+    tokenization — without it, trivially-different whitespace or
+    control-byte variants defeat exact dedup and skew token stats:
+    strip non-whitespace control bytes, collapse every whitespace run
+    to one space, trim, casefold. All four steps are JVM-side column
+    regexes (zero shuffles, zero Python); the output value-hashes the
+    normalized text (md5) instead of shipping it, plus the size
+    accounting a curation report wants. Deterministic and engine-
+    portable: Java and RE2 agree on \\s and the explicit control
+    ranges, and the corpus hash pins byte-identical behavior."""
+    d = _docs(spark, sf_dir)
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("text"), r"[\x00-\x08\x0E-\x1F\x7F]", " "
+                ),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(norm).alias("norm_md5"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        (norm != F.col("text")).alias("changed"),
+    )
+
+
+TEXT_NORMALIZE_SQL = r"""
+WITH n AS (
+  SELECT doc_id, text,
+         lower(trim(regexp_replace(regexp_replace(
+             text, '[\x00-\x08\x0E-\x1F\x7F]', ' ', 'g'),
+             '\s+', ' ', 'g'))) AS norm
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(norm) AS norm_md5,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(norm) AS BIGINT) AS n_chars_norm,
+       norm != text AS changed
+FROM n
+"""
+
+
+def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TWO principal components by power iteration + DEFLATION —
+    the multi-component extension of ``embedding_pca_power`` (C51)
+    and the building block of PCA whitening for embedding pipelines:
+    pc1 exactly as C51 (matrix-free, bounded d-float model riding as
+    a closure literal), then each vector is deflated row-locally
+    (x' = x − (x·v1)·v1, pure column algebra, no extra shuffle) and
+    the same iteration runs on the deflated corpus for pc2. Still
+    zero driver-side data movement — only the 2×d-float model
+    round-trips; with the C51 persist the whole thing is
+    1 + 2·PCA_ITERS + 1 passes over a memory-resident scan. Output
+    projects every vector onto both components (value-hashing every
+    model weight through the projections) plus the centered norm for
+    scree accounting."""
+    import math
+
+    from .queries_pipeline import _emb
+    from .queries_r8 import PCA_ITERS, R as R8, _collect_vec, _r9
+
+    emb = persist_tracked(
+        _emb(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    dim = len(emb.select("e").first()["e"])
+    mu_df = (
+        emb.select(F.posexplode("e").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(_r9(F.avg("x")).alias("m"))
+    )
+    mu = _collect_vec(mu_df, "pos", "m", dim)
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    centered = F.zip_with(F.col("e"), mu_lit, lambda x, m: x - m)
+
+    def _power(vec_expr, v):
+        for _ in range(PCA_ITERS):
+            v_lit = F.array(*[F.lit(x) for x in v])
+            s = F.aggregate(
+                F.zip_with(vec_expr, v_lit, lambda c, w: c * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            upd = (
+                emb.select(F.posexplode(vec_expr).alias("pos", "c"), s.alias("s"))
+                .groupBy("pos")
+                .agg(_r9(F.sum(F.col("c") * F.col("s"))).alias("u"))
+            )
+            u = _collect_vec(upd, "pos", "u", dim)
+            norm = math.sqrt(sum(x * x for x in u))
+            v = [round(x / norm, R8) + 0.0 for x in u]
+        return v
+
+    v_init = [round(1.0 / math.sqrt(dim), R8)] * dim
+    v1 = _power(centered, v_init)
+    v1_lit = F.array(*[F.lit(x) for x in v1])
+    proj1 = F.aggregate(
+        F.zip_with(centered, v1_lit, lambda c, w: c * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # row-local deflation: x' = x − (x·v1)·v1 — no shuffle, the second
+    # power iteration sees a corpus with pc1's direction removed
+    defl = F.zip_with(centered, v1_lit, lambda c, w: c - proj1 * w)
+    v2 = _power(defl, v_init)
+    v2_lit = F.array(*[F.lit(x) for x in v2])
+    proj2 = F.aggregate(
+        F.zip_with(defl, v2_lit, lambda c, w: c * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.transform(centered, lambda c: c * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _r9(proj1).alias("pc1_proj"),
+        _r9(proj2).alias("pc2_proj"),
+        _r9(cnorm).alias("centered_norm"),
+    )
+
+
+def _pca_topk_sql() -> str:
+    """Unrolled deflated-power-iteration oracle: the C51 CTE pattern
+    (mean + v_k as 1-row LIST CTEs via generate_subscripts/unnest)
+    plus a deflated-corpus CTE and a second unrolled iteration chain;
+    identical per-step round(x, 9) + 0.0 on both engines. Heavy
+    shared CTEs MATERIALIZED (the iteration chains reference them
+    once per hop)."""
+    from .queries_r8 import PCA_ITERS
+
+    head = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+d AS (SELECT len(v) AS dim FROM e LIMIT 1),
+mu AS (
+  SELECT list(m ORDER BY pos) AS m FROM (
+    SELECT pos, round(avg(x), 9) + 0.0 AS m
+    FROM (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e)
+    GROUP BY pos
+  )
+),
+c AS (
+  SELECT vec_id,
+         list_transform(list_zip(v, (SELECT m FROM mu)),
+                        p -> p[1] - p[2]) AS cv
+  FROM e
+),
+v0 AS (
+  SELECT list_transform(mu.m, x -> round(1.0 / sqrt(d.dim), 9)) AS w
+  FROM mu, d
+)"""
+
+    def chain(src: str, col: str, prefix: str, upd: str) -> list[str]:
+        steps = []
+        for k in range(PCA_ITERS):
+            steps.append(f"""
+{upd}{k} AS (
+  SELECT list(u ORDER BY pos) AS u FROM (
+    SELECT pos, round(sum(cx * dp), 9) + 0.0 AS u
+    FROM (
+      SELECT generate_subscripts({col}, 1) AS pos, unnest({col}) AS cx,
+             list_dot_product({col}, (SELECT w FROM {prefix}{k})) AS dp
+      FROM {src}
+    )
+    GROUP BY pos
+  )
+),
+{prefix}{k + 1} AS (
+  SELECT list_transform(u, x -> round(x / sqrt(list_dot_product(u, u)), 9) + 0.0) AS w
+  FROM {upd}{k}
+)""")
+        return steps
+
+    # pc1 chain uses v0..v{K} (v0 shared); pc2 chain needs its own y0
+    pc1 = chain("c", "cv", "v", "u")
+    defl = f"""
+cd AS (
+  SELECT vec_id, cv,
+         list_transform(list_zip(cv, (SELECT w FROM v{PCA_ITERS})),
+                        p -> p[1] - dp * p[2]) AS dv
+  FROM (SELECT vec_id, cv,
+               list_dot_product(cv, (SELECT w FROM v{PCA_ITERS})) AS dp
+        FROM c)
+),
+y0 AS (SELECT w FROM v0)"""
+    pc2 = chain("cd", "dv", "y", "t")
+    sql = (
+        head
+        + ","
+        + ",".join(pc1)
+        + ","
+        + defl
+        + ","
+        + ",".join(pc2)
+        + f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(list_dot_product(cv, (SELECT w FROM v{PCA_ITERS})), 9) + 0.0 AS pc1_proj,
+       round(list_dot_product(dv, (SELECT w FROM y{PCA_ITERS})), 9) + 0.0 AS pc2_proj,
+       round(sqrt(list_dot_product(cv, cv)), 9) + 0.0 AS centered_norm
+FROM cd
+"""
+    )
+    return _materialize(sql, ("e", "c", "cd"))
+
+
 #: mini-CC hops over the CONTRACTED refresh graph (supernodes =
 #: new docs + touched base canonicals). Dup clusters are shallow and
 #: contraction collapses every existing component to one node, so the
@@ -485,6 +705,98 @@ import os as _os
 import tempfile as _tempfile
 
 _NEAR_STREAM_SEQ = _it.count()
+_CC_STREAM_SEQ = _it.count()
+
+
+def cc_stream_probe_batch(
+    bands_table: str, labels_table: str, best_table: str, out_dir: str
+):
+    """The stateless per-micro-batch step of ``dedup_cc_probe_stream``
+    as a ``foreachBatch`` callable: simhash + token-count the batch's
+    docs (per-doc, batch-confined), run the full standing-table
+    admission (cc_probe_from_index), append decisions to the parquet
+    sink. Shared with tests/test_streaming.py so the multi-batch pin
+    drives the production closure."""
+    from .operators.dedup import cc_probe_from_index, simhash_signatures
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        from .functions.text import tokens
+
+        s = batch_df.sparkSession
+        batch = simhash_signatures(batch_df).join(
+            batch_df.select(
+                "doc_id", F.size(tokens(F.col("text"))).alias("n_toks")
+            ),
+            "doc_id",
+        )
+        (
+            cc_probe_from_index(
+                s,
+                batch,
+                bands_table,
+                labels_table,
+                best_table,
+                max_hamming=SIMHASH_MAX_HAMMING,
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return _probe
+
+
+def dedup_cc_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL incremental dedup admission loop under the streaming
+    engine — where ``dedup_incremental_near_stream`` streams the
+    C36b band-hit screen, this streams the C58 DECISION: the standing
+    three-table CC index (band rows, labels, keep-best rollup) is
+    built once from the base corpus (build_cc_index — the per-refresh
+    half), then the new-doc slice arrives via ``readStream`` and each
+    micro-batch runs the complete admission inside ``foreachBatch``:
+    simhash the batch (stateless), band-probe + hamming against the
+    bucketed band table, resolve components, decide supersede, append
+    to parquet. No watermark, no state store — the dedup state lives
+    in the bucketed tables, so streaming memory stays bounded by one
+    micro-batch forever. Every step is per-doc, so replay == the
+    batch ``dedup_cc_probe`` computation, which is the oracle (same
+    SQL)."""
+    from .operators.dedup import build_cc_index
+    from .sinks import ensure_table_absent
+    from .sources import stream_table
+    from .streaming import await_or_raise
+
+    d = _docs(spark, sf_dir)
+    seq = next(_CC_STREAM_SEQ)
+    names = tuple(
+        f"cc_stream_{part}_{seq}" for part in ("bands", "labels", "best")
+    )
+    for t in names:
+        ensure_table_absent(spark, t)
+    build_cc_index(
+        spark,
+        d.filter(F.col("doc_id") % INC_MOD != 0),
+        *names,
+        max_hamming=SIMHASH_MAX_HAMMING,
+        max_bucket=SIMHASH_MAX_BUCKET,
+        cc_iters=DEDUP_CC_ITERS,
+    )
+
+    out_dir = _os.path.join(_tempfile.mkdtemp(prefix="cc_stream_"), "decisions")
+    stream = stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % INC_MOD == 0
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            cc_stream_probe_batch(*names, out_dir)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .start()
+    )
+    await_or_raise(q)
+    for t in names:
+        ensure_table_absent(spark, t)
+    return spark.read.parquet(out_dir)
 
 
 def near_stream_probe_batch(idx_table: str, out_dir: str):
@@ -603,6 +915,9 @@ R10_QUERIES: dict = {
     "dedup_cc_probe": dedup_cc_probe,
     "dedup_cc_refresh": dedup_cc_refresh,
     "dedup_incremental_near_stream": dedup_incremental_near_stream,
+    "text_normalize": text_normalize,
+    "embedding_pca_topk": embedding_pca_topk,
+    "dedup_cc_probe_stream": dedup_cc_probe_stream,
 }
 
 R10_ORACLES: dict = {
@@ -611,4 +926,9 @@ R10_ORACLES: dict = {
     # replay == batch C36b: the streamed admissions must union to the
     # identical per-doc hit relation
     "dedup_incremental_near_stream": DEDUP_INCREMENTAL_NEAR_SQL,
+    "text_normalize": TEXT_NORMALIZE_SQL,
+    "embedding_pca_topk": _pca_topk_sql(),
+    # replay == batch C58: the streamed admission decisions must union
+    # to the identical per-doc relation
+    "dedup_cc_probe_stream": _cc_probe_sql(),
 }
