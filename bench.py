@@ -87,6 +87,11 @@ HEADLINERS = [
     "dedup_cc_probe_stream",
     "embedding_pca_topk",
     "text_normalize",
+    # round-10 second batch: pair mining + iterative graph centrality
+    # (the two corpus-sized ones; the transition/anomaly/DQ trio is
+    # bounded-output and sub-second at bench SF)
+    "basket_pairs",
+    "copurchase_pagerank",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput

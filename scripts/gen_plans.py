@@ -73,6 +73,10 @@ SNAPSHOT = [
     ("dedup_cc_probe", "base CC chain once + banded cross-probe, batch-bounded"),
     ("dedup_cc_refresh", "contracted mini-CC: merge components at batch cost"),
     ("embedding_pca_topk", "deflated power iteration: 2 components, one persisted scan"),
+    ("basket_pairs", "one basket shuffle + row-local pair explode, no self-join"),
+    ("copurchase_pagerank", "persisted transition relation reused across 5 iterations"),
+    ("events_anomaly_mad", "corpus shuffle once; exact medians on the bounded daily grid"),
+    ("dq_audit", "one conditional-agg pass per table + anti-join referential rules"),
     ("text_normalize", "four chained column regexes: zero shuffles, zero Python"),
 ]
 

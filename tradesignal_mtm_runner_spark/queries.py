@@ -790,6 +790,13 @@ from .queries_r10 import R10_ORACLES, R10_QUERIES  # noqa: E402
 EXTRA_QUERIES.update(R10_QUERIES)
 EXTRA_ORACLES.update(R10_ORACLES)
 
+# round-10 second batch: market-basket mining, co-purchase PageRank,
+# Markov transitions, median/MAD anomaly screen, Deequ-style DQ audit
+from .queries_r10b import R10B_ORACLES, R10B_QUERIES  # noqa: E402
+
+EXTRA_QUERIES.update(R10B_QUERIES)
+EXTRA_ORACLES.update(R10B_ORACLES)
+
 # --- round-5 driver-window rotation (VERDICT r4, next-round item 1) ---------
 # The driver CORRECTNESS harness only ever sees the first 50 queries();
 # everything else is verified by the identical DuckDB harness in pytest.
