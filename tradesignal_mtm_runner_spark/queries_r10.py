@@ -269,11 +269,17 @@ def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x' = x − (x·v1)·v1, pure column algebra, no extra shuffle) and
     the same iteration runs on the deflated corpus for pc2. Still
     zero driver-side data movement — only the 2×d-float model
-    round-trips; with the C51 persist the whole thing is
-    1 + 2·PCA_ITERS + 1 passes over a memory-resident scan. Output
-    projects every vector onto both components (value-hashing every
-    model weight through the projections) plus the centered norm for
-    scree accounting."""
+    round-trips. The centered corpus and the deflated corpus are each
+    MATERIALIZED as a persisted concrete column before being iterated:
+    feeding power iterations the raw ``zip_with`` EXPRESSION instead
+    (the r10 form) made every pass re-evaluate the whole
+    centered→proj1→defl tree per row — at sf0.1 that was 179 s for
+    5 k × 64 floats, a pure expression-tree/codegen blowup; with the
+    two persists it is one small ``zip_with`` per pass over a
+    memory-resident column (r11 fix, bench-verified). Output projects
+    every vector onto both components (value-hashing every model
+    weight through the projections) plus the centered norm for scree
+    accounting."""
     import math
 
     from .queries_pipeline import _emb
@@ -292,18 +298,23 @@ def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = _collect_vec(mu_df, "pos", "m", dim)
     mu_lit = F.array(*[F.lit(m) for m in mu])
-    centered = F.zip_with(F.col("e"), mu_lit, lambda x, m: x - m)
+    # materialize x-mu ONCE; every later pass reads the stored column
+    cent = persist_tracked(
+        emb.select(
+            "vec_id", F.zip_with(F.col("e"), mu_lit, lambda x, m: x - m).alias("c")
+        )
+    )
 
-    def _power(vec_expr, v):
+    def _power(df, col, v):
         for _ in range(PCA_ITERS):
             v_lit = F.array(*[F.lit(x) for x in v])
             s = F.aggregate(
-                F.zip_with(vec_expr, v_lit, lambda c, w: c * w),
+                F.zip_with(F.col(col), v_lit, lambda c, w: c * w),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
             upd = (
-                emb.select(F.posexplode(vec_expr).alias("pos", "c"), s.alias("s"))
+                df.select(F.posexplode(col).alias("pos", "c"), s.alias("s"))
                 .groupBy("pos")
                 .agg(_r9(F.sum(F.col("c") * F.col("s"))).alias("u"))
             )
@@ -313,34 +324,45 @@ def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return v
 
     v_init = [round(1.0 / math.sqrt(dim), R8)] * dim
-    v1 = _power(centered, v_init)
+    v1 = _power(cent, "c", v_init)
     v1_lit = F.array(*[F.lit(x) for x in v1])
-    proj1 = F.aggregate(
-        F.zip_with(centered, v1_lit, lambda c, w: c * w),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+
+    def _proj(col, v_lit_):
+        return F.aggregate(
+            F.zip_with(F.col(col), v_lit_, lambda c, w: c * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
     # row-local deflation: x' = x − (x·v1)·v1 — no shuffle, the second
-    # power iteration sees a corpus with pc1's direction removed
-    defl = F.zip_with(centered, v1_lit, lambda c, w: c - proj1 * w)
-    v2 = _power(defl, v_init)
-    v2_lit = F.array(*[F.lit(x) for x in v2])
-    proj2 = F.aggregate(
-        F.zip_with(defl, v2_lit, lambda c, w: c * w),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # power iteration sees a corpus with pc1's direction removed;
+    # materialized alongside c so the pc2 iterations and the final
+    # projection all read stored arrays
+    mat = persist_tracked(
+        cent.select(
+            "vec_id",
+            "c",
+            # NOTE: lambda params must not be named "c" here — PySpark
+            # lambda variables shadow same-named outer columns, and the
+            # _proj expression references the outer column "c"
+            F.zip_with(
+                F.col("c"), v1_lit, lambda ci, w: ci - _proj("c", v1_lit) * w
+            ).alias("d"),
+        )
     )
+    v2 = _power(mat, "d", v_init)
+    v2_lit = F.array(*[F.lit(x) for x in v2])
     cnorm = F.sqrt(
         F.aggregate(
-            F.transform(centered, lambda c: c * c),
+            F.transform(F.col("c"), lambda c: c * c),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
-    return emb.select(
+    return mat.select(
         F.col("vec_id").cast("long").alias("vec_id"),
-        _r9(proj1).alias("pc1_proj"),
-        _r9(proj2).alias("pc2_proj"),
+        _r9(_proj("c", v1_lit)).alias("pc1_proj"),
+        _r9(_proj("d", v2_lit)).alias("pc2_proj"),
         _r9(cnorm).alias("centered_norm"),
     )
 
@@ -573,8 +595,19 @@ def _materialize(sql: str, names: tuple[str, ...]) -> str:
     sf0.001. Spark needs the matching treatment on its side anyway
     (persist_tracked / localCheckpoint), so the two engines stay
     plan-honest mirrors."""
+    import re
+
     for n in names:
-        sql = sql.replace(f"\n{n} AS (", f"\n{n} AS MATERIALIZED (")
+        # both definition forms: "\n<name> AS (" and the chain head
+        # "\nWITH <name> AS (" (the r10 string-replace missed the WITH
+        # form, silently skipping the first CTE — caught by this assert)
+        pat = re.compile(rf"(?m)^(WITH\s+)?{re.escape(n)} AS \(")
+        sql, hits = pat.subn(lambda m: f"{m.group(1) or ''}{n} AS MATERIALIZED (", sql)
+        if hits == 0:
+            raise ValueError(
+                f"_materialize: CTE {n!r} not found — a silent no-op here "
+                "regresses the oracle from ~0.2s to exponential re-evaluation"
+            )
     return sql
 
 
@@ -700,9 +733,38 @@ FROM (SELECT * FROM new_rows UNION ALL SELECT * FROM base_rows)
 """, ("sig", "bands", "bands_c", "e", "labels", "nb", "e2"))
 
 
+import atexit as _atexit
 import itertools as _it
 import os as _os
+import shutil as _shutil
 import tempfile as _tempfile
+
+
+def _stream_sink_dir(prefix: str, leaf: str) -> str:
+    """A per-invocation parquet sink directory, created UP FRONT (so a
+    zero-batch stream still leaves a readable path) and registered for
+    removal at interpreter exit (repeated bench/pytest invocations were
+    leaking one mkdtemp per run)."""
+    base = _tempfile.mkdtemp(prefix=prefix)
+    _atexit.register(_shutil.rmtree, base, ignore_errors=True)
+    out_dir = _os.path.join(base, leaf)
+    _os.makedirs(out_dir, exist_ok=True)
+    return out_dir
+
+
+def _read_sink(spark: SparkSession, out_dir: str, schema: str) -> DataFrame:
+    """Read a foreachBatch parquet sink with an EXPLICIT schema. If the
+    filtered stream produced no batches the directory holds no parquet
+    files — schema inference would throw UNABLE_TO_INFER_SCHEMA — so an
+    empty frame with the declared schema is returned instead."""
+    has_files = any(
+        f.endswith(".parquet")
+        for _, _, files in _os.walk(out_dir)
+        for f in files
+    )
+    if not has_files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(out_dir)
 
 _NEAR_STREAM_SEQ = _it.count()
 _CC_STREAM_SEQ = _it.count()
@@ -781,7 +843,7 @@ def dedup_cc_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         cc_iters=DEDUP_CC_ITERS,
     )
 
-    out_dir = _os.path.join(_tempfile.mkdtemp(prefix="cc_stream_"), "decisions")
+    out_dir = _stream_sink_dir("cc_stream_", "decisions")
     stream = stream_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % INC_MOD == 0
     )
@@ -796,7 +858,12 @@ def dedup_cc_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     await_or_raise(q)
     for t in names:
         ensure_table_absent(spark, t)
-    return spark.read.parquet(out_dir)
+    return _read_sink(
+        spark,
+        out_dir,
+        "doc_id long, component_id long, n_matches long, "
+        "is_new_component boolean, n_toks long, supersedes boolean",
+    )
 
 
 def near_stream_probe_batch(idx_table: str, out_dir: str):
@@ -887,9 +954,7 @@ def dedup_incremental_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     ensure_table_absent(spark, idx_table)
     write_band_index(bands.filter(F.col("doc_id") % INC_MOD != 0), idx_table)
 
-    out_dir = _os.path.join(
-        _tempfile.mkdtemp(prefix="near_stream_"), "admissions"
-    )
+    out_dir = _stream_sink_dir("near_stream_", "admissions")
     _probe_batch = near_stream_probe_batch(idx_table, out_dir)
 
     stream = stream_table(spark, sf_dir, "documents").filter(
@@ -906,7 +971,11 @@ def dedup_incremental_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     # per-invocation index table so repeated runs don't litter the
     # warehouse (production would of course keep its standing index)
     ensure_table_absent(spark, idx_table)
-    return spark.read.parquet(out_dir)
+    return _read_sink(
+        spark,
+        out_dir,
+        "doc_id long, n_hit_bands long, is_near_dup_candidate boolean",
+    )
 
 
 from .queries_pipeline_extras import DEDUP_INCREMENTAL_NEAR_SQL  # noqa: E402

@@ -386,9 +386,14 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
         ).alias("v_disc"),
         F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("v_qty"),
-        (F.count(F.lit(1)) - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))).alias(
-            "v_dup"
-        ),
+        # distinct over a STRUCT (not a column pair): count_distinct(a, b)
+        # skips rows where either column is NULL, while the DuckDB oracle's
+        # count(DISTINCT (a, b)) counts NULL-field structs — the struct form
+        # gives both engines identical NULL-key semantics.
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.struct(F.col("l_orderkey"), F.col("l_linenumber")))
+        ).alias("v_dup"),
     )
     o_agg = o.agg(
         F.count(F.lit(1)).alias("checked"),

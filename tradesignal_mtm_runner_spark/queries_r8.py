@@ -123,7 +123,7 @@ TABLE_PROFILE_SQL = " UNION ALL ".join(
     f"""
 SELECT '{c}' AS column_name,
        count(*) AS n_rows,
-       sum(CAST({c} IS NULL AS BIGINT)) AS n_nulls,
+       CAST(sum(CAST({c} IS NULL AS BIGINT)) AS BIGINT) AS n_nulls,
        count(DISTINCT {c}) AS n_distinct,
        round(min({c}), 9) + 0.0 AS min_value,
        round(max({c}), 9) + 0.0 AS max_value,

@@ -165,16 +165,45 @@ def ensure_table_absent(spark, table: str) -> None:
     (the streaming band index, test fixtures)."""
     import os
     import shutil
+    from urllib.parse import urlparse
+
+    def _local_path(uri: str) -> str | None:
+        # file:/p, file:///p, or a bare path -> local path; anything
+        # else (hdfs://, s3a://) is not ours to rmtree.
+        parsed = urlparse(uri)
+        if parsed.scheme in ("", "file"):
+            return parsed.path or uri
+        return None
+
+    # While the table is still cataloged, ask the catalog for its REAL
+    # location (honors custom LOCATION, case folding, remote warehouses)
+    # rather than string-guessing from the warehouse dir.
+    loc = None
+    try:
+        if spark.catalog.tableExists(table):
+            for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+                if row[0] == "Location":
+                    loc = _local_path(row[1])
+                    break
+    except Exception:
+        pass
 
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    if "." in table:
-        db, name = table.split(".", 1)
-        loc = os.path.join(warehouse, f"{db}.db", name)
-    else:
-        loc = os.path.join(warehouse, table)
+
+    if loc is None:
+        # Orphaned-directory case: the catalog already forgot the table,
+        # so fall back to the default managed location under the
+        # warehouse dir (URI-parsed, not prefix-stripped).
+        warehouse = _local_path(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        )
+        if warehouse is None:
+            return  # remote warehouse: nothing to clean locally
+        if "." in table:
+            db, name = table.split(".", 1)
+            loc = os.path.join(warehouse, f"{db.lower()}.db", name.lower())
+        else:
+            loc = os.path.join(warehouse, table.lower())
     shutil.rmtree(loc, ignore_errors=True)
 
 
