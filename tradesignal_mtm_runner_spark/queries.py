@@ -1011,6 +1011,73 @@ ROTATED_IN_R10 = (
     "scd2_history",
     "table_profile",
 )
+# --- round-11 rotation (VERDICT r9 item 8: the endgame batch) ---------------
+# ALL 22 remaining never-driver-verified oracled keys rotate IN at
+# once, clearing the queue — after this round every oracled key in the
+# registry has crossed the driver's independent window at least once.
+# (approx_table_profile is rows-only by design — its tolerance-vs-exact
+# pytest pin is the real gate — so the window carries two declared
+# no_oracle slots this round.) Rotate-outs, per the published plan:
+# the whole r9 cohort (driver-green r9+r10), the four remaining r5
+# cohort keys (green since r5), and the six longest-green r6 keys
+# whose shapes stay covered — media by the r10-in image/audio dedup
+# keys, incremental dedup by the incoming CC family, streaming by the
+# five streaming keys still in-window plus the two incoming streaming
+# dedup keys.
+ROTATED_OUT_R11 = (
+    # r9 cohort, two rounds green
+    "upsert_latest",
+    "q7_volume_shipping",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_pushdown",
+    "q22_idle_customers",
+    "q9_profit_by_nation",
+    "multimodal_stream_decode",
+    "image_dhash",
+    "image_dhash_pairs",
+    # r5 cohort, six rounds green
+    "dedup_incremental",
+    "multimodal_pixels",
+    "dedup_substring",
+    "dedup_semantic",
+    # r6 cohort, five rounds green
+    "multimodal_audio",
+    "multimodal_gif",
+    "multimodal_resize",
+    "multimodal_frames",
+    "events_json_stream",
+    "corpus_mixture_weights",
+)
+ROTATED_IN_R11 = (
+    # r8 registrants
+    "embedding_pca_power",
+    "bm25_topk",
+    "hybrid_search_rrf",
+    "boilerplate_segments",
+    # r9 registrants
+    "approx_table_profile",
+    "hybrid_bm25_pq_rrf",
+    "doc_char_entropy",
+    "token_zipf_fit",
+    "dedup_keep_best",
+    "retention_cohort",
+    "stream_topk_trending",
+    # r10 registrants
+    "dedup_cc_probe",
+    "dedup_cc_refresh",
+    "dedup_incremental_near_stream",
+    "embedding_pca_topk",
+    "text_normalize",
+    "dedup_cc_probe_stream",
+    "basket_pairs",
+    "copurchase_pagerank",
+    "user_transition_matrix",
+    "events_anomaly_mad",
+    "dq_audit",
+)
 for _out, _in in (
     (ROTATED_OUT_R5, ROTATED_IN_R5),
     (ROTATED_OUT_R6, ROTATED_IN_R6),
@@ -1018,6 +1085,7 @@ for _out, _in in (
     (ROTATED_OUT_R8, ROTATED_IN_R8),
     (ROTATED_OUT_R9, ROTATED_IN_R9),
     (ROTATED_OUT_R10, ROTATED_IN_R10),
+    (ROTATED_OUT_R11, ROTATED_IN_R11),
 ):
     for _k in _out:
         EXTRA_QUERIES[_k] = QUERIES.pop(_k)
