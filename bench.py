@@ -92,6 +92,18 @@ HEADLINERS = [
     # bounded-output and sub-second at bench SF)
     "basket_pairs",
     "copurchase_pagerank",
+    # round-11 surface: the adapted TPC-H completion (q2/q11/q12/q16/
+    # q20 — correlated min, global-scalar HAVING, late-flag agg,
+    # anti-join NOT IN, nested semi-joins)
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_late_priority",
+    "q16_supplier_counts",
+    "q20_excess_suppliers",
+    # round-11 pipeline surface: deterministic pre-training shuffle +
+    # weighted mixture sampling (both RNG-service-free)
+    "corpus_shuffle_shards",
+    "corpus_weighted_sample",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput

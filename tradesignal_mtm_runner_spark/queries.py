@@ -797,6 +797,13 @@ from .queries_r10b import R10B_ORACLES, R10B_QUERIES  # noqa: E402
 EXTRA_QUERIES.update(R10B_QUERIES)
 EXTRA_ORACLES.update(R10B_ORACLES)
 
+# round-11 batch: the five remaining TPC-H heads, adapted to the
+# testdata schema (q2/q11/q12/q16/q20) — completes the 22-query suite
+from .queries_r11 import R11_ORACLES, R11_QUERIES  # noqa: E402
+
+EXTRA_QUERIES.update(R11_QUERIES)
+EXTRA_ORACLES.update(R11_ORACLES)
+
 # --- round-5 driver-window rotation (VERDICT r4, next-round item 1) ---------
 # The driver CORRECTNESS harness only ever sees the first 50 queries();
 # everything else is verified by the identical DuckDB harness in pytest.

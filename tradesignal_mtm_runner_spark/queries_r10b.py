@@ -7,12 +7,11 @@ audit.
 
 House conventions throughout: declarative one-logical-plan queries,
 bounded broadcast sides, every float through ``round(x, 9) + 0.0`` on
-both engines, Spark column names identical to the oracle's. The
-remaining five canonical TPC-H queries (q2/q11/q16/q20 need
+both engines, Spark column names identical to the oracle's. The five
+canonical TPC-H queries this batch skipped (q2/q11/q16/q20 need
 ``partsupp``; q12 needs ``l_shipmode``/``l_commitdate``/
-``l_receiptdate``) are NOT expressible on the driver testdata schema
-(TESTDATA.md) — the adapted 17-query set is schema-complete, so this
-batch extends sideways instead.
+``l_receiptdate``) landed in round 11 as schema-adapted forms that
+keep the canonical operator shapes (queries_r11.py).
 
 No counterpart exists in the pandas reference (reference scope is the
 MTM loop, runner_mtm.py:71); these are the large-scale-warehouse
