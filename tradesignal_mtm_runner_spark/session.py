@@ -33,7 +33,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local-mode executors share the driver JVM, so this heap serves
+        # all `cpus` worker threads at once; 8g was exhausted by the
+        # 62-key sf1 bench (32 threads, r11) — 16g on the 128 GiB host
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
