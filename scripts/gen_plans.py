@@ -78,6 +78,14 @@ SNAPSHOT = [
     ("events_anomaly_mad", "corpus shuffle once; exact medians on the bounded daily grid"),
     ("dq_audit", "one conditional-agg pass per table + anti-join referential rules"),
     ("text_normalize", "four chained column regexes: zero shuffles, zero Python"),
+    # round-11 additions
+    ("q2_min_cost_supplier", "decorrelated scalar-min: agg + min re-agg + join back"),
+    ("q11_important_parts", "one partkey agg + 1-row broadcast global total"),
+    ("q12_late_priority", "year pushed to scan; tiny conditional-sum agg"),
+    ("q16_supplier_counts", "NOT-IN as bounded anti-join + distinct count"),
+    ("q20_excess_suppliers", "nested semi-joins; shared shuffle-key prefix aggs"),
+    ("corpus_shuffle_shards", "affine permutation + one shard-window shuffle"),
+    ("corpus_weighted_sample", "A-Res score in codegen + per-source rank window"),
 ]
 
 

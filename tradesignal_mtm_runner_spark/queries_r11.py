@@ -402,11 +402,16 @@ WHERE s_suppkey IN (
 
 # --- C64 deterministic training-shard shuffle ----------------------------------
 
-#: affine-permutation parameters (MINSTD-family): PERM_P is prime and
-#: exceeds every doc_id in the corpus, so x -> (A*x + B) mod P is a
-#: bijection on [0, P) — a deterministic, coordination-free global
-#: permutation. A production deployment sizes P above its id domain
-#: (any Mersenne prime works); A*x stays well inside int64 here.
+#: affine-permutation parameters (MINSTD-family): x -> (A*x + B) mod P
+#: is a bijection on [0, P) — a deterministic, coordination-free global
+#: permutation. Ids are reduced mod P BEFORE the multiply so A*(P-1)
+#: stays inside int64 under ANSI arithmetic at ANY id magnitude (the
+#: sf1 replica offsets push doc_id to ~9e9; A*id raw would overflow —
+#: caught by the r11 10x anchor). Ids above P fold onto the same
+#: permutation slot and are split by the deterministic doc_id
+#: tiebreak; a production deployment instead sizes P above its id
+#: domain (any prime with A*(P-1) < 2^63 works, e.g. P=2^35-31 with a
+#: 2^27-sized A).
 PERM_A = 1103515245
 PERM_B = 12345
 PERM_P = 2147483647
@@ -414,7 +419,9 @@ N_SHARDS = 16
 
 
 def _perm(col):
-    return (F.lit(PERM_A) * col + F.lit(PERM_B)) % F.lit(PERM_P)
+    return (F.lit(PERM_A) * (col % F.lit(PERM_P)) + F.lit(PERM_B)) % F.lit(
+        PERM_P
+    )
 
 
 def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,7 +455,7 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_SHUFFLE_SQL = f"""
 WITH p AS (
   SELECT doc_id,
-         ({PERM_A} * doc_id + {PERM_B}) % {PERM_P} AS perm
+         ({PERM_A} * (doc_id % {PERM_P}) + {PERM_B}) % {PERM_P} AS perm
   FROM documents
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -512,7 +519,7 @@ WITH s AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          source,
          CAST(n_chars AS BIGINT) AS weight,
-         round(ln((({PERM_A} * doc_id + {PERM_B}) % {PERM_P} + 1)
+         round(ln((({PERM_A} * (doc_id % {PERM_P}) + {PERM_B}) % {PERM_P} + 1)
                   / {float(PERM_P + 1)}) / n_chars, 9) + 0.0 AS sample_score
   FROM documents
 ),
