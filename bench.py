@@ -104,6 +104,10 @@ HEADLINERS = [
     # weighted mixture sampling (both RNG-service-free)
     "corpus_shuffle_shards",
     "corpus_weighted_sample",
+    # round-11 streaming surface: SCD2 maintenance via foreachBatch
+    # MERGE; FULL OUTER stream-stream join with two-sided tail flush
+    "scd2_stream",
+    "stream_join_full_outer",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput

@@ -1133,3 +1133,142 @@ def test_cc_admission_stream_multibatch_matches_batch_and_is_stateless(
         assert (got[col].values == want[col].values).all(), col
     for t in names:
         ensure_table_absent(spark, t)
+
+
+def test_scd2_stream_multibatch_carry_and_retry_idempotence(spark, tmp_path):
+    """The foreachBatch SCD2 maintainer (A28): (1) a 3-file
+    time-ordered replay runs >= 3 micro-batches and the incrementally-
+    MERGED history equals the batch SCD2 build (every version row,
+    correct valid_from/valid_to chaining, one open interval per user);
+    (2) re-delivering the final batch re-merges to an identical
+    history — set-union of version rows is idempotent, so the type-2
+    sink inherits the type-1 sink's exactly-once algebra."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from tradesignal_mtm_runner_spark.queries_r11b import (
+        make_scd2_sink,
+        read_scd2_state,
+    )
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "value")
+        .orderBy("ts")
+    )
+    pdf = ev.toPandas()
+    src = tmp_path / "scd2_src"
+    os.makedirs(src)
+    cuts = np.array_split(np.arange(len(pdf)), 3)
+    for i, idx in enumerate(cuts):
+        p = str(src / f"chunk-{i:03d}.parquet")
+        chunk = pdf.iloc[idx].copy()
+        chunk["ts"] = chunk["ts"].astype("datetime64[us]")
+        chunk.to_parquet(p, index=False)
+        t = time.time() - 100 + i * 10
+        os.utime(p, (t, t))
+
+    schema = spark.createDataFrame(pdf.head(1)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    root = str(tmp_path / "scd2_state")
+    merge, cur = make_scd2_sink(root)
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q)
+    assert cur["batches"] >= 3, cur
+
+    def hist_rows():
+        return sorted(
+            map(
+                tuple,
+                read_scd2_state(spark, cur["dir"]).collect(),
+            ),
+            key=lambda r: (r[0], r[1]),
+        )
+
+    got = hist_rows()
+    w = Window.partitionBy("user_id").orderBy("ts")
+    want = sorted(
+        map(
+            tuple,
+            spark.createDataFrame(pdf)
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("value"))
+            .select(
+                "user_id",
+                F.col("ts").alias("valid_from"),
+                F.lead("ts").over(w.orderBy("ts")).alias("valid_to"),
+                "value",
+            )
+            .collect(),
+        ),
+        key=lambda r: (r[0], r[1]),
+    )
+    assert got == want and len(got) > 0
+
+    # exactly one OPEN interval per user, and intervals chain
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, vf, vt, _v in got:
+        by_user[u].append((vf, vt))
+    for u, iv in by_user.items():
+        iv.sort()
+        assert sum(1 for _vf, vt in iv if vt is None) == 1, u
+        for (vf1, vt1), (vf2, _vt2) in zip(iv, iv[1:]):
+            assert vt1 == vf2, u
+
+    # retry the LAST batch: identical history afterwards
+    last_id = cur["batches"] - 1
+    merge(spark.createDataFrame(pdf.iloc[cuts[-1]]), last_id)
+    assert hist_rows() == got
+
+
+def test_stream_full_outer_join_flushes_both_sides(spark):
+    """The FULL OUTER stream-stream join (A29): the emitted relation
+    equals the batch FULL OUTER interval join — in particular both
+    null-extension directions are non-empty (unmatched purchases AND
+    unmatched clicks), proving the sentinel drained BOTH state
+    buffers, not just the left one."""
+    import pyspark.sql.functions as F
+
+    from tradesignal_mtm_runner_spark.queries import ALL_QUERIES
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    got = ALL_QUERIES["stream_join_full_outer"](spark, SF_SMOKE)
+    rows = got.collect()
+    assert any(r["c_user"] is None for r in rows), "no unmatched purchases"
+    assert any(r["p_user"] is None for r in rows), "no unmatched clicks"
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_event_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts "
+            "AND c_ts <= p_ts + INTERVAL 1 HOUR"
+        ),
+        "full_outer",
+    )
+
+    def key(r):
+        return tuple((x is None, x) for x in r)
+
+    assert sorted(map(key, rows)) == sorted(map(key, want.collect()))

@@ -804,6 +804,13 @@ from .queries_r11 import R11_ORACLES, R11_QUERIES  # noqa: E402
 EXTRA_QUERIES.update(R11_QUERIES)
 EXTRA_ORACLES.update(R11_ORACLES)
 
+# round-11 streaming batch: SCD2 maintenance under foreachBatch MERGE,
+# FULL OUTER watermarked stream-stream join with two-sided tail flush
+from .queries_r11b import R11B_ORACLES, R11B_QUERIES  # noqa: E402
+
+EXTRA_QUERIES.update(R11B_QUERIES)
+EXTRA_ORACLES.update(R11B_ORACLES)
+
 # --- round-5 driver-window rotation (VERDICT r4, next-round item 1) ---------
 # The driver CORRECTNESS harness only ever sees the first 50 queries();
 # everything else is verified by the identical DuckDB harness in pytest.
