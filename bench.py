@@ -105,9 +105,13 @@ HEADLINERS = [
     "corpus_shuffle_shards",
     "corpus_weighted_sample",
     # round-11 streaming surface: SCD2 maintenance via foreachBatch
-    # MERGE; FULL OUTER stream-stream join with two-sided tail flush
+    # MERGE (the join twin stream_join_full_outer follows
+    # stream_join_outer's precedent: state-store-dominated, covered by
+    # the pytest equality pin rather than a bench entry)
     "scd2_stream",
-    "stream_join_full_outer",
+    # round-11 warehouse rollups
+    "user_rfm_segments",
+    "events_seasonality",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput

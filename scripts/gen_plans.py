@@ -86,6 +86,8 @@ SNAPSHOT = [
     ("q20_excess_suppliers", "nested semi-joins; shared shuffle-key prefix aggs"),
     ("corpus_shuffle_shards", "affine permutation + one shard-window shuffle"),
     ("corpus_weighted_sample", "A-Res score in codegen + per-source rank window"),
+    ("user_rfm_segments", "one user agg + 9-number threshold broadcast, no global NTILE"),
+    ("events_seasonality", "one corpus agg to the 168-cell grid; windows on the grid"),
 ]
 
 

@@ -269,3 +269,49 @@ def test_weighted_sample_prefers_heavier_docs(spark):
     mean_s = sum(r["weight"] for r in sampled) / len(sampled)
     mean_c = sum(r["n_chars"] for r in corpus) / len(corpus)
     assert mean_s > mean_c
+
+
+# --- B53 RFM segmentation --------------------------------------------------------
+
+
+def test_rfm_scores_in_range_and_monotone(spark):
+    """Every score is in 1..4, the segment string matches its scores,
+    and scores are monotone in their metric: sorting users by a metric
+    never decreases that metric's score."""
+    rows = _df(spark, "user_rfm_segments").collect()
+    assert rows
+    for r in rows:
+        for s in (r["r_staleness"], r["f_score"], r["m_score"]):
+            assert 1 <= s <= 4
+        assert r["segment"] == f"R{r['r_staleness']}F{r['f_score']}M{r['m_score']}"
+    for metric, score in [
+        ("recency_days", "r_staleness"),
+        ("frequency", "f_score"),
+        ("monetary", "m_score"),
+    ]:
+        ordered = sorted(rows, key=lambda r: r[metric])
+        scores = [r[score] for r in ordered]
+        assert scores == sorted(scores), metric
+    # the quartile cut actually splits the population somewhere
+    assert len({r["f_score"] for r in rows}) > 1
+
+
+# --- B54 seasonality profile ------------------------------------------------------
+
+
+def test_seasonality_shares_and_z_are_coherent(spark):
+    """Per event type: shares sum to 1, the z-scores average to ~0
+    (population standardization), dow/hour stay on the 0-based grid,
+    and seasonality_index == share * 168."""
+    from collections import defaultdict
+
+    rows = _df(spark, "events_seasonality").collect()
+    assert rows
+    by_type = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23
+        assert abs(r["seasonality_index"] - r["share"] * 168.0) < 1e-6
+        by_type[r["event_type"]].append(r)
+    for t, rs in by_type.items():
+        assert abs(sum(r["share"] for r in rs) - 1.0) < 1e-6, t
+        assert abs(sum(r["z"] for r in rs) / len(rs)) < 1e-6, t

@@ -552,3 +552,193 @@ R11_ORACLES: dict = {
     "corpus_shuffle_shards": CORPUS_SHUFFLE_SQL,
     "corpus_weighted_sample": CORPUS_WEIGHTED_SAMPLE_SQL,
 }
+
+
+# --- B53 RFM customer segmentation ---------------------------------------------
+
+#: quartile cut points for each RFM metric
+RFM_QS = (0.25, 0.5, 0.75)
+
+
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    warehouse customer rollup: one user aggregate builds the three
+    metrics (recency as INTEGER days behind the corpus max — exact in
+    both engines; frequency as event count; monetary as purchase-value
+    sum), exact quartile thresholds reduce the user relation to NINE
+    numbers broadcast back (the quality_thresholds_by_lang convention:
+    the legitimate case FOR a broadcast hint — grid-bounded, not
+    data-bounded), and each score is 1 + the count of thresholds the
+    metric clears. NEVER a global NTILE window (a single-partition
+    sort at scale); the threshold-compare form parallelizes freely.
+    Thresholds and monetary compare on ROUNDED values so the cut is
+    engine-stable."""
+    from .cache_registry import persist_tracked
+
+    ev = load_table(spark, sf_dir, "events")
+    gmax = ev.agg(F.max("ts").alias("gmax"))
+    # persisted: the user aggregate feeds BOTH the threshold pass and
+    # the final scoring join — without it the corpus-sized aggregate
+    # runs twice (plan-checked via docs/PLANS.md scorecard)
+    per_user = persist_tracked(
+        ev.join(F.broadcast(gmax))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("gmax"), F.max("ts")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            _r9(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("event_type") == "purchase", F.col("value")
+                        )
+                    ),
+                    F.lit(0.0),
+                )
+            ).alias("monetary"),
+        )
+    )
+    th = per_user.agg(
+        *[
+            _r9(F.percentile(F.col(m), F.lit(q))).alias(f"{m}_q{int(q * 100)}")
+            for m in ("recency_days", "frequency", "monetary")
+            for q in RFM_QS
+        ]
+    )
+
+    def score(m):
+        s = F.lit(1)
+        for q in RFM_QS:
+            s = s + (F.col(m) > F.col(f"{m}_q{int(q * 100)}")).cast("int")
+        return s.cast("long")
+
+    return (
+        per_user.join(F.broadcast(th))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("recency_days").cast("long").alias("recency_days"),
+            F.col("frequency").cast("long").alias("frequency"),
+            F.col("monetary"),
+            score("recency_days").alias("r_staleness"),
+            score("frequency").alias("f_score"),
+            score("monetary").alias("m_score"),
+            F.concat(
+                F.lit("R"),
+                score("recency_days"),
+                F.lit("F"),
+                score("frequency"),
+                F.lit("M"),
+                score("monetary"),
+            ).alias("segment"),
+        )
+    )
+
+
+USER_RFM_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         date_diff('day', CAST(max(ts) AS DATE),
+                   (SELECT CAST(max(ts) AS DATE) FROM events)) AS recency_days,
+         count(*) AS frequency,
+         round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                 THEN value END), 0.0), 9) + 0.0 AS monetary
+  FROM events GROUP BY user_id
+),
+th AS (
+  SELECT
+    {", ".join(
+        f"round(quantile_cont({m}, {q}), 9) + 0.0 AS {m}_q{int(q * 100)}"
+        for m in ("recency_days", "frequency", "monetary")
+        for q in (0.25, 0.5, 0.75)
+    )}
+  FROM per_user
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       monetary,
+       CAST(1 + CAST(recency_days > recency_days_q25 AS INT)
+              + CAST(recency_days > recency_days_q50 AS INT)
+              + CAST(recency_days > recency_days_q75 AS INT) AS BIGINT)
+         AS r_staleness,
+       CAST(1 + CAST(frequency > frequency_q25 AS INT)
+              + CAST(frequency > frequency_q50 AS INT)
+              + CAST(frequency > frequency_q75 AS INT) AS BIGINT) AS f_score,
+       CAST(1 + CAST(monetary > monetary_q25 AS INT)
+              + CAST(monetary > monetary_q50 AS INT)
+              + CAST(monetary > monetary_q75 AS INT) AS BIGINT) AS m_score,
+       'R' || (1 + CAST(recency_days > recency_days_q25 AS INT)
+                 + CAST(recency_days > recency_days_q50 AS INT)
+                 + CAST(recency_days > recency_days_q75 AS INT))
+       || 'F' || (1 + CAST(frequency > frequency_q25 AS INT)
+                    + CAST(frequency > frequency_q50 AS INT)
+                    + CAST(frequency > frequency_q75 AS INT))
+       || 'M' || (1 + CAST(monetary > monetary_q25 AS INT)
+                    + CAST(monetary > monetary_q50 AS INT)
+                    + CAST(monetary > monetary_q75 AS INT)) AS segment
+FROM per_user, th
+"""
+
+
+# --- B54 hourly seasonality profile ----------------------------------------------
+
+
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day seasonality profile per event type —
+    the traffic-shape rollup behind capacity planning and the
+    anomaly-screen's expected-rate denominator: ONE corpus-sized
+    aggregate to the (type, dow, hour) grid (≤ |types| × 168 rows,
+    integer-exact in both engines), then share-of-type, a seasonality
+    index vs the uniform rate (share × 168), and a z-score across the
+    type's own 168 cells — all computed on the grid-bounded relation
+    with window functions, nothing corpus-sized after the first
+    aggregate. Spark's dayofweek is 1=Sunday; DuckDB's dow is
+    0=Sunday — the Spark side subtracts 1 so both emit 0..6."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type")
+    share = F.col("n_events") / F.sum("n_events").over(w)
+    mean = F.avg("n_events").over(w)
+    std = F.stddev_pop("n_events").over(w)
+    return grid.select(
+        "event_type",
+        "dow",
+        "hour",
+        "n_events",
+        _r9(share).alias("share"),
+        _r9(share * F.lit(168.0)).alias("seasonality_index"),
+        _r9(
+            F.when(std > 0, (F.col("n_events") - mean) / std).otherwise(0.0)
+        ).alias("z"),
+    )
+
+
+EVENTS_SEASONALITY_SQL = """
+WITH grid AS (
+  SELECT event_type,
+         CAST(extract(dow FROM ts) AS BIGINT) AS dow,
+         CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, dow, hour,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(n_events / sum(n_events) OVER (PARTITION BY event_type), 9)
+         + 0.0 AS share,
+       round(168.0 * n_events / sum(n_events) OVER (PARTITION BY event_type), 9)
+         + 0.0 AS seasonality_index,
+       round(CASE WHEN stddev_pop(n_events) OVER (PARTITION BY event_type) > 0
+                  THEN (n_events - avg(n_events) OVER (PARTITION BY event_type))
+                       / stddev_pop(n_events) OVER (PARTITION BY event_type)
+                  ELSE 0.0 END, 9) + 0.0 AS z
+FROM grid
+"""
+
+R11_QUERIES["user_rfm_segments"] = user_rfm_segments
+R11_QUERIES["events_seasonality"] = events_seasonality
+R11_ORACLES["user_rfm_segments"] = USER_RFM_SQL
+R11_ORACLES["events_seasonality"] = EVENTS_SEASONALITY_SQL
