@@ -234,10 +234,10 @@ def main() -> None:
     # zero/one-shuffle probe plans now show in BENCH, not just in the
     # plan pins.
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F  # noqa: N812
 
+    from tradesignal_mtm_runner_spark.cache_registry import tracked_mkdtemp
     from tradesignal_mtm_runner_spark.sources import load_table
 
     # a previous bench run (possibly another session) may have left the
@@ -328,7 +328,7 @@ def main() -> None:
         write_ivf_index,
     )
 
-    ivf_path = os.path.join(tempfile.mkdtemp(prefix="bench_ivf_"), "ivf_idx")
+    ivf_path = os.path.join(tracked_mkdtemp("bench_ivf_"), "ivf_idx")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def _build_ivf() -> None:
@@ -348,6 +348,33 @@ def main() -> None:
             ivf_path,
             k=5,
             nprobe=4,
+        ),
+    )
+
+    from tradesignal_mtm_runner_spark.operators.similarity import (
+        probe_pq_index,
+        write_pq_index,
+    )
+
+    pq_path = os.path.join(tracked_mkdtemp("bench_pq_"), "pq_idx")
+
+    def _build_pq() -> None:
+        write_pq_index(
+            emb.filter(F.col("vec_id") % 4 != 0),
+            pq_path,
+            num_subspaces=4,
+            num_codes=8,
+        )
+
+    _time_probe(
+        "index_probe_pq",
+        _build_pq,
+        lambda: probe_pq_index(
+            spark,
+            emb.filter(F.col("vec_id") < 50),
+            pq_path,
+            k=5,
+            num_subspaces=4,
         ),
     )
 

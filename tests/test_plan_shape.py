@@ -437,3 +437,24 @@ def test_mixture_weights_bounded_global_window(spark):
     df = _xdf(spark, "corpus_mixture_weights")
     assert P.exchange_count(df) <= 1
     assert "Join" not in P.explain_str(df)
+
+
+def test_no_raw_mkdtemp_outside_cache_registry():
+    """Temp-dir hygiene (ADVICE r10, regressed + re-flagged r11): every
+    scratch directory a query path mints must come from
+    cache_registry.tracked_mkdtemp (atexit-registered rmtree). A raw
+    tempfile.mkdtemp leaks one tree per invocation across repeated
+    bench/pytest runs — grep-pin that none remain outside the helper's
+    own definition."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    offenders = [
+        str(py.relative_to(root))
+        for py in (root / "tradesignal_mtm_runner_spark").rglob("*.py")
+        if py.name != "cache_registry.py"
+        and "tempfile.mkdtemp" in py.read_text()
+    ]
+    if "tempfile.mkdtemp" in (root / "bench.py").read_text():
+        offenders.append("bench.py")
+    assert offenders == [], offenders

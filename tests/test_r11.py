@@ -241,6 +241,52 @@ def test_shuffle_shards_actually_shuffles(spark):
     assert consecutive < len(rows) / 10
 
 
+def test_perm_bijective_above_2_31_and_engine_identical(spark):
+    """VERDICT r11 item 5: the production parameterization (P=2^35-31,
+    2^27-sized A) must keep the permutation a BIJECTION on real 64-bit
+    id domains — the old 31-bit P silently folded ids >= 2^31-1. Pin on
+    an id domain well above 2^31 (around 9e9, the sf1 replica-offset
+    magnitude, plus the P-1 edge): distinct perms == distinct ids, no
+    int64 overflow, and DuckDB computes bit-identical perms from the
+    same constants."""
+    import duckdb
+
+    from tradesignal_mtm_runner_spark.queries_r11 import (
+        PERM_A,
+        PERM_B,
+        PERM_P,
+        _perm,
+    )
+
+    ids = (
+        [2**31 - 2, 2**31 - 1, 2**31, 2**31 + 1]
+        + [9_000_000_000 + 7 * i for i in range(500)]
+        + [PERM_P - 2, PERM_P - 1]
+    )
+    assert max(ids) < PERM_P  # the domain the bijection claim covers
+    sdf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["perm"]
+        for r in sdf.select(
+            "doc_id", _perm(F.col("doc_id")).alias("perm")
+        ).collect()
+    }
+    assert len(set(got.values())) == len(ids)  # injective on the domain
+    expected = {
+        i: (PERM_A * (i % PERM_P) + PERM_B) % PERM_P for i in ids
+    }  # python ints never overflow — the ground truth
+    assert got == expected
+    duck = duckdb.connect()
+    oracle = dict(
+        duck.execute(
+            f"SELECT i, ({PERM_A} * (i % {PERM_P}) + {PERM_B}) % {PERM_P} "
+            "FROM (SELECT unnest(?) AS i)",
+            [ids],
+        ).fetchall()
+    )
+    assert oracle == expected
+
+
 # --- C65 corpus weighted sample --------------------------------------------------
 
 
@@ -294,6 +340,55 @@ def test_rfm_scores_in_range_and_monotone(spark):
         assert scores == sorted(scores), metric
     # the quartile cut actually splits the population somewhere
     assert len({r["f_score"] for r in rows}) > 1
+
+
+def test_rfm_bucketed_thresholds_track_exact_quartiles(spark):
+    """VERDICT r11 scale fix: the monetary thresholds are quartiles of
+    the RFM_MONETARY_DP-gridded metric (domain-bounded exact-percentile
+    buffer) instead of the raw 9-dp sums (distinct ≈ users). Rounding
+    moves every sample point by at most half a grid step, and quantiles
+    are 1-Lipschitz under pointwise perturbation — pin that each
+    bucketed quartile sits within step/2 of the exact one."""
+    from tradesignal_mtm_runner_spark.queries_r11 import (
+        RFM_MONETARY_DP,
+        RFM_QS,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                ),
+                F.lit(0.0),
+            ),
+            9,
+        ).alias("monetary")
+    )
+    step = 10.0 ** (-RFM_MONETARY_DP)
+    for q in RFM_QS:
+        exact, bucketed = per_user.agg(
+            F.percentile(F.col("monetary"), F.lit(q)),
+            F.percentile(
+                F.round(F.col("monetary"), RFM_MONETARY_DP), F.lit(q)
+            ),
+        ).first()
+        assert abs(exact - bucketed) <= step / 2 + 1e-9, q
+
+
+def test_rfm_percentile_inputs_are_domain_bounded():
+    """Grep pin (VERDICT r11 'Done =' criterion): no exact percentile
+    over an SF-scaling-distinct input — every threshold percentile in
+    the RFM query routes through the bounded-distinct _th_input
+    bucketing."""
+    import pathlib
+
+    import tradesignal_mtm_runner_spark.queries_r11 as mod
+
+    src = pathlib.Path(mod.__file__).read_text()
+    assert "F.percentile(_th_input(m)" in src
+    assert "F.percentile(F.col(m)" not in src
 
 
 # --- B54 seasonality profile ------------------------------------------------------

@@ -1,0 +1,112 @@
+"""Round-12 pins: corpus_pack_shards (the loader-ready composition of
+the C64 shuffle and the C24 packing) — bijection (every doc lands in
+exactly one pack exactly once), token/doc conservation, the packing
+bound, contiguous pack ids per shard, and the one-exchange plan shape
+the docstring claims.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from tradesignal_mtm_runner_spark.queries import ALL_QUERIES
+from tradesignal_mtm_runner_spark.queries_pipeline_extras import PACK_CONTEXT
+from tradesignal_mtm_runner_spark.sources import load_table
+
+
+def _df(spark, name, sf=SF_SMOKE):
+    return ALL_QUERIES[name](spark, sf)
+
+
+def _corpus_tokens(spark):
+    from tradesignal_mtm_runner_spark.functions import text as TX
+
+    return {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select(
+            "doc_id", F.size(TX.tokens(F.col("text"))).cast("long").alias("n")
+        )
+        .collect()
+    }
+
+
+def test_pack_shards_bijection_and_conservation(spark):
+    """Concatenating every pack's doc_ids manifest yields each corpus
+    doc EXACTLY once (the shuffle stayed a bijection through packing),
+    and both doc count and token count are conserved."""
+    rows = _df(spark, "corpus_pack_shards").collect()
+    assert rows
+    toks = _corpus_tokens(spark)
+    seen: list[int] = []
+    for r in rows:
+        ids = [int(x) for x in r["doc_ids"].split(",")]
+        assert len(ids) == r["n_docs"]
+        assert sum(toks[i] for i in ids) == r["pack_tokens"]
+        seen.extend(ids)
+    assert len(seen) == len(set(seen)) == len(toks)
+    assert set(seen) == set(toks)
+    assert sum(r["pack_tokens"] for r in rows) == sum(toks.values())
+
+
+def test_pack_shards_packing_bound_and_contiguous_ids(spark):
+    """C24 convention: a doc joins the pack its START offset falls in,
+    so every pack except possibly a shard's last holds < PACK_CONTEXT
+    + max-doc tokens; pack ids are contiguous from 0 within each
+    shard; shard ids stay on the 0..N_SHARDS-1 grid."""
+    from tradesignal_mtm_runner_spark.queries_r11 import N_SHARDS
+
+    rows = _df(spark, "corpus_pack_shards").collect()
+    toks = _corpus_tokens(spark)
+    max_doc = max(toks.values())
+    per_shard = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["shard"] < N_SHARDS
+        assert r["pack_tokens"] < PACK_CONTEXT + max_doc
+        per_shard[r["shard"]].append(r["pack_id"])
+    for shard, pids in per_shard.items():
+        assert sorted(pids) == list(range(len(pids))), shard
+
+
+def test_pack_shards_order_is_the_shuffled_order(spark):
+    """Within a shard, the concatenated manifests across ascending
+    pack_id reproduce exactly the (perm, doc_id) shuffled order — the
+    loader streaming packs in (shard, pack_id) order sees the C64
+    permutation, not insertion order."""
+    from tradesignal_mtm_runner_spark.queries_r11 import _perm
+
+    rows = sorted(
+        _df(spark, "corpus_pack_shards").collect(),
+        key=lambda r: (r["shard"], r["pack_id"]),
+    )
+    perms = {
+        r["doc_id"]: r["p"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", _perm(F.col("doc_id")).alias("p"))
+        .collect()
+    }
+    per_shard = defaultdict(list)
+    for r in rows:
+        per_shard[r["shard"]].extend(
+            int(x) for x in r["doc_ids"].split(",")
+        )
+    for shard, ids in per_shard.items():
+        keys = [(perms[i], i) for i in ids]
+        assert keys == sorted(keys), shard
+
+
+def test_pack_shards_single_window_exchange(spark):
+    """Plan pin: the window pass (row_number + running sum share one
+    shard partitioning) and the (shard, pack_id) aggregate are the
+    only exchanges — no global sort, no join anywhere."""
+    from tradesignal_mtm_runner_spark import plans as P
+
+    df = _df(spark, "corpus_pack_shards")
+    plan = P.explain_str(df)
+    assert "Join" not in plan
+    assert P.exchange_count(df) <= 2, plan
+    # the window partitioning must be by shard, never a single partition
+    assert "SinglePartition" not in plan

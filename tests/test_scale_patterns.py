@@ -862,3 +862,84 @@ def test_cc_label_index_probe_matches_live_and_is_bucket_aligned(
         assert P.exchange_count(staged) == 0, P.explain_str(staged)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pq_index_probe_matches_live_and_reads_no_vectors(spark, tmp_path):
+    """The persisted PQ index (VERDICT r11 item 6 — the last ANN
+    batch/standing asymmetry): the corpus is encoded ONCE into the
+    code relation with the frozen codebooks in a sibling table; a
+    probe's top-k is VALUE-IDENTICAL to the live pq_topk on the same
+    corpus (both route through the shared _adc_topk fold), and the
+    probe plan scans only (corpus_id, codes) — never embedding
+    bytes."""
+    from tradesignal_mtm_runner_spark.operators.similarity import (
+        pq_topk,
+        probe_pq_index,
+        write_pq_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "pq_idx")
+    write_pq_index(emb, path, num_subspaces=4, num_codes=8)
+
+    probe = probe_pq_index(spark, queries, path, k=3, num_subspaces=4)
+    live = pq_topk(emb, queries, k=3, num_subspaces=4, num_codes=8)
+    got = sorted(map(tuple, probe.collect()))
+    want = sorted(map(tuple, live.collect()))
+    assert got == want and len(got) > 0
+
+    # the index scan side must read codes only, never the vectors
+    plan = P.explain_str(probe)
+    scan_lines = [
+        ln for ln in plan.splitlines() if "Scan parquet" in ln or "ReadSchema" in ln
+    ]
+    idx_lines = [ln for ln in scan_lines if "pq_idx" in ln or "codes" in ln]
+    assert idx_lines, plan
+    assert not any("embedding" in ln for ln in idx_lines), idx_lines
+
+
+def test_pq_index_incremental_append(spark, tmp_path):
+    """New vectors enter the PQ index by encoding against the FROZEN
+    codebooks and appending to the code relation — no retrain, no
+    corpus re-encode, base files untouched (the incremental-ingest
+    contract shared by the hash/band/CC/IVF indexes)."""
+    import glob as _glob
+
+    from tradesignal_mtm_runner_spark.operators.similarity import (
+        append_to_pq_index,
+        probe_pq_index,
+        write_pq_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    path = str(tmp_path / "pq_inc")
+    write_pq_index(base, path, num_subspaces=4, num_codes=8)
+    before = set(_glob.glob(f"{path}/*.parquet"))
+
+    append_to_pq_index(batch, path)
+    after = set(_glob.glob(f"{path}/*.parquet"))
+    assert before <= after, "append must not rewrite existing files"
+    assert len(after) > len(before)
+    assert spark.read.parquet(path).count() == emb.count()
+
+    # appended codes must flow through probe scoring end-to-end;
+    # unlike IVF (cell co-location) the coarse M=4 x K=8 ADC gives no
+    # top-3 recall guarantee, so rank the full corpus and check the
+    # appended ids are scored candidates
+    n_total = int(emb.count())
+    queries = batch.limit(2)
+    res = probe_pq_index(
+        spark, queries, path, k=n_total, num_subspaces=4
+    ).toPandas()
+    assert len(res) > 0
+    appended_ids = {int(r["vec_id"]) for r in batch.collect()}
+    assert appended_ids - {int(q["vec_id"]) for q in queries.collect()} <= {
+        int(c) for c in res["corpus_id"]
+    }

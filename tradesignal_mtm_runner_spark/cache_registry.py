@@ -21,7 +21,10 @@ query semantics or plans.
 
 from __future__ import annotations
 
+import atexit
 import logging
+import shutil
+import tempfile
 import threading
 
 from pyspark.sql import DataFrame
@@ -40,6 +43,23 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     with _LOCK:
         _LIVE.append(out)
     return out
+
+
+def tracked_mkdtemp(prefix: str) -> str:
+    """``tempfile.mkdtemp`` + ``atexit``-registered ``rmtree``.
+
+    The ONLY sanctioned way for a query path to mint a scratch
+    directory (stream sinks, file-source staging, upsert/SCD2 state
+    roots): a raw ``mkdtemp`` leaks one tree per invocation across
+    repeated bench/pytest runs (ADVICE r10, regressed and re-flagged
+    ADVICE r11 — ``tests/test_plan_shape.py`` greps that no query
+    module calls ``tempfile.mkdtemp`` directly anymore). Removal at
+    interpreter exit keeps the dir alive for the whole session, which
+    the lazily-read stream sinks require.
+    """
+    base = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
 
 
 def release_caches() -> int:

@@ -642,14 +642,33 @@ def pq_topk(
     books, sub = pq_codebooks(corpus, id_col, vec_col, num_subspaces, num_codes)
     enc = pq_encode(_fan_out(corpus), books, sub, id_col, vec_col, round_digits)
     lut = pq_lut(queries, books, sub, id_col, vec_col, round_digits)
-
-    num_k = len(books[0])
-    pairs = enc.withColumnRenamed(id_col, "corpus_id").join(
-        F.broadcast(lut.withColumnRenamed(id_col, "query_id")),
-        F.col("corpus_id") != F.col("query_id"),
+    return _adc_topk(
+        enc.withColumnRenamed(id_col, "corpus_id"),
+        lut.withColumnRenamed(id_col, "query_id"),
+        num_subspaces,
+        len(books[0]),
+        k,
+        round_digits,
     )
-    # sequential fold over subspaces m = 0..M-1, mirroring the oracle's
-    # per-(query, corpus) sum of the same rounded LUT entries
+
+
+def _adc_topk(
+    enc: DataFrame,
+    lut: DataFrame,
+    num_subspaces: int,
+    num_k: int,
+    k: int,
+    round_digits: int,
+) -> DataFrame:
+    """The ADC scoring tail shared by the live ``pq_topk`` and the
+    standing-index ``probe_pq_index``: stream the (corpus_id, codes)
+    relation against broadcast per-query LUTs, fold M array lookups
+    per pair (sequential over subspaces m = 0..M-1, mirroring the
+    oracle's per-(query, corpus) sum of the same rounded LUT entries),
+    ascending top-k with corpus_id tie-break."""
+    pairs = enc.join(
+        F.broadcast(lut), F.col("corpus_id") != F.col("query_id")
+    )
     score = F.aggregate(
         F.sequence(F.lit(0), F.lit(num_subspaces - 1)),
         F.lit(0.0),
@@ -906,3 +925,104 @@ def probe_ivf_index(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_subspaces: int = 4,
+    num_codes: int = 8,
+    round_digits: int = 9,
+    mode: str = "overwrite",
+) -> None:
+    """The PQ index's PERSISTED form (VERDICT r11 item 6 — the last
+    ANN family whose batch path re-encoded the corpus per invocation):
+    train the deterministic codebooks once, encode the corpus in one
+    Arrow pass (closure codebooks, no shuffle), and persist the code
+    relation at ``path`` with the frozen codebooks as a tiny sibling
+    table at ``{path}_codebooks`` (M x K rows) so probes and appends
+    never touch corpus bytes to retrain.
+
+    Layout note: unlike the IVF index there is nothing to partition-
+    prune BY — ADC scoring scans every code row by design; the
+    compression (M small ints per vector vs dim x 8 bytes) IS the
+    index. What matters at 100 TB is even file sizes on the code
+    relation, which the encode pass's fan-out already provides."""
+    books, sub = pq_codebooks(corpus, id_col, vec_col, num_subspaces, num_codes)
+    enc = pq_encode(
+        _fan_out(corpus), books, sub, id_col, vec_col, round_digits
+    ).withColumnRenamed(id_col, "corpus_id")
+    enc.write.mode(mode).parquet(path)
+    spark = corpus.sparkSession
+    book_rows = [
+        (mi, code, [float(x) for x in w])
+        for mi, entries in enumerate(books)
+        for code, w in entries
+    ]
+    spark.createDataFrame(
+        book_rows, "m INT, code INT, w ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode(mode).parquet(f"{path}_codebooks")
+
+
+def read_pq_codebooks(
+    spark, path: str
+) -> tuple[list[list[tuple[int, list[float]]]], int]:
+    """The frozen codebooks back from ``{path}_codebooks`` — an M x K
+    collect, bounded by the quantizer geometry, never the corpus."""
+    rows = spark.read.parquet(f"{path}_codebooks").collect()
+    by_m: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in rows:
+        by_m.setdefault(int(r["m"]), []).append(
+            (int(r["code"]), [float(x) for x in r["w"]])
+        )
+    books = [sorted(by_m[mi]) for mi in sorted(by_m)]
+    sub = len(books[0][0][1]) if books else 0
+    return books, sub
+
+
+def append_to_pq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 9,
+) -> None:
+    """Incremental ingest: encode ONLY the new batch against the
+    frozen codebooks and append to the code relation. Existing files
+    are untouched; cost is one Arrow pass over the batch — never a
+    corpus re-encode or a codebook retrain (the IVF append
+    convention)."""
+    spark = new_vectors.sparkSession
+    books, sub = read_pq_codebooks(spark, path)
+    enc = pq_encode(
+        new_vectors, books, sub, id_col, vec_col, round_digits
+    ).withColumnRenamed(id_col, "corpus_id")
+    enc.write.mode("append").parquet(path)
+
+
+def probe_pq_index(
+    spark,
+    queries: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_subspaces: int = 4,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Top-k over the persisted code relation: the per-batch
+    production cost. Queries build their M x K LUTs in one Arrow pass
+    (codebooks from the sibling table — an M x K collect), the code
+    scan reads M small ints per corpus vector (never embedding
+    bytes), and the ADC fold + per-query top-k window are identical
+    to the live ``pq_topk`` tail (value-parity pinned in
+    tests/test_scale_patterns.py). Probe cost ∝ queries x codes-scan;
+    nothing re-encodes."""
+    books, sub = read_pq_codebooks(spark, path)
+    lut = pq_lut(
+        queries, books, sub, id_col, vec_col, round_digits
+    ).withColumnRenamed(id_col, "query_id")
+    enc = spark.read.parquet(path)
+    return _adc_topk(enc, lut, num_subspaces, len(books[0]), k, round_digits)

@@ -811,6 +811,12 @@ from .queries_r11b import R11B_ORACLES, R11B_QUERIES  # noqa: E402
 EXTRA_QUERIES.update(R11B_QUERIES)
 EXTRA_ORACLES.update(R11B_ORACLES)
 
+# round-12 batch: loader-ready shard packing (C64 shuffle ∘ C24 pack)
+from .queries_r12 import R12_ORACLES, R12_QUERIES  # noqa: E402
+
+EXTRA_QUERIES.update(R12_QUERIES)
+EXTRA_ORACLES.update(R12_ORACLES)
+
 # --- round-5 driver-window rotation (VERDICT r4, next-round item 1) ---------
 # The driver CORRECTNESS harness only ever sees the first 50 queries();
 # everything else is verified by the identical DuckDB harness in pytest.
@@ -1092,6 +1098,43 @@ ROTATED_IN_R11 = (
     "events_anomaly_mad",
     "dq_audit",
 )
+# R12: the 11 r11-new keys take their first driver exposure. Rotate-
+# outs follow VERDICT r11 item 1: the three CC live chains go out
+# first (~58 s of the sf0.01 sim window — the heaviest keys in it, and
+# each has a standing-index probe twin still pinned in pytest), then
+# eight two-round-green r10-cohort keys, preferring the heavy
+# streaming ones whose SHAPES the incoming keys supersede (scd2_stream
+# covers scd2_history + the upsert-sink machinery; stream_join_full_outer
+# covers stream_join_outer's sentinel-flush recipe).
+ROTATED_OUT_R12 = (
+    # r11 cohort CC live chains, driver-green r11
+    "dedup_cc_probe",
+    "dedup_cc_refresh",
+    "dedup_cc_probe_stream",
+    # r10 cohort, driver-green r10+r11
+    "stream_upsert",
+    "stream_join_outer",
+    "stream_session_dynamic",
+    "scd2_history",
+    "table_profile",
+    "classifier_train_lr",
+    "rolling_beta",
+    "resample_ffill",
+)
+ROTATED_IN_R12 = (
+    # r11 registrants — the entire never-driver-verified queue
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_late_priority",
+    "q16_supplier_counts",
+    "q20_excess_suppliers",
+    "corpus_shuffle_shards",
+    "corpus_weighted_sample",
+    "scd2_stream",
+    "stream_join_full_outer",
+    "user_rfm_segments",
+    "events_seasonality",
+)
 for _out, _in in (
     (ROTATED_OUT_R5, ROTATED_IN_R5),
     (ROTATED_OUT_R6, ROTATED_IN_R6),
@@ -1100,6 +1143,7 @@ for _out, _in in (
     (ROTATED_OUT_R9, ROTATED_IN_R9),
     (ROTATED_OUT_R10, ROTATED_IN_R10),
     (ROTATED_OUT_R11, ROTATED_IN_R11),
+    (ROTATED_OUT_R12, ROTATED_IN_R12),
 ):
     for _k in _out:
         EXTRA_QUERIES[_k] = QUERIES.pop(_k)

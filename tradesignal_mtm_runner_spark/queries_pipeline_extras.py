@@ -1674,16 +1674,16 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle sees only real events; sentinels are filtered from the
     output)."""
     import glob as _glob
-    import tempfile
     import time as _time
     from datetime import timedelta
 
+    from .cache_registry import tracked_mkdtemp
     from .sources import load_table
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    root = tempfile.mkdtemp(prefix="stream_join_outer_")
+    root = tracked_mkdtemp("stream_join_outer_")
     data_dir = os.path.join(root, "data")
     ev.write.mode("overwrite").parquet(data_dir)
     mx = ev.agg(F.max("ts")).collect()[0][0]  # bounded 1-row scalar
@@ -3431,15 +3431,14 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch achieves effective exactly-once on top of at-least-
     once batch delivery. State is one row per user (bounded by keys,
     not events); replay == batch latest-per-user is the oracle."""
-    import tempfile
-
+    from .cache_registry import tracked_mkdtemp
     from .sources import stream_table
     from .streaming import await_or_raise
 
     ev = stream_table(spark, sf_dir, "events").select(
         "user_id", "ts", "value"
     )
-    root = tempfile.mkdtemp(prefix="stream_upsert_")
+    root = tracked_mkdtemp("stream_upsert_")
     _merge, cur = make_upsert_sink(root)
     q = (
         ev.writeStream.foreachBatch(_merge)

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .cache_registry import persist_tracked
+from .cache_registry import persist_tracked, tracked_mkdtemp
 from .queries_pipeline import (
     DEDUP_CC_ITERS,
     SIMHASH_MAX_BUCKET,
@@ -733,20 +733,17 @@ FROM (SELECT * FROM new_rows UNION ALL SELECT * FROM base_rows)
 """, ("sig", "bands", "bands_c", "e", "labels", "nb", "e2"))
 
 
-import atexit as _atexit
 import itertools as _it
 import os as _os
-import shutil as _shutil
-import tempfile as _tempfile
 
 
 def _stream_sink_dir(prefix: str, leaf: str) -> str:
     """A per-invocation parquet sink directory, created UP FRONT (so a
     zero-batch stream still leaves a readable path) and registered for
     removal at interpreter exit (repeated bench/pytest invocations were
-    leaking one mkdtemp per run)."""
-    base = _tempfile.mkdtemp(prefix=prefix)
-    _atexit.register(_shutil.rmtree, base, ignore_errors=True)
+    leaking one mkdtemp per run; the shared helper now lives in
+    cache_registry.tracked_mkdtemp so every streaming key uses it)."""
+    base = tracked_mkdtemp(prefix)
     out_dir = _os.path.join(base, leaf)
     _os.makedirs(out_dir, exist_ok=True)
     return out_dir

@@ -201,9 +201,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_extendedprice").alias("value")
     )
     total = per_part.agg(F.sum("value").alias("total"))
+    # both sides of the cut are 9-dp rounded (ADVICE r11): Spark and
+    # DuckDB sum in different orders, so an unrounded `value > FRAC *
+    # total` can flip a part sitting within ULPs of the threshold
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("value") > Q11_FRAC * F.col("total"))
+        .filter(_r9(F.col("value")) > _r9(Q11_FRAC * F.col("total")))
         .select(
             F.col("l_partkey").cast("long").alias("l_partkey"),
             _r9(F.col("value")).alias("value"),
@@ -225,7 +228,8 @@ per_part AS (
 SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
        round(value, 9) + 0.0 AS value
 FROM per_part
-WHERE value > {Q11_FRAC} * (SELECT sum(value) FROM per_part)
+WHERE round(value, 9) + 0.0
+      > round({Q11_FRAC} * (SELECT sum(value) FROM per_part), 9) + 0.0
 """
 
 
@@ -402,19 +406,22 @@ WHERE s_suppkey IN (
 
 # --- C64 deterministic training-shard shuffle ----------------------------------
 
-#: affine-permutation parameters (MINSTD-family): x -> (A*x + B) mod P
-#: is a bijection on [0, P) — a deterministic, coordination-free global
-#: permutation. Ids are reduced mod P BEFORE the multiply so A*(P-1)
-#: stays inside int64 under ANSI arithmetic at ANY id magnitude (the
-#: sf1 replica offsets push doc_id to ~9e9; A*id raw would overflow —
-#: caught by the r11 10x anchor). Ids above P fold onto the same
-#: permutation slot and are split by the deterministic doc_id
-#: tiebreak; a production deployment instead sizes P above its id
-#: domain (any prime with A*(P-1) < 2^63 works, e.g. P=2^35-31 with a
-#: 2^27-sized A).
-PERM_A = 1103515245
+#: affine-permutation parameters: x -> (A*x + B) mod P is a bijection
+#: on [0, P) — a deterministic, coordination-free global permutation.
+#: Ids are reduced mod P BEFORE the multiply so A*(P-1) stays inside
+#: int64 under ANSI arithmetic at ANY id magnitude (the sf1 replica
+#: offsets push doc_id to ~9e9; A*id raw would overflow — caught by
+#: the r11 10x anchor). P is the 35-bit prime 2^35-31 with a 2^27-
+#: sized prime A, so A*(P-1)+B ~= 2^62 keeps 2x headroom AND the
+#: bijection covers real 64-bit id domains up to ~3.4e10 without
+#: folding (VERDICT r11 item 5: the old 31-bit P silently folded ids
+#: >= 2^31-1 onto shared permutation slots; the >2^31 bijection pin
+#: lives in tests/test_r11.py). Ids above P still fold deterministically
+#: (split by the doc_id tiebreak); size P above the id domain if yours
+#: is larger — any prime with A*(P-1) < 2^63 works.
+PERM_A = 134217689
 PERM_B = 12345
-PERM_P = 2147483647
+PERM_P = 34359738337
 N_SHARDS = 16
 
 
@@ -558,6 +565,16 @@ R11_ORACLES: dict = {
 
 #: quartile cut points for each RFM metric
 RFM_QS = (0.25, 0.5, 0.75)
+#: decimal places the MONETARY metric is bucketed to before the
+#: threshold percentile. Spark's exact ``percentile`` keeps ONE buffer
+#: entry per DISTINCT input value, so feeding it 9-dp purchase sums
+#: makes the buffer scale with the user count (VERDICT r11: a multi-GB
+#: single-aggregator merge at 10^8-10^9 users). On the 1-dp grid the
+#: distinct count is bounded by the purchase-value DOMAIN (SF-stable),
+#: the same boundedness argument as C47's unique-word-ratio — and the
+#: thresholds move by at most half a grid step (pinned in
+#: tests/test_r11.py against the exact quartiles).
+RFM_MONETARY_DP = 1
 
 
 def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -565,11 +582,12 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse customer rollup: one user aggregate builds the three
     metrics (recency as INTEGER days behind the corpus max — exact in
     both engines; frequency as event count; monetary as purchase-value
-    sum), exact quartile thresholds reduce the user relation to NINE
-    numbers broadcast back (the quality_thresholds_by_lang convention:
-    the legitimate case FOR a broadcast hint — grid-bounded, not
-    data-bounded), and each score is 1 + the count of thresholds the
-    metric clears. NEVER a global NTILE window (a single-partition
+    sum), quartile thresholds over BOUNDED-DISTINCT inputs (integer
+    metrics as-is, monetary on the RFM_MONETARY_DP grid — see the
+    constant's note) reduce the user relation to NINE numbers broadcast
+    back (the quality_thresholds_by_lang convention: the legitimate
+    case FOR a broadcast hint — grid-bounded, not data-bounded), and
+    each score is 1 + the count of thresholds the metric clears. NEVER a global NTILE window (a single-partition
     sort at scale); the threshold-compare form parallelizes freely.
     Thresholds and monetary compare on ROUNDED values so the cut is
     engine-stable."""
@@ -598,9 +616,21 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("monetary"),
         )
     )
+    # every threshold input is BOUNDED-DISTINCT so the exact-percentile
+    # buffer cannot scale with users: recency_days is bounded by the
+    # corpus time span, frequency by max events/user (SF-stable integer
+    # domains), and monetary rides the RFM_MONETARY_DP grid — the
+    # aggregate stays a mergeable partial-agg whose merge state is
+    # domain-bounded at any SF
+    def _th_input(m: str):
+        c = F.col(m)
+        return F.round(c, RFM_MONETARY_DP) if m == "monetary" else c
+
     th = per_user.agg(
         *[
-            _r9(F.percentile(F.col(m), F.lit(q))).alias(f"{m}_q{int(q * 100)}")
+            _r9(F.percentile(_th_input(m), F.lit(q))).alias(
+                f"{m}_q{int(q * 100)}"
+            )
             for m in ("recency_days", "frequency", "monetary")
             for q in RFM_QS
         ]
@@ -647,7 +677,9 @@ WITH per_user AS (
 th AS (
   SELECT
     {", ".join(
-        f"round(quantile_cont({m}, {q}), 9) + 0.0 AS {m}_q{int(q * 100)}"
+        f"round(quantile_cont("
+        + ("round(monetary, 1)" if m == "monetary" else m)
+        + f", {q}), 9) + 0.0 AS {m}_q{int(q * 100)}"
         for m in ("recency_days", "frequency", "monetary")
         for q in (0.25, 0.5, 0.75)
     )}

@@ -16,12 +16,12 @@ from __future__ import annotations
 import glob as _glob
 import itertools as _it
 import os
-import tempfile
 import time as _time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .cache_registry import tracked_mkdtemp
 from .queries_pipeline_extras import (
     STREAM_JOIN_HORIZON,
     STREAM_JOIN_WATERMARK,
@@ -157,7 +157,7 @@ def scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``scd2_history``); multi-batch carry + retry idempotence pinned in
     tests/test_streaming.py via the same sink closure."""
     ev = stream_table(spark, sf_dir, "events").select("user_id", "ts", "value")
-    root = tempfile.mkdtemp(prefix="scd2_stream_")
+    root = tracked_mkdtemp("scd2_stream_")
     _merge, cur = make_scd2_sink(root)
     q = ev.writeStream.foreachBatch(_merge).trigger(availableNow=True).start()
     await_or_raise(q)
@@ -199,7 +199,7 @@ def stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    root = tempfile.mkdtemp(prefix="stream_join_fo_")
+    root = tracked_mkdtemp("stream_join_fo_")
     data_dir = os.path.join(root, "data")
     ev.write.mode("overwrite").parquet(data_dir)
     mx = ev.agg(F.max("ts")).collect()[0][0]  # bounded 1-row scalar

@@ -1,0 +1,114 @@
+"""Round-12 batch: tokenizer-ready SHARD PACKING — the one pipeline
+stage named in the brief with no dedicated key until now (VERDICT r11
+item 8). ``corpus_pack_shards`` composes the C64 global shuffle
+(affine-bijection permutation → shard + in-shard order, no RNG
+service, no global sort) with the C24 context-window packing (running
+token count cut at PACK_CONTEXT boundaries) so the output is the
+manifest a training data loader streams directly: one row per
+(shard, pack) carrying the ORDERED doc ids, doc count and token count.
+
+No counterpart in the pandas reference (its scope is the MTM loop,
+reference runner_mtm.py:71); this is the LLM-data-pipeline surface the
+build brief adds on top of the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as TX
+from .queries_pipeline import _docs
+from .queries_pipeline_extras import PACK_CONTEXT
+from .queries_r11 import N_SHARDS, PERM_A, PERM_B, PERM_P, _perm
+
+
+def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader-ready packed shards: every doc is placed by the C64
+    affine permutation (shard = perm mod N_SHARDS, in-shard order =
+    (perm, doc_id) — deterministic, uniformly shuffled, bijective on
+    the id domain < PERM_P), then packed in that order into
+    PACK_CONTEXT-token context windows with the C24 convention (a doc
+    belongs to the pack its START offset falls in). Output: one row
+    per (shard, pack_id) with the ordered ``doc_ids`` manifest (comma
+    string — engine-portable), doc count and token count.
+
+    Plan shape: ONE shard-partitioned window computes both the
+    running token offset and the in-shard position (same partition +
+    order ⇒ one exchange), the groupBy(shard, pack_id) is a prefix of
+    that partitioning, and nothing global is ever sorted — per-task
+    state is bounded by corpus/N_SHARDS rows at any scale. Bijection
+    + token conservation pinned in tests/test_r12.py."""
+    n = F.size(TX.tokens(F.col("text"))).cast("long")
+    perm = _perm(F.col("doc_id"))
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.alias("n"),
+        perm.alias("perm"),
+        (perm % N_SHARDS).cast("long").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("perm", "doc_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = d.select(
+        "shard",
+        "doc_id",
+        "n",
+        F.row_number().over(w).cast("long").alias("shard_pos"),
+        F.floor(
+            (F.sum("n").over(wc) - F.col("n")) / F.lit(float(PACK_CONTEXT))
+        )
+        .cast("long")
+        .alias("pack_id"),
+    )
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("shard_pos", "doc_id"))),
+        lambda el: el["doc_id"].cast("string"),
+    )
+    return (
+        c.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("pack_tokens"),
+            F.array_join(ordered, ",").alias("doc_ids"),
+        )
+        .select("shard", "pack_id", "n_docs", "pack_tokens", "doc_ids")
+    )
+
+
+CORPUS_PACK_SHARDS_SQL = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n,
+         ({PERM_A} * (doc_id % {PERM_P}) + {PERM_B}) % {PERM_P} AS perm
+  FROM documents
+),
+c AS (
+  SELECT CAST(perm % {N_SHARDS} AS BIGINT) AS shard,
+         doc_id, n,
+         CAST(row_number() OVER (PARTITION BY perm % {N_SHARDS}
+                                 ORDER BY perm, doc_id) AS BIGINT)
+           AS shard_pos,
+         CAST(floor((sum(n) OVER (PARTITION BY perm % {N_SHARDS}
+                                  ORDER BY perm, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n)
+                    / {float(PACK_CONTEXT)}) AS BIGINT) AS pack_id
+  FROM d
+)
+SELECT shard, pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS pack_tokens,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY shard_pos)
+         AS doc_ids
+FROM c
+GROUP BY shard, pack_id
+"""
+
+
+R12_QUERIES: dict = {
+    "corpus_pack_shards": corpus_pack_shards,
+}
+
+R12_ORACLES: dict = {
+    "corpus_pack_shards": CORPUS_PACK_SHARDS_SQL,
+}
