@@ -112,6 +112,8 @@ HEADLINERS = [
     # round-11 warehouse rollups
     "user_rfm_segments",
     "events_seasonality",
+    # round-12 pipeline surface: loader-ready shard packing
+    "corpus_pack_shards",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput

@@ -88,6 +88,7 @@ SNAPSHOT = [
     ("corpus_weighted_sample", "A-Res score in codegen + per-source rank window"),
     ("user_rfm_segments", "one user agg + 9-number threshold broadcast, no global NTILE"),
     ("events_seasonality", "one corpus agg to the 168-cell grid; windows on the grid"),
+    ("corpus_pack_shards", "one shard window (position + running offset) + prefix-keyed pack agg"),
 ]
 
 
