@@ -110,3 +110,43 @@ def test_pack_shards_single_window_exchange(spark):
     assert P.exchange_count(df) <= 2, plan
     # the window partitioning must be by shard, never a single partition
     assert "SinglePartition" not in plan
+
+
+def test_write_packed_shards_physical_order_matches_manifest(spark, tmp_path):
+    """The physical form of C66: write_packed_shards lays one parquet
+    file per shard directory whose row order IS the shuffled training
+    order — read the raw file bytes back (pyarrow, no Spark sort) and
+    pin that the physical doc_id sequence equals the manifest's
+    concatenated doc_ids for that shard."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from tradesignal_mtm_runner_spark.operators.layout import (
+        write_packed_shards,
+    )
+    from tradesignal_mtm_runner_spark.queries_r11 import N_SHARDS
+    from tradesignal_mtm_runner_spark.queries_r12 import pack_shard_rows
+
+    rows = pack_shard_rows(spark, SF_SMOKE)
+    path = str(tmp_path / "packed")
+    write_packed_shards(rows, path, N_SHARDS)
+
+    manifest = sorted(
+        _df(spark, "corpus_pack_shards").collect(),
+        key=lambda r: (r["shard"], r["pack_id"]),
+    )
+    per_shard = defaultdict(list)
+    for r in manifest:
+        per_shard[r["shard"]].extend(int(x) for x in r["doc_ids"].split(","))
+
+    shard_dirs = sorted(_glob.glob(f"{path}/shard=*"))
+    assert len(shard_dirs) == len(per_shard)
+    for d in shard_dirs:
+        shard = int(d.rsplit("=", 1)[1])
+        files = sorted(_glob.glob(f"{d}/*.parquet"))
+        assert len(files) == 1, f"shard {shard} must be ONE file: {files}"
+        physical = pq.read_table(files[0], columns=["doc_id"])[
+            "doc_id"
+        ].to_pylist()
+        assert physical == per_shard[shard], shard

@@ -178,3 +178,34 @@ def compact_files(
         out = out.sortWithinPartitions(*sort_within_by)
     out.write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def write_packed_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    mode: str = "overwrite",
+) -> None:
+    """Physically materialize a packed training corpus: one parquet
+    file per ``shard=<k>/`` directory whose ROW ORDER is the shuffled
+    training order (``shard_pos`` ascending) — a data loader streams
+    each shard file sequentially with NO sort and NO index, which is
+    the whole point of pre-shuffled shards at 100 TB.
+
+    ``df`` must carry ``shard`` and ``shard_pos`` columns (the
+    queries_r12.pack_shard_rows contract — any payload columns ride
+    along). The one-file-per-shard guarantee: hash-repartitioning on
+    ``shard`` alone puts EVERY row of a shard in exactly one task
+    (collisions only co-locate two whole shards in one task, which
+    still writes separate files per partition directory), and
+    ``sortWithinPartitions`` orders rows before the writer sees them —
+    parquet preserves row order within a file. One shuffle total, no
+    global sort; per-task memory is bounded by corpus/num_shards (the
+    external sorter spills, the writer streams)."""
+    (
+        df.repartition(num_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

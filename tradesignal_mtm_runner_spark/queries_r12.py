@@ -23,6 +23,36 @@ from .queries_pipeline_extras import PACK_CONTEXT
 from .queries_r11 import N_SHARDS, PERM_A, PERM_B, PERM_P, _perm
 
 
+def pack_shard_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc pack assignment feeding both the manifest query and
+    the physical writer (operators/layout.write_packed_shards): one
+    row per doc with (shard, doc_id, n, shard_pos, pack_id). Both
+    window expressions (in-shard position + running token offset)
+    share the shard partitioning and (perm, doc_id) order, so they
+    cost ONE exchange together."""
+    n = F.size(TX.tokens(F.col("text"))).cast("long")
+    perm = _perm(F.col("doc_id"))
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.alias("n"),
+        perm.alias("perm"),
+        (perm % N_SHARDS).cast("long").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("perm", "doc_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return d.select(
+        "shard",
+        "doc_id",
+        "n",
+        F.row_number().over(w).cast("long").alias("shard_pos"),
+        F.floor(
+            (F.sum("n").over(wc) - F.col("n")) / F.lit(float(PACK_CONTEXT))
+        )
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
 def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Loader-ready packed shards: every doc is placed by the C64
     affine permutation (shard = perm mod N_SHARDS, in-shard order =
@@ -39,27 +69,7 @@ def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     that partitioning, and nothing global is ever sorted — per-task
     state is bounded by corpus/N_SHARDS rows at any scale. Bijection
     + token conservation pinned in tests/test_r12.py."""
-    n = F.size(TX.tokens(F.col("text"))).cast("long")
-    perm = _perm(F.col("doc_id"))
-    d = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        n.alias("n"),
-        perm.alias("perm"),
-        (perm % N_SHARDS).cast("long").alias("shard"),
-    )
-    w = Window.partitionBy("shard").orderBy("perm", "doc_id")
-    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = d.select(
-        "shard",
-        "doc_id",
-        "n",
-        F.row_number().over(w).cast("long").alias("shard_pos"),
-        F.floor(
-            (F.sum("n").over(wc) - F.col("n")) / F.lit(float(PACK_CONTEXT))
-        )
-        .cast("long")
-        .alias("pack_id"),
-    )
+    c = pack_shard_rows(spark, sf_dir)
     ordered = F.transform(
         F.sort_array(F.collect_list(F.struct("shard_pos", "doc_id"))),
         lambda el: el["doc_id"].cast("string"),
