@@ -376,7 +376,6 @@ def main() -> None:
             emb.filter(F.col("vec_id") < 50),
             pq_path,
             k=5,
-            num_subspaces=4,
         ),
     )
 

@@ -54,9 +54,11 @@ def test_pack_shards_bijection_and_conservation(spark):
 
 def test_pack_shards_packing_bound_and_contiguous_ids(spark):
     """C24 convention: a doc joins the pack its START offset falls in,
-    so every pack except possibly a shard's last holds < PACK_CONTEXT
-    + max-doc tokens; pack ids are contiguous from 0 within each
-    shard; shard ids stay on the 0..N_SHARDS-1 grid."""
+    so every pack holds < PACK_CONTEXT + max-doc tokens; pack ids
+    start at 0 and are unique per shard — and CONTIGUOUS whenever no
+    single doc exceeds PACK_CONTEXT (an oversized doc legitimately
+    skips pack ids: its end offset can jump a whole window); shard
+    ids stay on the 0..N_SHARDS-1 grid."""
     from tradesignal_mtm_runner_spark.queries_r11 import N_SHARDS
 
     rows = _df(spark, "corpus_pack_shards").collect()
@@ -68,7 +70,9 @@ def test_pack_shards_packing_bound_and_contiguous_ids(spark):
         assert r["pack_tokens"] < PACK_CONTEXT + max_doc
         per_shard[r["shard"]].append(r["pack_id"])
     for shard, pids in per_shard.items():
-        assert sorted(pids) == list(range(len(pids))), shard
+        assert min(pids) == 0 and len(pids) == len(set(pids)), shard
+        if max_doc <= PACK_CONTEXT:
+            assert sorted(pids) == list(range(len(pids))), shard
 
 
 def test_pack_shards_order_is_the_shuffled_order(spark):

@@ -885,7 +885,7 @@ def test_pq_index_probe_matches_live_and_reads_no_vectors(spark, tmp_path):
     path = str(tmp_path / "pq_idx")
     write_pq_index(emb, path, num_subspaces=4, num_codes=8)
 
-    probe = probe_pq_index(spark, queries, path, k=3, num_subspaces=4)
+    probe = probe_pq_index(spark, queries, path, k=3)
     live = pq_topk(emb, queries, k=3, num_subspaces=4, num_codes=8)
     got = sorted(map(tuple, probe.collect()))
     want = sorted(map(tuple, live.collect()))
@@ -935,9 +935,7 @@ def test_pq_index_incremental_append(spark, tmp_path):
     # appended ids are scored candidates
     n_total = int(emb.count())
     queries = batch.limit(2)
-    res = probe_pq_index(
-        spark, queries, path, k=n_total, num_subspaces=4
-    ).toPandas()
+    res = probe_pq_index(spark, queries, path, k=n_total).toPandas()
     assert len(res) > 0
     appended_ids = {int(r["vec_id"]) for r in batch.collect()}
     assert appended_ids - {int(q["vec_id"]) for q in queries.collect()} <= {

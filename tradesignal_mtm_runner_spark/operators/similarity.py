@@ -997,7 +997,7 @@ def append_to_pq_index(
     spark = new_vectors.sparkSession
     books, sub = read_pq_codebooks(spark, path)
     enc = pq_encode(
-        new_vectors, books, sub, id_col, vec_col, round_digits
+        _fan_out(new_vectors), books, sub, id_col, vec_col, round_digits
     ).withColumnRenamed(id_col, "corpus_id")
     enc.write.mode("append").parquet(path)
 
@@ -1009,7 +1009,6 @@ def probe_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    num_subspaces: int = 4,
     round_digits: int = 9,
 ) -> DataFrame:
     """Top-k over the persisted code relation: the per-batch
@@ -1019,10 +1018,12 @@ def probe_pq_index(
     bytes), and the ADC fold + per-query top-k window are identical
     to the live ``pq_topk`` tail (value-parity pinned in
     tests/test_scale_patterns.py). Probe cost ∝ queries x codes-scan;
-    nothing re-encodes."""
+    nothing re-encodes. The quantizer geometry (M, K) comes from the
+    stored codebooks — a caller-supplied M could silently mis-score
+    against an index written with a different one."""
     books, sub = read_pq_codebooks(spark, path)
     lut = pq_lut(
         queries, books, sub, id_col, vec_col, round_digits
     ).withColumnRenamed(id_col, "query_id")
     enc = spark.read.parquet(path)
-    return _adc_topk(enc, lut, num_subspaces, len(books[0]), k, round_digits)
+    return _adc_topk(enc, lut, len(books), len(books[0]), k, round_digits)

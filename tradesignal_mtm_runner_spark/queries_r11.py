@@ -678,7 +678,11 @@ th AS (
   SELECT
     {", ".join(
         f"round(quantile_cont("
-        + ("round(monetary, 1)" if m == "monetary" else m)
+        + (
+            f"round(monetary, {RFM_MONETARY_DP})"
+            if m == "monetary"
+            else m
+        )
         + f", {q}), 9) + 0.0 AS {m}_q{int(q * 100)}"
         for m in ("recency_days", "frequency", "monetary")
         for q in (0.25, 0.5, 0.75)
