@@ -1098,14 +1098,17 @@ ROTATED_IN_R11 = (
     "events_anomaly_mad",
     "dq_audit",
 )
-# R12: the 11 r11-new keys take their first driver exposure. Rotate-
-# outs follow VERDICT r11 item 1: the three CC live chains go out
-# first (~58 s of the sf0.01 sim window — the heaviest keys in it, and
-# each has a standing-index probe twin still pinned in pytest), then
-# eight two-round-green r10-cohort keys, preferring the heavy
-# streaming ones whose SHAPES the incoming keys supersede (scd2_stream
-# covers scd2_history + the upsert-sink machinery; stream_join_full_outer
-# covers stream_join_outer's sentinel-flush recipe).
+# R12: the 11 r11-new keys PLUS r12's own corpus_pack_shards take
+# their driver exposure — the never-driver-verified queue is empty
+# again. Rotate-outs follow VERDICT r11 item 1: the three CC live
+# chains go out first (~58 s of the sf0.01 sim window — the heaviest
+# keys in it, and each has a standing-index probe twin still pinned
+# in pytest), then nine two-round-green r10-cohort keys, preferring
+# the heavy streaming ones whose SHAPES the incoming keys supersede
+# (scd2_stream covers scd2_history + the upsert-sink machinery;
+# stream_join_full_outer covers stream_join_outer's sentinel-flush
+# recipe; audio_fp_pairs' banded-pair shape stays covered by the
+# in-window audio_fingerprint + the image_dhash_pairs pytest twin).
 ROTATED_OUT_R12 = (
     # r11 cohort CC live chains, driver-green r11
     "dedup_cc_probe",
@@ -1120,6 +1123,7 @@ ROTATED_OUT_R12 = (
     "classifier_train_lr",
     "rolling_beta",
     "resample_ffill",
+    "audio_fp_pairs",
 )
 ROTATED_IN_R12 = (
     # r11 registrants — the entire never-driver-verified queue
@@ -1134,6 +1138,10 @@ ROTATED_IN_R12 = (
     "stream_join_full_outer",
     "user_rfm_segments",
     "events_seasonality",
+    # r12's own registrant takes its exposure the same round (the r11
+    # endgame precedent) — integer/string outputs only, hash-safe by
+    # construction; the never-driver-verified queue is EMPTY again
+    "corpus_pack_shards",
 )
 for _out, _in in (
     (ROTATED_OUT_R5, ROTATED_IN_R5),
