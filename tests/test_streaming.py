@@ -1272,3 +1272,121 @@ def test_stream_full_outer_join_flushes_both_sides(spark):
         return tuple((x is None, x) for x in r)
 
     assert sorted(map(key, rows)) == sorted(map(key, want.collect()))
+
+
+def test_signal_stream_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Checkpoint-recovery exactly-once (review r12): a restarted
+    query rebuilds the Python reader with its in-memory rate-limit
+    position at 0 while Spark replans from the COMMITTED offset —
+    without the partitions() ratchet, latestOffset() published an
+    offset BEHIND the committed one and the source re-delivered every
+    already-committed row group (empirically 80/120 rows duplicated on
+    a clean-drain restart). Pin: full drain, stop, restart on the same
+    checkpoint → row count unchanged and zero duplicates."""
+    import time as _time
+
+    from tradesignal_mtm_runner_spark.sources import (
+        load_table,
+        signals_from_events,
+    )
+    from tradesignal_mtm_runner_spark.sources.signal_stream import (
+        SignalStreamDataSource,
+    )
+
+    sig = signals_from_events(load_table(spark, SF_SMOKE, "events"))
+    src = str(tmp_path / "signals")
+    sig.repartition(3).write.mode("overwrite").parquet(src)
+    n_rows = spark.read.parquet(src).count()
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    spark.dataSource.register(SignalStreamDataSource)
+
+    def run():
+        return (
+            spark.readStream.format("signal_stream")
+            .option("path", src)
+            .option("rowgroupsPerBatch", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+
+    from pyspark.errors import AnalysisException
+
+    def sink_count() -> int:
+        # the sink's _spark_metadata exists before the first commit;
+        # schema inference fails until a batch lands
+        try:
+            return spark.read.parquet(out).count()
+        except AnalysisException:
+            return 0
+
+    q = run()
+    deadline = _time.time() + 120
+    drained_at = None
+    while _time.time() < deadline:
+        if sink_count() >= n_rows:
+            if drained_at is None:
+                drained_at = _time.time()
+            elif _time.time() - drained_at > 1.5:  # idle triggers => committed
+                break
+        _time.sleep(0.3)
+    q.stop()
+    assert sink_count() == n_rows
+
+    q2 = run()  # fresh reader object, committed checkpoint
+    _time.sleep(6)  # dozens of triggers — ample time for any regression
+    q2.stop()
+    final = spark.read.parquet(out)
+    assert final.count() == n_rows, "restart re-delivered committed rows"
+    assert final.count() == final.distinct().count()
+
+
+def test_signal_stream_default_schema_feeds_mtm_engine(spark, tmp_path):
+    """Contract coherence (review r12): the connector's DEFAULT 5-col
+    schema (no event_id) composed with streaming_mtm_timeline — the
+    documented pairing — previously died executor-side with
+    KeyError('event_id'). The engine now synthesizes the tiebreak
+    column, degrading the in-batch sort to timestamp-only (the
+    reference's pandas ordering). One availableNow batch
+    (rowgroupsPerBatch ≥ table) since the rate limit is not under
+    test."""
+    from tradesignal_mtm_runner_spark.sources import (
+        load_table,
+        signals_from_events,
+    )
+    from tradesignal_mtm_runner_spark.sources.signal_stream import (
+        SignalStreamDataSource,
+    )
+    from tradesignal_mtm_runner_spark.streaming import await_or_raise
+    from tradesignal_mtm_runner_spark.streaming.mtm_stream import (
+        streaming_mtm_timeline,
+    )
+
+    sig = signals_from_events(load_table(spark, SF_SMOKE, "events"))
+    src = str(tmp_path / "signals")
+    sig.coalesce(1).write.mode("overwrite").parquet(src)
+    n_rows = spark.read.parquet(src).count()
+
+    spark.dataSource.register(SignalStreamDataSource)
+    stream = (
+        spark.readStream.format("signal_stream")
+        .option("path", src)
+        .option("rowgroupsPerBatch", "1000")
+        .load()  # DEFAULT schema: symbol, timestamp, close, buy, sell
+    )
+    assert "event_id" not in stream.columns
+    out = streaming_mtm_timeline(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sigstream_mtm_compose")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q)
+    got = spark.table("sigstream_mtm_compose")
+    assert got.count() == n_rows  # one MTM row per bar, no crash

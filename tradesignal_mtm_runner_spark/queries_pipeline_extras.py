@@ -1656,6 +1656,61 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def _staged_sentinel_stream(spark: SparkSession, ev: DataFrame, prefix: str):
+    """The sentinel-staged finite replay shared by the LEFT OUTER and
+    FULL OUTER stream-stream joins (review r12: previously duplicated
+    ~50 lines apart, so fixes could not propagate): write the events
+    once, add one sentinel row PER STREAM 40 d out (> watermark 30 d +
+    horizon 1 h, unjoinable user −1, > horizon apart so the two
+    sentinels cannot join each other), and stage a streaming dir where
+    every data file is older (mtime) than the sentinel file with
+    maxFilesPerTrigger = #data files — batch 1 = data, batch 2 =
+    sentinels, the final no-data batch evicts and emits every
+    outer row. Returns the streaming DataFrame, or None when the
+    events table is EMPTY (max(ts) is None — no sentinel epoch exists;
+    callers return their typed empty frame instead of crashing)."""
+    import glob as _glob
+    import time as _time
+    from datetime import timedelta
+
+    from .cache_registry import tracked_mkdtemp
+
+    root = tracked_mkdtemp(prefix)
+    data_dir = os.path.join(root, "data")
+    ev.write.mode("overwrite").parquet(data_dir)
+    mx = ev.agg(F.max("ts")).collect()[0][0]  # bounded 1-row scalar
+    if mx is None:
+        return None
+    sent = spark.createDataFrame(
+        [
+            (-1, mx + timedelta(days=40), -1, "purchase", 0.0),
+            (-2, mx + timedelta(days=40, hours=2), -1, "click", 0.0),
+        ],
+        ev.schema,
+    )
+    sent_dir = os.path.join(root, "sent")
+    sent.coalesce(1).write.parquet(sent_dir)
+
+    stream_dir = os.path.join(root, "stream")
+    os.makedirs(stream_dir)
+    now = _time.time()
+    data_files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+    for i, src in enumerate(data_files):
+        dst = os.path.join(stream_dir, f"d{i:04d}.parquet")
+        os.link(src, dst)
+        os.utime(dst, (now - 100, now - 100))
+    sp = _glob.glob(os.path.join(sent_dir, "*.parquet"))[0]
+    sq = os.path.join(stream_dir, "zz-sentinel.parquet")
+    os.link(sp, sq)
+    os.utime(sq, (now - 10, now - 10))
+
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", max(1, len(data_files)))
+        .parquet(stream_dir)
+    )
+
+
 def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream LEFT OUTER interval join — the inner
     join's hard sibling: unmatched purchases must ALSO emit (null-
@@ -1673,51 +1728,18 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Replay == the batch LEFT JOIN, which is the DuckDB oracle (the
     oracle sees only real events; sentinels are filtered from the
     output)."""
-    import glob as _glob
-    import time as _time
-    from datetime import timedelta
-
-    from .cache_registry import tracked_mkdtemp
     from .sources import load_table
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    root = tracked_mkdtemp("stream_join_outer_")
-    data_dir = os.path.join(root, "data")
-    ev.write.mode("overwrite").parquet(data_dir)
-    mx = ev.agg(F.max("ts")).collect()[0][0]  # bounded 1-row scalar
-    sent = spark.createDataFrame(
-        [
-            (-1, mx + timedelta(days=40), -1, "purchase", 0.0),
-            (-2, mx + timedelta(days=40, hours=2), -1, "click", 0.0),
-        ],
-        ev.schema,
-    )
-    sent_dir = os.path.join(root, "sent")
-    sent.coalesce(1).write.parquet(sent_dir)
-
-    # one streaming dir: every data file older than the sentinel file,
-    # maxFilesPerTrigger = #data files -> batch 1 = data, batch 2 =
-    # sentinels, no-data batch 3 = outer flush
-    stream_dir = os.path.join(root, "stream")
-    os.makedirs(stream_dir)
-    now = _time.time()
-    data_files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
-    for i, src in enumerate(data_files):
-        dst = os.path.join(stream_dir, f"d{i:04d}.parquet")
-        os.link(src, dst)
-        os.utime(dst, (now - 100, now - 100))
-    sp = _glob.glob(os.path.join(sent_dir, "*.parquet"))[0]
-    sq = os.path.join(stream_dir, "zz-sentinel.parquet")
-    os.link(sp, sq)
-    os.utime(sq, (now - 10, now - 10))
-
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", max(1, len(data_files)))
-        .parquet(stream_dir)
-    )
+    stream = _staged_sentinel_stream(spark, ev, "stream_join_outer_")
+    if stream is None:  # empty events table — nothing to join or flush
+        return spark.createDataFrame(
+            [],
+            "user_id long, p_event_id long, c_event_id long, "
+            "p_ts timestamp, c_ts timestamp, p_value double",
+        )
     p = (
         stream.filter(F.col("event_type") == "purchase")
         .select(
@@ -3316,6 +3338,40 @@ def make_upsert_sink(root: str):
     assuming every write completes. ``state['dir']`` is the state
     table path (read it with ``read_upsert_state``),
     ``state['batches']`` the number of batches merged."""
+
+    def _prev(committed: DataFrame) -> DataFrame:
+        return committed.select("user_id", "ts", "value")
+
+    def _merge(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
+        latest = _latest_per_user(batch_df)
+        if prev is not None:
+            latest = _latest_per_user(prev.unionByName(latest))
+        return latest
+
+    return make_bucketed_wal_sink(root, _prev, _merge)
+
+
+def make_bucketed_wal_sink(root: str, prev_select, merge_rows):
+    """The write-ahead-generation + atomic-manifest commit ENGINE
+    shared by the type-1 upsert sink and the type-2 SCD2 sink (review
+    r12: previously duplicated verbatim, so a protocol fix had to land
+    twice). The crash-safety protocol (see make_upsert_sink's
+    docstring for the full argument):
+
+    1. touched buckets from the batch's user_ids (bounded collect of
+       <= UPSERT_BUCKETS ids) drive a PRUNED read of only those
+       buckets' committed generation — via ``prev_select(committed)``,
+       which projects the state table to the caller's merge grain;
+    2. ``merge_rows(batch_df, prev_or_None)`` computes the rows to
+       persist; they land in a FRESH ``gen=<n>/bucket=<b>`` tree
+       (write-ahead — the committed generation is never modified,
+       and uncommitted leftovers of a crashed attempt are cleared);
+    3. the per-bucket pointers flip in ONE fsynced ``os.replace`` of
+       ``manifest.json`` (+ directory fsync so the rename survives
+       power loss), then the post-commit GC SWEEP reclaims everything
+       the manifest no longer references.
+
+    Returns (foreachBatch merge fn, state dict with 'dir'/'batches')."""
     import json
     import shutil
 
@@ -3324,23 +3380,24 @@ def make_upsert_sink(root: str):
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        latest = _latest_per_user(batch_df)
         bucket = F.pmod(F.xxhash64(F.col("user_id")), F.lit(UPSERT_BUCKETS))
         man = _upsert_read_manifest(state_dir)
         # bounded collect: <= UPSERT_BUCKETS longs — drives the pruned
         # read of only the committed buckets this batch hits
         touched = sorted(
-            r[0] for r in latest.select(bucket.alias("b")).distinct().collect()
+            r[0]
+            for r in batch_df.select(bucket.alias("b")).distinct().collect()
         )
         prev_paths = [
             _upsert_bucket_dir(state_dir, man["bucket_gen"][str(b)], b)
             for b in touched
             if str(b) in man["bucket_gen"]
         ]
+        prev = None
         if prev_paths:
             s.catalog.refreshByPath(state_dir)
-            prev = s.read.parquet(*prev_paths).select("user_id", "ts", "value")
-            latest = _latest_per_user(prev.unionByName(latest))
+            prev = prev_select(s.read.parquet(*prev_paths))
+        rows = merge_rows(batch_df, prev)
         gen = man["next_gen"]
         gen_dir = os.path.join(state_dir, f"gen={gen}")
         if os.path.isdir(gen_dir):
@@ -3351,7 +3408,7 @@ def make_upsert_sink(root: str):
         # the committed generation being read is never modified, so the
         # plan needs no lineage cut (no localCheckpoint)
         (
-            latest.withColumn("bucket", bucket)
+            rows.withColumn("bucket", bucket)
             .write.partitionBy("bucket")
             .parquet(gen_dir)
         )

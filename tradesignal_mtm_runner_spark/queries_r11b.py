@@ -13,10 +13,8 @@ for the warehouse-history and join families the way
 
 from __future__ import annotations
 
-import glob as _glob
 import itertools as _it
 import os
-import time as _time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -26,10 +24,10 @@ from .queries_pipeline_extras import (
     STREAM_JOIN_HORIZON,
     STREAM_JOIN_WATERMARK,
     UPSERT_BUCKETS,
+    _staged_sentinel_stream,
     _upsert_bucket_dir,
-    _upsert_gc,
-    _upsert_manifest_path,
     _upsert_read_manifest,
+    make_bucketed_wal_sink,
 )
 from .queries_r8 import SCD2_HISTORY_SQL, _r9
 from .sources import load_table, stream_table
@@ -70,69 +68,30 @@ def make_scd2_sink(root: str):
     delivery, the same algebra as the type-1 sink. Per-batch cost is
     O(history of touched buckets): the file-format MERGE cost every
     SCD2 maintainer pays (Delta/Iceberg included); untouched buckets'
-    files are never opened."""
-    import json
-    import shutil
+    files are never opened. The commit protocol itself lives in
+    queries_pipeline_extras.make_bucketed_wal_sink (shared with the
+    type-1 sink — review r12: one place to fix, not two)."""
 
-    state_dir = os.path.join(root, "state")
-    cur = {"dir": None, "batches": 0}
-
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        vers = _versions(batch_df.select("user_id", "ts", "value"))
-        bucket = F.pmod(F.xxhash64(F.col("user_id")), F.lit(UPSERT_BUCKETS))
-        man = _upsert_read_manifest(state_dir)
-        touched = sorted(
-            r[0] for r in vers.select(bucket.alias("b")).distinct().collect()
+    def _prev(committed: DataFrame) -> DataFrame:
+        # a history row's (valid_from, value) IS its version record;
+        # valid_to is derived state rebuilt below
+        return committed.select(
+            "user_id", F.col("valid_from").alias("ts"), "value"
         )
-        prev_paths = [
-            _upsert_bucket_dir(state_dir, man["bucket_gen"][str(b)], b)
-            for b in touched
-            if str(b) in man["bucket_gen"]
-        ]
-        if prev_paths:
-            s.catalog.refreshByPath(state_dir)
-            prev = s.read.parquet(*prev_paths).select(
-                "user_id", F.col("valid_from").alias("ts"), "value"
-            )
+
+    def _merge(batch_df: DataFrame, prev: DataFrame | None) -> DataFrame:
+        vers = _versions(batch_df.select("user_id", "ts", "value"))
+        if prev is not None:
             vers = _versions(prev.unionByName(vers))
         w = Window.partitionBy("user_id").orderBy("ts")
-        hist = vers.select(
+        return vers.select(
             "user_id",
             F.col("ts").alias("valid_from"),
             F.lead("ts").over(w).alias("valid_to"),
             "value",
         )
-        gen = man["next_gen"]
-        gen_dir = os.path.join(state_dir, f"gen={gen}")
-        if os.path.isdir(gen_dir):
-            shutil.rmtree(gen_dir)  # uncommitted crash leftovers
-        (
-            hist.withColumn("bucket", bucket)
-            .write.partitionBy("bucket")
-            .parquet(gen_dir)
-        )
-        for b in touched:
-            man["bucket_gen"][str(b)] = gen
-        man["next_gen"] = gen + 1
-        man["batches"] += 1
-        tmp = os.path.join(state_dir, ".manifest.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(man, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, _upsert_manifest_path(state_dir))
-        dfd = os.open(state_dir, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
-        _upsert_gc(state_dir, man)
-        s.catalog.refreshByPath(state_dir)
-        cur["dir"] = state_dir
-        cur["batches"] = man["batches"]
 
-    return _merge, cur
+    return make_bucketed_wal_sink(root, _prev, _merge)
 
 
 def read_scd2_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
@@ -194,43 +153,16 @@ def stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffers. Replay == the batch FULL OUTER interval join, which is
     the oracle (sentinels filtered from the output on whichever side
     they surface)."""
-    from datetime import timedelta
-
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    root = tracked_mkdtemp("stream_join_fo_")
-    data_dir = os.path.join(root, "data")
-    ev.write.mode("overwrite").parquet(data_dir)
-    mx = ev.agg(F.max("ts")).collect()[0][0]  # bounded 1-row scalar
-    sent = spark.createDataFrame(
-        [
-            (-1, mx + timedelta(days=40), -1, "purchase", 0.0),
-            (-2, mx + timedelta(days=40, hours=2), -1, "click", 0.0),
-        ],
-        ev.schema,
-    )
-    sent_dir = os.path.join(root, "sent")
-    sent.coalesce(1).write.parquet(sent_dir)
-
-    stream_dir = os.path.join(root, "stream")
-    os.makedirs(stream_dir)
-    now = _time.time()
-    data_files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
-    for i, src in enumerate(data_files):
-        dst = os.path.join(stream_dir, f"d{i:04d}.parquet")
-        os.link(src, dst)
-        os.utime(dst, (now - 100, now - 100))
-    sp = _glob.glob(os.path.join(sent_dir, "*.parquet"))[0]
-    sq = os.path.join(stream_dir, "zz-sentinel.parquet")
-    os.link(sp, sq)
-    os.utime(sq, (now - 10, now - 10))
-
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", max(1, len(data_files)))
-        .parquet(stream_dir)
-    )
+    stream = _staged_sentinel_stream(spark, ev, "stream_join_fo_")
+    if stream is None:  # empty events table — nothing to join or flush
+        return spark.createDataFrame(
+            [],
+            "p_user long, p_event_id long, p_ts timestamp, "
+            "c_user long, c_event_id long, c_ts timestamp",
+        )
     p = (
         stream.filter(F.col("event_type") == "purchase")
         .select(

@@ -84,13 +84,24 @@ class SignalStreamReader(DataSourceStreamReader):
         return {"pos": 0}
 
     def latestOffset(self) -> dict:
-        # publish at most per_batch more row groups per trigger; the
-        # offset saturates at the end of the index so availableNow
-        # drains the table over len(index)/per_batch micro-batches
+        # Publish at most per_batch more row groups per trigger; the
+        # offset saturates at the end of the index. NOTE the trigger
+        # contract: rate-limited multi-batch draining needs a
+        # processingTime trigger (tests/test_streaming.py polls one);
+        # Trigger.AvailableNow snapshots latestOffset() ONCE, so it
+        # delivers only the first per_batch row groups — size
+        # rowgroupsPerBatch to the table if you must use availableNow.
         self._pos = min(self._pos + self._per_batch, len(self._index))
         return {"pos": self._pos}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # Checkpoint recovery rebuilds this reader with _pos=0 while
+        # Spark replans from the COMMITTED offset: without clamping,
+        # the next latestOffset() would publish an offset BEHIND the
+        # committed one and re-deliver already-committed row groups
+        # (duplicate rows in an append sink). Ratchet _pos to the
+        # restored start so recovery resumes exactly-once.
+        self._pos = max(self._pos, start["pos"])
         return [
             _RowGroupPartition(*self._index[i])
             for i in range(start["pos"], end["pos"])

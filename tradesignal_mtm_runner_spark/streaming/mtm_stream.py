@@ -22,6 +22,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -143,8 +144,18 @@ def streaming_mtm_timeline(
     signals: DataFrame, config: PnlCalcConfig | None = None
 ) -> DataFrame:
     """Stateful per-bar MTM over a streaming signal frame
-    (symbol, timestamp, event_id, close, buy, sell)."""
+    (symbol, timestamp, event_id, close, buy, sell).
+
+    ``event_id`` is the deterministic same-timestamp tiebreak. Frames
+    from the 5-column SIGNAL_COLUMNS contract (signal_stream's default
+    schema, the CSV/JSONL loaders) don't carry one — synthesize a
+    constant so the sort degrades to timestamp-only, exactly the
+    reference's pandas ordering (review r12: composing the connector
+    with this engine as documented died with KeyError('event_id')
+    executor-side)."""
     config = config or PnlCalcConfig.get_default()
+    if "event_id" not in signals.columns:
+        signals = signals.withColumn("event_id", F.lit(0).cast("long"))
     return signals.groupBy("symbol").applyInPandasWithState(
         _make_state_fn(config.fee_rate, config.laid_back_tax),
         outputStructType=OUTPUT_SCHEMA,
