@@ -221,3 +221,35 @@ def test_quantile_bounds_all_null_column_is_clear_error(spark):
     with _pytest.raises(ValueError, match="dead"):
         quantile_bounds(df, ["ok", "dead"])
     assert set(quantile_bounds(df, ["ok"])) == {"ok"}
+
+
+def test_interleave_bits_rejects_int64_overflowing_geometry(spark):
+    """Review r12: JVM shiftleft masks the shift count to 6 bits, so
+    bit position 64 silently wraps to 0 and columns alias — the guard
+    must reject any len(cols)*bits > 63 up front."""
+    import pytest
+
+    from tradesignal_mtm_runner_spark.operators.layout import (
+        interleave_bits,
+    )
+
+    with pytest.raises(ValueError, match="wrap"):
+        interleave_bits([F.lit(1)] * 5, bits=16)  # 80 positions
+    with pytest.raises(ValueError, match="wrap"):
+        interleave_bits([F.lit(1)] * 4, bits=16)  # sign bit + wrap
+    interleave_bits([F.lit(1)] * 3, bits=21)  # 63 — legal
+
+
+def test_file_skip_stats_names_missing_column(spark, tmp_path):
+    """Review r12: a misspelled column must raise a ValueError naming
+    it, not pyarrow's cryptic 'IndexError: -1 out of bounds'."""
+    import pytest
+
+    from tradesignal_mtm_runner_spark.operators.layout import (
+        file_skip_stats,
+    )
+
+    p = str(tmp_path / "t")
+    load_table(spark, SF_SMOKE, "events").limit(10).write.parquet(p)
+    with pytest.raises(ValueError, match="user_idd"):
+        file_skip_stats(p, "user_idd", 0, 1)

@@ -163,3 +163,55 @@ def test_streaming_sink_resumes_incrementally(spark, tmp_path):
     assert back.count() == len(pdf)
     # every source row exactly once — no replay of the first file
     assert back.select("event_id").distinct().count() == len(pdf)
+
+
+def test_result_lines_meta_column_precedence_and_null_fields(spark):
+    """Review r12: (1) an EMPTY meta default must not shadow a real
+    same-named summary column; (2) an explicitly-passed meta value
+    still wins; (3) a group col that is also a RESULT_FIELDS name is
+    emitted ONCE (duplicate JSON keys break strict parsers); (4) NULL
+    metrics surface as null instead of vanishing from the key set."""
+    summary = spark.createDataFrame(
+        [("S1", "momentum", 1.5, None)],
+        "symbol string, strategy_name string, pnl double, sharpe_ratio double",
+    )
+    line = json.loads(
+        sinks.mtm_result_lines(
+            summary, group_cols=["symbol", "strategy_name"]
+        ).first()["value"]
+    )
+    assert line["strategy_name"] == "momentum"  # not shadowed by ""
+    assert line["sharpe_ratio"] is None  # null kept, key present
+    raw = sinks.mtm_result_lines(
+        summary, group_cols=["symbol", "strategy_name"]
+    ).first()["value"]
+    assert raw.count('"strategy_name"') == 1  # no duplicate keys
+
+    line2 = json.loads(
+        sinks.mtm_result_lines(summary, strategy_name="override").first()[
+            "value"
+        ]
+    )
+    assert line2["strategy_name"] == "override"  # explicit meta wins
+
+
+def test_ensure_table_absent_three_part_name(spark, tmp_path):
+    """Review r12: a catalog-qualified 3-part name must resolve the
+    orphaned managed dir from its rightmost two parts — the old
+    split('.', 1) guessed 'warehouse/spark_catalog.db/default.t',
+    which never exists, and the real orphan survived to kill the next
+    saveAsTable with LOCATION_ALREADY_EXISTS."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    orphan = os.path.join(warehouse, "default.db", "r12_orphan_t")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "junk"), "w") as fh:
+        fh.write("x")
+    assert not spark.catalog.tableExists("default.r12_orphan_t")
+    sinks.ensure_table_absent(spark, "spark_catalog.default.r12_orphan_t")
+    assert not os.path.exists(orphan)

@@ -96,3 +96,22 @@ def test_roi_helper_matches_bookkeeper_roi_close():
             break
     else:
         raise AssertionError("helper never fired but engine closed on ROI")
+
+
+def test_load_signals_csv_custom_ts_format(spark, tmp_path):
+    """Review r12: ts_format must reach the CSV READER (the old
+    post-hoc to_timestamp ran after the typed schema had already
+    nulled every non-default-format cell — the column silently
+    vanished)."""
+    p = tmp_path / "sig.csv"
+    p.write_text(
+        "symbol,timestamp,close,buy,sell\n"
+        "AAA,15/08/2026 10:30,12.5,1,0\n"
+        "BBB,16/08/2026 11:00,13.0,0,1\n"
+    )
+    from tradesignal_mtm_runner_spark.sources import load_signals_csv
+
+    df = load_signals_csv(spark, str(p), ts_format="dd/MM/yyyy HH:mm")
+    rows = {r["symbol"]: r["timestamp"] for r in df.collect()}
+    assert rows["AAA"] is not None and rows["AAA"].month == 8
+    assert rows["AAA"].day == 15 and rows["BBB"].day == 16

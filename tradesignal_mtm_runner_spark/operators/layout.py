@@ -39,8 +39,20 @@ def quantize(col: Column, lo: float, hi: float, bits: int = DEFAULT_BITS) -> Col
 
 def interleave_bits(cols: list[Column], bits: int = DEFAULT_BITS) -> Column:
     """Morton code: bit i of column c lands at position i*len(cols)+c.
-    Pure shift/mask/or Column algebra -> JVM codegen, no UDF."""
+    Pure shift/mask/or Column algebra -> JVM codegen, no UDF.
+
+    Guard (review r12): the code must fit signed int64 — JVM
+    ``shiftleft`` masks the shift count to 6 bits, so position 64
+    silently wraps to 0 and one column's high bits alias another's
+    low bits, corrupting the curve with NO error (pruning just stops
+    working). 3 columns need bits<=21, 4 need bits<=15."""
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"interleave_bits: {n} cols x {bits} bits = {n * bits} bit "
+            "positions > 63 — shift counts would wrap mod 64 and alias "
+            "columns; lower `bits` so len(cols)*bits <= 63"
+        )
     z = F.lit(0).cast("long")
     for i in range(bits):
         for c, col in enumerate(cols):
@@ -122,6 +134,12 @@ def file_skip_stats(path: str, col: str, lo, hi) -> tuple[int, int]:
     for frag in ds.fragments:
         md = frag.metadata
         idx = md.schema.to_arrow_schema().get_field_index(col)
+        if idx < 0:  # get_field_index's missing-column sentinel —
+            # column(-1) would raise a cryptic pyarrow IndexError
+            raise ValueError(
+                f"file_skip_stats: column {col!r} not in the file "
+                f"schema of {frag.path!r}"
+            )
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             total += 1

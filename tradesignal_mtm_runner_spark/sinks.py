@@ -86,8 +86,13 @@ def mtm_result_lines(
         "strategy_id": strategy_id,
     }
     fields = []
+    emitted: set[str] = set()
     for name in RESULT_FIELDS:
-        if name in meta:
+        # precedence (review r12): an explicitly-passed meta value
+        # wins; an EMPTY meta default must NOT shadow a real
+        # same-named summary column (a sweep whose summary carries
+        # strategy_name previously emitted "" instead of the value)
+        if name in meta and (meta[name] != "" or name not in out.columns):
             fields.append(F.lit(meta[name]).alias(name))
         elif name in out.columns:
             fields.append(F.col(name))
@@ -95,9 +100,20 @@ def mtm_result_lines(
             # distributed sweeps have no per-result run clock; keep the
             # reference's queryable key set with its 0 default
             fields.append(F.lit(0).cast("long").alias(name))
-    # group cols beyond symbol (e.g. config_id from a sweep) ride along
-    fields += [F.col(c) for c in group_cols if c != "symbol"]
-    return out.select(F.to_json(F.struct(*fields)).alias("value"))
+        else:
+            continue
+        emitted.add(name)
+    # group cols beyond symbol (e.g. config_id from a sweep) ride
+    # along — unless already emitted above (duplicate JSON keys break
+    # strict parsers, review r12)
+    fields += [F.col(c) for c in group_cols if c != "symbol" and c not in emitted]
+    # ignoreNullFields=false: a NULL metric must surface as null, not
+    # silently vanish from the reference's fixed queryable key set
+    return out.select(
+        F.to_json(F.struct(*fields), {"ignoreNullFields": "false"}).alias(
+            "value"
+        )
+    )
 
 
 def write_results_jsonl(
@@ -179,17 +195,24 @@ def ensure_table_absent(spark, table: str) -> None:
     # location (honors custom LOCATION, case folding, remote warehouses)
     # rather than string-guessing from the warehouse dir.
     loc = None
+    cataloged_remote = False
     try:
         if spark.catalog.tableExists(table):
             for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
                 if row[0] == "Location":
                     loc = _local_path(row[1])
+                    # a cataloged table with a REMOTE location is not
+                    # ours to rmtree — and guessing a local path for it
+                    # would delete an unrelated directory (review r12)
+                    cataloged_remote = loc is None
                     break
     except Exception:
         pass
 
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
+    if cataloged_remote:
+        return
     if loc is None:
         # Orphaned-directory case: the catalog already forgot the table,
         # so fall back to the default managed location under the
@@ -199,8 +222,13 @@ def ensure_table_absent(spark, table: str) -> None:
         )
         if warehouse is None:
             return  # remote warehouse: nothing to clean locally
-        if "." in table:
-            db, name = table.split(".", 1)
+        # rightmost two parts = (db, name): a 3-part
+        # catalog.db.name must not be split as db='catalog'
+        # (review r12: that guessed a path that never exists and the
+        # real orphan survived to kill the next saveAsTable)
+        parts = table.split(".")
+        if len(parts) >= 2:
+            db, name = parts[-2], parts[-1]
             loc = os.path.join(warehouse, f"{db.lower()}.db", name.lower())
         else:
             loc = os.path.join(warehouse, table.lower())

@@ -127,6 +127,11 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 SIGNAL_COLUMNS = ["symbol", "timestamp", "close", "buy", "sell"]
+#: one schema for every file-format signal loader (review r12: the DDL
+#: was copy-pasted per loader and could silently diverge)
+SIGNAL_SCHEMA = (
+    "symbol string, timestamp timestamp, close double, buy int, sell int"
+)
 
 
 def load_signals_csv(
@@ -134,23 +139,19 @@ def load_signals_csv(
 ) -> DataFrame:
     """Signal frame from CSV (header row; columns symbol, timestamp,
     close, buy, sell). Explicit schema — no inference pass over the
-    data, which at 100 TB would double the read."""
-    df = (
-        spark.read.option("header", "true")
-        .schema("symbol string, timestamp timestamp, close double, buy int, sell int")
-        .csv(path)
-    )
+    data, which at 100 TB would double the read. ``ts_format`` reaches
+    the READER as timestampFormat (review r12: the old post-hoc
+    to_timestamp ran after the typed schema had already nulled every
+    non-default-format cell, silently losing the column)."""
+    reader = spark.read.option("header", "true").schema(SIGNAL_SCHEMA)
     if ts_format:
-        df = df.withColumn("timestamp", F.to_timestamp("timestamp", ts_format))
-    return df.select(*SIGNAL_COLUMNS)
+        reader = reader.option("timestampFormat", ts_format)
+    return reader.csv(path).select(*SIGNAL_COLUMNS)
 
 
 def load_signals_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """Signal frame from JSON-lines with the same explicit schema."""
-    df = spark.read.schema(
-        "symbol string, timestamp timestamp, close double, buy int, sell int"
-    ).json(path)
-    return df.select(*SIGNAL_COLUMNS)
+    return spark.read.schema(SIGNAL_SCHEMA).json(path).select(*SIGNAL_COLUMNS)
 
 
 def signals_from_events(
@@ -162,8 +163,11 @@ def signals_from_events(
 
     symbol = user_id, bar ts = event ts, close = value,
     buy when event_type == buy_event, sell when event_type == sell_event.
-    Column pruning: selects only the 5 needed columns so the parquet
-    scan never reads ``props``.
+    Output is the 5-column SIGNAL_COLUMNS contract PLUS ``event_id``
+    (the deterministic same-timestamp tiebreak the MTM engines sort
+    on; consumers of the bare contract may drop it). Column pruning:
+    only these 6 columns are selected, so the parquet scan never
+    reads ``props``.
     """
     return events.select(
         F.col("user_id").cast("string").alias("symbol"),
