@@ -27,7 +27,16 @@ STOPWORDS_EN = LANG_STOPWORDS["en"]
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization; identical to DuckDB
-    string_split_regex(trim(text), ' +')."""
+    string_split_regex(trim(text), ' +').
+
+    Contract notes (review r12 — these are deliberate, both engines
+    agree and every oracle mirrors them): the split is on SPACE runs
+    only — tab/newline-separated words stay joined, so normalize
+    first (text_normalize collapses all whitespace to single spaces;
+    the canonical pipeline runs it before tokenizing); and an
+    empty/whitespace-only text yields [''] (word_count 1), matching
+    the SQL grammar — callers needing empty-doc semantics filter on
+    length(trim(text)) > 0 upstream."""
     return F.split(F.trim(text), " +")
 
 
@@ -68,16 +77,27 @@ def unique_word_count(text: Column) -> Column:
 
 
 def avg_word_len(text: Column) -> Column:
-    t = tokens(text)
-    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
-    return total.cast("double") / F.size(t)
+    # _let-bound: the token array is referenced twice (sum + size);
+    # unbound, Catalyst re-ran the regex split per reference —
+    # doubling tokenization cost at the quality-filter stage
+    return _let(
+        tokens(text),
+        lambda t: F.aggregate(
+            t, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / F.size(t),
+    )
 
 
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
-    t = tokens(text)
-    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
-    return hits.cast("double") / F.size(t)
+    return _let(
+        tokens(text),
+        lambda t: F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast(
+            "double"
+        )
+        / F.size(t),
+    )
 
 
 def lang_scores(text: Column) -> list[tuple[str, Column]]:

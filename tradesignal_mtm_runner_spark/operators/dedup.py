@@ -38,9 +38,19 @@ def _fan_out(df: DataFrame) -> DataFrame:
 def exact_dedup_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """One row per distinct content: canonical (min) id, group size."""
+    """One row per distinct content: canonical (min) id, group size.
+
+    NULL text is UNKNOWN content, not equal content: md5(NULL) is NULL
+    and groupBy treats NULLs as equal, so failed-extraction docs were
+    collapsing into one "duplicate" group and exact_dedup silently
+    deleted all but one of them (review r12). Each null-text doc now
+    forms its own singleton group."""
+    content_hash = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("null-text:"), F.col(id_col).cast("string")),
+    )
     return (
-        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        df.select(F.col(id_col), content_hash.alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("canonical_id"),
@@ -157,6 +167,13 @@ def lsh_bands_from_wide(
     entries = []
     for b in range(num_bands):
         seeds = [i for i in range(num_hashes) if i % num_bands == b]
+        if not seeds:
+            # num_bands > num_hashes leaves this band seedless; the
+            # long form simply never produces it (seed % num_bands
+            # can't reach b). Emitting md5('') here instead gave every
+            # doc an IDENTICAL signature — one universal bucket and an
+            # O(n²) pair explosion (review r12).
+            continue
         sig = F.md5(F.concat_ws(",", *[F.col(f"m{i}") for i in seeds]))
         entries.append(F.struct(F.lit(b).alias("band"), sig.alias("band_sig")))
     return signatures_wide.select(
@@ -187,6 +204,27 @@ def lsh_bands(
     )
 
 
+def _drop_hot_buckets(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """The shared hot-bucket guard (review r12: previously copy-pasted
+    at four sites): persist ``df`` (the count branch and the consumer
+    branch share one computation of the expensive upstream pipeline),
+    find over-cap keys with a CHEAP COUNT aggregate, and LEFT ANTI
+    them away before any join/collect can materialize a degenerate
+    bucket. The cap counts ROWS by design — per-key aggregate state is
+    one long, never an id set (countDistinct would rebuild exactly the
+    O(B)-per-key state this guard exists to avoid); callers that feed
+    duplicated (key, id) rows — tolerated for pair correctness via
+    array_distinct — should size the cap for row multiplicity."""
+    df = persist_tracked(df)
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(*keys)
+    )
+    return df.join(hot, keys, "left_anti")
+
+
 def lsh_candidate_pairs(
     bands: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
 ) -> DataFrame:
@@ -211,14 +249,7 @@ def lsh_candidate_pairs(
     (band, band_sig, id) input rows (tolerated public API) from
     emitting self-pairs."""
     if max_bucket is not None:
-        bands = persist_tracked(bands)
-        hot = (
-            bands.groupBy("band", "band_sig")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket)
-            .select("band", "band_sig")
-        )
-        bands = bands.join(hot, ["band", "band_sig"], "left_anti")
+        bands = _drop_hot_buckets(bands, ["band", "band_sig"], max_bucket)
     buckets = bands.groupBy("band", "band_sig").agg(
         F.array_sort(F.array_distinct(F.collect_list(F.col(id_col)))).alias("_ids")
     )
@@ -374,14 +405,7 @@ def simhash_cross_pairs(
     by |probe bands| x max_bucket, never O(base x batch)."""
     base_bands = simhash_band_rows(sig_base, id_col)
     if max_bucket is not None:
-        base_bands = persist_tracked(base_bands)
-        hot = (
-            base_bands.groupBy("band", "val")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket)
-            .select("band", "val")
-        )
-        base_bands = base_bands.join(hot, ["band", "val"], "left_anti")
+        base_bands = _drop_hot_buckets(base_bands, ["band", "val"], max_bucket)
     probe_bands = simhash_band_rows(sig_probe, id_col)
     a = probe_bands.select(
         F.col(id_col).alias("probe_id"),
@@ -415,10 +439,15 @@ def simhash_near_dup_pairs(
     max_hamming: int = 8,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: 4 x 16-bit band blocking (a pair
-    within hamming<=8 of 64 bits must agree exactly on >=1 of the 4
-    blocks for hamming<=3-per-block corpora; in practice bands give
-    high recall at tiny cost), then exact hamming via bit_count(xor).
+    """Near-dup pairs by SimHash: 4 x 16-bit band blocking, then exact
+    hamming via bit_count(xor). Pigeonhole guarantees a shared band
+    only for hamming <= num_bands-1 = 3: with the default
+    max_hamming=8 a pair CAN differ in all four bands (e.g. 2 bits in
+    each) and is then never a candidate — the blocking is
+    deliberately recall-lossy above 3 (review r12: the old text
+    claimed a guarantee that does not hold); in practice real
+    near-dups concentrate their differing bits and band recall stays
+    high at tiny cost.
     Blocking is a band-keyed equi-join — never O(n^2) across the
     corpus, but a boilerplate-heavy crawl collapses near-identical
     docs onto identical 16-bit band values: ONE hot (band, val) of B
@@ -434,14 +463,7 @@ def simhash_near_dup_pairs(
     plan exploding (tests/test_scale_patterns.py plants a hot band)."""
     bands = simhash_band_rows(signatures, id_col)
     if max_bucket is not None:
-        bands = persist_tracked(bands)
-        hot = (
-            bands.groupBy("band", "val")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket)
-            .select("band", "val")
-        )
-        bands = bands.join(hot, ["band", "val"], "left_anti")
+        bands = _drop_hot_buckets(bands, ["band", "val"], max_bucket)
     a = bands.select(
         F.col(id_col).alias("id_a"),
         F.col("simhash_hi").alias("_hi_a"),
@@ -646,14 +668,7 @@ def write_simhash_band_index(
 
     bands = simhash_band_rows(sig)
     if max_bucket is not None:
-        bands = persist_tracked(bands)
-        hot = (
-            bands.groupBy("band", "val")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket)
-            .select("band", "val")
-        )
-        bands = bands.join(hot, ["band", "val"], "left_anti")
+        bands = _drop_hot_buckets(bands, ["band", "val"], max_bucket)
     write_bucketed(
         bands,
         table,

@@ -54,10 +54,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EXACT_SQL = """
-SELECT md5(text) AS content_hash,
+SELECT coalesce(md5(text), 'null-text:' || CAST(doc_id AS VARCHAR))
+         AS content_hash,
        min(doc_id) AS canonical_id,
        count(*) AS n_duplicates
-FROM documents GROUP BY md5(text)
+FROM documents
+GROUP BY coalesce(md5(text), 'null-text:' || CAST(doc_id AS VARCHAR))
 """
 
 

@@ -229,7 +229,10 @@ class HyperOptPnlCalculatorAdapter:
             buy_signal_dataframe=buy_signal_dataframe,
             sell_signal_dataframe=sell_signal_dataframe,
         )
-        if abs(result.pnl) < 1e-12:
+        # NaN pnl (no summary row — e.g. an empty signal frame) must
+        # ALSO be penalized: abs(nan) < eps is False, so the raw guard
+        # let NaN through to the optimizer (review r12)
+        if result.pnl != result.pnl or abs(result.pnl) < 1e-12:
             result.pnl = MIN_NUMERIC_VALUE
             result.max_drawdown = MAX_NUMERIC_VALUE
         return result
@@ -284,16 +287,33 @@ class TradeMtmRunner:
         run_start = int(time.time())
         merged = buy_signal_dataframe[["close", "buy"]].copy()
         merged["sell"] = sell_signal_dataframe["sell"]
+        # pandas index alignment writes NaN where the frames disagree
+        # on bars; the reference's `row.sell == 1` treats NaN as HOLD,
+        # but NaN would upcast the column to double and crash the
+        # bookkeeper's int64 cast executor-side (review r12) — make
+        # the no-signal semantics explicit here
+        for c in ("buy", "sell"):
+            merged[c] = (
+                pd.to_numeric(merged[c], errors="coerce")
+                .fillna(0)
+                .astype("int64")
+            )
         merged["timestamp"] = pd.to_datetime(merged.index)
         merged["symbol"] = symbol
         signals = self.spark.createDataFrame(
             merged[["symbol", "timestamp", "close", "buy", "sell"]]
         )
         out = self.calculate_distributed(signals)
+        # one persisted timeline serves BOTH the summary collect and
+        # the pnl_timeline toPandas (review r12: unpersisted, the
+        # per-symbol simulation ran once per consumer)
+        out = {**out, "timeline": out["timeline"].persist()}
         try:
             result = self._assemble(symbol, out)
         except Exception as err:  # surface typed strict-mode exceptions
             reraise_typed(err)
+        finally:
+            out["timeline"].unpersist()
         result.run_start_epoch = run_start
         result.run_end_epoch = int(time.time())
         return result
