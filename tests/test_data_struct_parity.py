@@ -203,3 +203,37 @@ def test_btree_keeps_zero_where_reference_loses_it():
         rbt.insert(0)
         rbt.insert(3)
         assert rbt.search(0) == "0 Not Found"  # the bug, pinned
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_indexed_list_duplicate_values_match_reference(seed):
+    """ADVICE r12: with DUPLICATE values the direct-bisection tree can
+    diverge from the reference's insert-by-midpoint build (equal
+    values route right past their bisection slot), so duplicate lists
+    replay the reference's insertion order. Pin shape identity and
+    every observable on duplicate-heavy sorted lists, including the
+    advisor's counterexample."""
+    ref = _ref_module()
+    if ref is None:
+        pytest.skip("reference package not importable")
+
+    cases = [[2, 3, 3, 4, 6, 6]]
+    rng = random.Random(seed)
+    for _ in range(6):
+        n = rng.randint(1, 60)
+        cases.append(sorted(rng.choice([rng.randint(0, 12), rng.randint(0, 400)])
+                            for _ in range(n)))
+    for lst in cases:
+        il_a, il_b = IndexedList(lst), ref.IndexedList(lst)
+        assert repr(il_a.node).replace(" ", "") == repr(il_b.node).replace(
+            " ", ""
+        ), lst
+        probes = sorted({v + d for v in lst for d in (0, 1, -1)} | {-5, 10**6})
+        for probe in probes:
+            na, sa = il_a.search_closet_value(probe)
+            nb, sb = il_b.search_closet_value(probe)
+            assert (na.org_inx, sa.value) == (nb.org_inx, sb.value), (lst, probe)
+            assert il_a.search_value_left(probe) == il_b.search_value_left(probe)
+            assert il_a.search_value_right(probe) == il_b.search_value_right(
+                probe
+            )

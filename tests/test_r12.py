@@ -154,3 +154,46 @@ def test_write_packed_shards_physical_order_matches_manifest(spark, tmp_path):
             "doc_id"
         ].to_pylist()
         assert physical == per_shard[shard], shard
+
+
+def test_pack_shards_null_text_counts_zero_tokens(spark, tmp_path):
+    """ADVICE r12: a failed-extraction doc (text IS NULL) must stay in
+    positional packing with n = 0 tokens — without the coalesce its
+    pack_id went NULL and the bijection silently lost exactly those
+    rows. Pin bijection + conservation on a planted corpus with NULL
+    and empty texts, and engine == oracle on the same table."""
+    import duckdb
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, None),
+        (2, ""),
+        (3, " ".join(f"w{i}" for i in range(50))),
+        (4, None),
+        (5, "one two"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = _df(spark, "corpus_pack_shards", sf=str(tmp_path)).collect()
+    ids = [int(x) for r in out for x in r["doc_ids"].split(",")]
+    assert sorted(ids) == [0, 1, 2, 3, 4, 5]
+    # NULL text = 0 tokens; '' trims/splits to [''] = 1 token (the
+    # documented tokens() contract), so totals are exact
+    assert sum(r["pack_tokens"] for r in out) == 4 + 0 + 1 + 50 + 0 + 2
+
+    from tradesignal_mtm_runner_spark.queries import ALL_ORACLES
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+        )
+        oracle = con.execute(ALL_ORACLES["corpus_pack_shards"]).df()
+    finally:
+        con.close()
+    from tests.conftest import assert_frames_match
+
+    spark_pd = _df(spark, "corpus_pack_shards", sf=str(tmp_path)).toPandas()
+    assert_frames_match(spark_pd, oracle, "corpus_pack_shards_null_text")

@@ -941,3 +941,18 @@ def test_pq_index_incremental_append(spark, tmp_path):
     assert appended_ids - {int(q["vec_id"]) for q in queries.collect()} <= {
         int(c) for c in res["corpus_id"]
     }
+
+
+def test_write_pq_index_rejects_append_mode(spark, tmp_path):
+    """ADVICE r12: write_pq_index(mode='append') would append a second
+    codebook generation to the sibling table, inflating num_k so
+    probe_pq_index mis-indexes the flattened ADC LUT — the writer now
+    refuses anything but overwrite and points at append_to_pq_index."""
+    import pytest as _pytest
+
+    from tradesignal_mtm_runner_spark.operators.similarity import write_pq_index
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(16)
+    with _pytest.raises(ValueError, match="append_to_pq_index"):
+        write_pq_index(emb, f"{tmp_path}/pq", mode="append")

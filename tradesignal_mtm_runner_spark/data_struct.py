@@ -10,12 +10,19 @@ Same observable behavior, different construction:
 - ``IndexedList._index_the_list`` builds the balanced midpoint tree
   DIRECTLY by recursive bisection of the (sorted) base list — O(N)
   and shape-identical to the reference's O(N log N) insert-one-by-one
-  loop, because inserting range midpoints in its DFS order lands each
-  node exactly at its bisection position. Descent over that tree is
-  range-bisection, so every (node, SearchResultType) result — which
-  neighbor an absent probe reports — matches the reference
-  bit-for-bit, including the shape-dependent predecessor-vs-successor
-  choice.
+  loop — when the keys are STRICTLY increasing, because inserting
+  range midpoints in its DFS order lands each node exactly at its
+  bisection position. With DUPLICATE keys the reference's comparison
+  routing (equal values go right) can carry a midpoint past its
+  bisection position, so for duplicate-bearing lists the build
+  replays the reference's insertion order (range midpoints,
+  right half first) through the same equal-goes-right insert —
+  shape-identical in both regimes (ADVICE r12; duplicate cases
+  pinned in tests/test_data_struct_parity.py). Descent over that
+  tree is plain BST search, so every (node, SearchResultType)
+  result — which neighbor an absent probe reports — matches the
+  reference bit-for-bit, including the shape-dependent
+  predecessor-vs-successor choice.
 - ``BTree.range_search`` prunes: it skips subtrees wholly outside
   [begin, end] (O(log N + k)) where the reference walks every node
   (O(N)); the returned in-order list is identical.
@@ -183,23 +190,51 @@ class IndexedList:
         self.node: Node | None = self._index_the_list()
 
     def _index_the_list(self) -> Node | None:
-        """Build the balanced midpoint tree by direct bisection: the
-        node for range [lo, hi) holds the range's midpoint element and
-        its subtrees index the two half-ranges — the same tree the
-        reference grows by inserting midpoints one at a time, built in
-        O(N) without any comparisons."""
+        """Build the balanced midpoint tree. Strictly-increasing keys
+        take the O(N) direct-bisection path: the node for range
+        [lo, hi) holds the range's midpoint element and its subtrees
+        index the two half-ranges — the same tree the reference grows
+        by inserting midpoints one at a time, built without any
+        comparisons. When the (sorted) keys contain DUPLICATES that
+        equivalence breaks — the reference's equal-goes-right insert
+        can route a duplicate midpoint past its bisection slot — so
+        the build replays the reference's insertion order instead:
+        each range yields its midpoint, then the right half-range,
+        then the left, and every element after the root goes through
+        the comparison-routed ``Node.insert`` (O(N log N), exactly
+        the reference's shape)."""
         lst, get = self._list, self.get_value_func
+        n = len(lst)
+        if n == 0:
+            return None
+        keys = [get(v) for v in lst]
+        if all(keys[i] < keys[i + 1] for i in range(n - 1)):
 
-        def build(lo: int, hi: int) -> Node | None:
+            def build(lo: int, hi: int) -> Node | None:
+                if lo >= hi:
+                    return None
+                mid = (lo + hi) // 2
+                node = Node(keys[mid], mid, lst[mid])
+                node._left = build(lo, mid)
+                node._right = build(mid + 1, hi)
+                return node
+
+            return build(0, n)
+
+        def midpoints(lo: int, hi: int):
             if lo >= hi:
-                return None
+                return
             mid = (lo + hi) // 2
-            node = Node(get(lst[mid]), mid, lst[mid])
-            node._left = build(lo, mid)
-            node._right = build(mid + 1, hi)
-            return node
+            yield mid
+            yield from midpoints(mid + 1, hi)
+            yield from midpoints(lo, mid)
 
-        return build(0, len(lst))
+        order = midpoints(0, n)
+        root_inx = next(order)
+        root = Node(keys[root_inx], root_inx, lst[root_inx])
+        for inx in order:
+            root.insert(keys[inx], inx, lst[inx])
+        return root
 
     def search_closet_value(self, value: Any) -> Tuple[Node | None, SearchResultType]:
         if self.node is None:

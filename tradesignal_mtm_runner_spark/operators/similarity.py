@@ -949,7 +949,20 @@ def write_pq_index(
     prune BY — ADC scoring scans every code row by design; the
     compression (M small ints per vector vs dim x 8 bytes) IS the
     index. What matters at 100 TB is even file sizes on the code
-    relation, which the encode pass's fan-out already provides."""
+    relation, which the encode pass's fan-out already provides.
+
+    ``mode`` must stay 'overwrite': a write_pq_index(mode='append')
+    would retrain and APPEND a second codebook generation to the
+    sibling table, silently inflating num_k so every later probe
+    mis-indexes the flattened ADC LUT (ADVICE r12). Incremental
+    ingest goes through ``append_to_pq_index``, which encodes against
+    the frozen codebooks and appends only code rows."""
+    if mode != "overwrite":
+        raise ValueError(
+            "write_pq_index only supports mode='overwrite' (a rebuild "
+            "retrains the codebooks); use append_to_pq_index for "
+            f"incremental ingest, got mode={mode!r}"
+        )
     books, sub = pq_codebooks(corpus, id_col, vec_col, num_subspaces, num_codes)
     enc = pq_encode(
         _fan_out(corpus), books, sub, id_col, vec_col, round_digits

@@ -29,8 +29,17 @@ def pack_shard_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per doc with (shard, doc_id, n, shard_pos, pack_id). Both
     window expressions (in-shard position + running token offset)
     share the shard partitioning and (perm, doc_id) order, so they
-    cost ONE exchange together."""
-    n = F.size(TX.tokens(F.col("text"))).cast("long")
+    cost ONE exchange together.
+
+    NULL text (failed extraction — the same population the r12
+    dedup_exact fix acknowledges) counts as 0 tokens: without the
+    coalesce, size(split(trim(NULL))) is NULL, the running offset and
+    pack_id go NULL, and those docs silently drop out of positional
+    packing — the bijection/token-conservation invariants would fail
+    for exactly the rows hardest to notice (ADVICE r12). The oracle
+    mirrors the coalesce; a NULL-text row is pinned in
+    tests/test_r12.py."""
+    n = F.coalesce(F.size(TX.tokens(F.col("text"))).cast("long"), F.lit(0).cast("long"))
     perm = _perm(F.col("doc_id"))
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -88,7 +97,8 @@ def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_PACK_SHARDS_SQL = f"""
 WITH d AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n,
+         COALESCE(CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT),
+                  0) AS n,
          ({PERM_A} * (doc_id % {PERM_P}) + {PERM_B}) % {PERM_P} AS perm
   FROM documents
 ),
