@@ -23,7 +23,9 @@ from .queries_pipeline_extras import PACK_CONTEXT
 from .queries_r11 import N_SHARDS, PERM_A, PERM_B, PERM_P, _perm
 
 
-def pack_shard_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_shard_rows(
+    spark: SparkSession, sf_dir: str, num_shards: int = N_SHARDS
+) -> DataFrame:
     """The per-doc pack assignment feeding both the manifest query and
     the physical writer (operators/layout.write_packed_shards): one
     row per doc with (shard, doc_id, n, shard_pos, pack_id). Both
@@ -45,7 +47,7 @@ def pack_shard_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         n.alias("n"),
         perm.alias("perm"),
-        (perm % N_SHARDS).cast("long").alias("shard"),
+        (perm % num_shards).cast("long").alias("shard"),
     )
     w = Window.partitionBy("shard").orderBy("perm", "doc_id")
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
