@@ -1,0 +1,344 @@
+"""Round-13 batch: STREAMING shard packing — the admission twin of
+``corpus_pack_shards`` (VERDICT r12 item 3), closing the last
+batch/stream asymmetry in the C64–C66 family.
+
+The split of labor is the production one: the GLOBAL SHUFFLE (C64) is
+inherently a batch operation — a permutation needs the whole id domain
+— but everything after it is streamable, because shard assignment is
+ROW-LOCAL (pure perm arithmetic) and the only cross-row state the
+packing needs is one running token offset PER SHARD. That state is a
+≤ num_shards-row table, persisted per micro-batch with the
+foreachBatch exactly-once recipe (state and output paths derive from
+batch_id alone, so a retried batch recomputes byte-identical results —
+the stream_upsert convention), NOT a state store: stateOperators stays
+empty and streaming memory is bounded by one micro-batch for any
+stream lifetime.
+
+Replay contract: when the stream delivers docs in the shuffled
+(perm) order — the loader-feed scenario, staged here as perm-range
+slice files — the incrementally appended packs equal the batch
+``corpus_pack_shards`` manifest EXACTLY (the oracle; pinned
+multi-batch in tests/test_streaming.py). For an arbitrary arrival
+order the machinery still packs correctly (token conservation, pack
+bounds), but pack composition is arrival-dependent — inherent to any
+incremental packer, documented rather than hidden.
+
+No counterpart in the pandas reference (reference runner_mtm.py:71);
+this is the LLM-data-pipeline surface the build brief adds on top.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os as _os
+import time as _time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .cache_registry import tracked_mkdtemp
+from .functions import text as TX
+from .queries_pipeline import _docs
+from .queries_pipeline_extras import PACK_CONTEXT
+from .queries_r11 import N_SHARDS, PERM_P, _perm
+from .queries_r12 import CORPUS_PACK_SHARDS_SQL
+
+#: replay micro-batches for the staged perm-ordered stream
+PACK_STREAM_BATCHES = 3
+
+_SEG_SCHEMA = (
+    "shard long, pack_id long, n_docs long, pack_tokens long, "
+    "doc_ids string, batch_seq long"
+)
+_OUT_SCHEMA = (
+    "shard long, pack_id long, n_docs long, pack_tokens long, doc_ids string"
+)
+
+
+def _latest_offsets(spark: SparkSession, state_root: str, batch_id: int):
+    """The committed per-shard running totals: the newest state
+    generation written by a batch BEFORE this one (a retried batch
+    must not read its own crashed leftovers). ≤ num_shards rows."""
+    gens = sorted(
+        int(_os.path.basename(p)[1:])
+        for p in _glob.glob(_os.path.join(state_root, "b*"))
+        if _os.path.basename(p)[1:].isdigit()
+    )
+    prior = [g for g in gens if g < batch_id]
+    if not prior:
+        return None
+    return spark.read.schema("shard long, tok_offset long").parquet(
+        _os.path.join(state_root, f"b{prior[-1]:05d}")
+    )
+
+
+def pack_stream_batch(state_root: str, out_root: str):
+    """The foreachBatch packer. Per micro-batch: (1) row-local
+    shard/perm/token-count projection, (2) ONE shard-partitioned
+    window for the in-batch running offset (the C66 plan shape,
+    batch-confined), (3) broadcast-join the ≤ num_shards-row
+    committed offsets, (4) append this batch's pack SEGMENTS to
+    ``out_root/b<batch_id>`` and the new cumulative offsets to
+    ``state_root/b<batch_id>`` — both overwrite-by-batch_id, so a
+    RETRY recomputes identical bytes (exactly-once downstream).
+    Production note: state generations are GC'd by keeping the last
+    two (the prior gen is the retry fallback); the replay here is
+    bounded so the sweep is a docstring, not code."""
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        n = F.coalesce(
+            F.size(TX.tokens(F.col("text"))).cast("long"),
+            F.lit(0).cast("long"),
+        )
+        perm = _perm(F.col("doc_id").cast("long"))
+        d = batch_df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            n.alias("n"),
+            perm.alias("perm"),
+            (perm % N_SHARDS).cast("long").alias("shard"),
+        )
+        w = Window.partitionBy("shard").orderBy("perm", "doc_id")
+        wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d = d.select(
+            "shard",
+            "doc_id",
+            "n",
+            F.row_number().over(w).cast("long").alias("bpos"),
+            (F.sum("n").over(wc) - F.col("n")).alias("bstart"),
+        ).persist()
+        try:
+            prev = _latest_offsets(s, state_root, batch_id)
+            if prev is not None:
+                d2 = d.join(F.broadcast(prev), "shard", "left").withColumn(
+                    "tok_offset", F.coalesce(F.col("tok_offset"), F.lit(0))
+                )
+            else:
+                d2 = d.withColumn("tok_offset", F.lit(0).cast("long"))
+            packed = d2.withColumn(
+                "pack_id",
+                F.floor(
+                    (F.col("tok_offset") + F.col("bstart"))
+                    / F.lit(float(PACK_CONTEXT))
+                ).cast("long"),
+            )
+            ordered = F.transform(
+                F.sort_array(F.collect_list(F.struct("bpos", "doc_id"))),
+                lambda el: el["doc_id"].cast("string"),
+            )
+            segs = (
+                packed.groupBy("shard", "pack_id")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.sum("n").cast("long").alias("pack_tokens"),
+                    F.array_join(ordered, ",").alias("doc_ids"),
+                )
+                .withColumn("batch_seq", F.lit(batch_id).cast("long"))
+            )
+            segs.write.mode("overwrite").parquet(
+                _os.path.join(out_root, f"b{batch_id:05d}")
+            )
+            # new cumulative offsets: prior totals + this batch's per-
+            # shard token mass, carried forward for untouched shards
+            btot = d.groupBy("shard").agg(F.sum("n").alias("bt"))
+            if prev is not None:
+                newoff = (
+                    prev.join(btot, "shard", "full_outer")
+                    .select(
+                        "shard",
+                        (
+                            F.coalesce(F.col("tok_offset"), F.lit(0))
+                            + F.coalesce(F.col("bt"), F.lit(0))
+                        )
+                        .cast("long")
+                        .alias("tok_offset"),
+                    )
+                )
+            else:
+                newoff = btot.select(
+                    "shard", F.col("bt").cast("long").alias("tok_offset")
+                )
+            newoff.coalesce(1).write.mode("overwrite").parquet(
+                _os.path.join(state_root, f"b{batch_id:05d}")
+            )
+        finally:
+            d.unpersist()
+
+    return _fn
+
+
+def _staged_perm_stream(spark: SparkSession, docs: DataFrame, prefix: str):
+    """Stage the corpus as a perm-ORDERED finite replay: slice the id
+    domain by perm range (slice = perm // ceil(P / k) — ROW-LOCAL, no
+    global sort even at staging), one file per slice with ascending
+    mtimes + names, maxFilesPerTrigger=1 → one micro-batch per slice,
+    arriving in shuffled-corpus order. Returns (stream, n_batches) or
+    (None, 0) on an empty corpus."""
+    root = tracked_mkdtemp(prefix)
+    span = -(-PERM_P // PACK_STREAM_BATCHES)  # ceil
+    sliced = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).withColumn(
+        "slice",
+        F.floor(_perm(F.col("doc_id")) / F.lit(span)).cast("int"),
+    )
+    stream_dir = _os.path.join(root, "stream")
+    _os.makedirs(stream_dir)
+    now = _time.time()
+    n_files = 0
+    for i in range(PACK_STREAM_BATCHES):
+        part_dir = _os.path.join(root, f"slice{i}")
+        (
+            sliced.filter(F.col("slice") == i)
+            .drop("slice")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        files = _glob.glob(_os.path.join(part_dir, "*.parquet"))
+        if not files:
+            continue
+        dst = _os.path.join(stream_dir, f"d{n_files:04d}.parquet")
+        _os.link(files[0], dst)
+        _os.utime(dst, (now - 100 + n_files, now - 100 + n_files))
+        n_files += 1
+    if n_files == 0:
+        return None, 0
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir),
+        n_files,
+    )
+
+
+def corpus_pack_shards_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C67: ``corpus_pack_shards`` under ``readStream`` — continual
+    ingest appends loader-ready packs WITHOUT re-packing the corpus.
+    Each micro-batch extends the persisted per-shard token-offset
+    table (≤ num_shards rows — the stream's only cross-batch state,
+    on disk, not in a state store) and appends its pack segments;
+    the manifest read merges segments per (shard, pack) in batch
+    order. A pack spanning a batch boundary is REAL and handled: its
+    segments concatenate in batch_seq order. Replay == the batch C66
+    manifest (the oracle) because the staged replay delivers docs in
+    perm order; stateOperators-empty + multi-batch equality + retry
+    idempotence pinned in tests/test_streaming.py."""
+    from .streaming import await_or_raise
+
+    docs = _docs(spark, sf_dir)
+    stream, n_files = _staged_perm_stream(spark, docs, "pack_stream_")
+    if stream is None:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+
+    base = tracked_mkdtemp("pack_stream_out_")
+    out_root = _os.path.join(base, "segments")
+    state_root = _os.path.join(base, "offsets")
+    _os.makedirs(out_root)
+    _os.makedirs(state_root)
+
+    q = (
+        stream.writeStream.foreachBatch(pack_stream_batch(state_root, out_root))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .start()
+    )
+    await_or_raise(q)
+    return read_packed_segments(spark, out_root)
+
+
+def read_packed_segments(spark: SparkSession, out_root: str) -> DataFrame:
+    """Merge the appended pack segments into the loader manifest:
+    segments of the same (shard, pack) — a pack can span micro-batches
+    — concatenate in batch_seq order (batch order IS perm order in
+    the replay). Shaped exactly like ``corpus_pack_shards``."""
+    has_files = any(
+        f.endswith(".parquet")
+        for _, _, files in _os.walk(out_root)
+        for f in files
+    )
+    if not has_files:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    segs = (
+        spark.read.schema(_SEG_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(out_root)
+    )
+    joined = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("batch_seq", "doc_ids"))),
+            lambda el: el["doc_ids"],
+        ),
+        ",",
+    )
+    return (
+        segs.groupBy("shard", "pack_id")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("pack_tokens").cast("long").alias("pack_tokens"),
+            joined.alias("doc_ids"),
+        )
+        .select("shard", "pack_id", "n_docs", "pack_tokens", "doc_ids")
+    )
+
+
+def multimodal_mpeg1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C68: COMPRESSED-video decode, fully real — the package's last
+    media stub converted into a working path (VERDICT r12 item 5).
+    The video-id subset of ``documents`` gets a REAL MPEG-1 intra-only
+    elementary stream (operators/mpeg1.py: sequence/GOP/picture/slice
+    headers, macroblock walk, DC-differential + run/level VLC entropy
+    coding, spec dequant with oddification, IDCT — the same machinery
+    family as the JPEG codec, which is exactly why MPEG-1 I-frames
+    were the right codec to ship pure-numpy); the feature pass decodes
+    every frame back and emits per-clip frame count, dimensions and
+    gray mean. Frames are block-constant per macroblock, so the DCT
+    has only a DC coefficient and the round trip is BIT-exact — the
+    oracle restates the means from the closed-form gray formula with
+    no codec at all. Synthesis and decode both ride one Arrow
+    mapInPandas pass, no shuffle."""
+    from .operators.multimodal import (
+        attach_mpeg1_video_payloads,
+        extract_mpeg1_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return extract_mpeg1_stats(attach_mpeg1_video_payloads(docs)).select(
+        "doc_id", "n_frames", "width", "height", "mean_gray"
+    )
+
+
+MULTIMODAL_MPEG1_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 4 + 2 AS INT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 1
+),
+fr AS (
+  SELECT d.doc_id, d.n_frames, f.f
+  FROM d JOIN generate_series(0, 5) AS f(f) ON f.f < d.n_frames
+),
+px AS (
+  SELECT doc_id, n_frames,
+         (17 + 7 * doc_id + 11 * f) % 256 AS gl,
+         ((17 + 7 * doc_id + 11 * f) % 256 + 64) % 256 AS gr
+  FROM fr
+)
+SELECT doc_id, n_frames,
+       CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
+       round(avg((gl + gr) / 2.0), 9) AS mean_gray
+FROM px
+GROUP BY doc_id, n_frames
+"""
+
+
+R13_QUERIES: dict = {
+    "corpus_pack_shards_stream": corpus_pack_shards_stream,
+    "multimodal_mpeg1": multimodal_mpeg1,
+}
+
+R13_ORACLES: dict = {
+    # replay == batch C66: the streamed pack segments must merge to the
+    # identical manifest
+    "corpus_pack_shards_stream": CORPUS_PACK_SHARDS_SQL,
+    "multimodal_mpeg1": MULTIMODAL_MPEG1_SQL,
+}
