@@ -63,12 +63,14 @@ def test_garbage_and_truncated_bytes_are_null_not_error():
     assert parse_media_header(b"\xff\xd8\xff\xe0\x00\x10JF") == ("jpeg", None, None)
 
 
-def test_pixel_decode_non_image_remains_explicit_stub():
-    # audio/video still have no codec in this container; a header-only
-    # JPEG (no scan) now routes to the real codec and is malformed
+def test_pixel_decode_unknown_codec_is_explicit():
+    # a header-only JPEG (no scan) routes to the real codec and is
+    # malformed; bytes outside every shipped codec raise a clear error
+    # (r13: the former NotImplementedError video stub is now the real
+    # MPEG-1 intra path — see test_mpeg1_* below)
     with pytest.raises(ValueError):
         decode_pixels(_jpeg(2, 2), "image")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="no codec"):
         decode_pixels(b"opaque audio bytes", "audio")
 
 
@@ -1034,3 +1036,180 @@ def test_avi_rec_nesting_depth_bomb_is_rejected():
     # spec-legal single-level grouping still decodes (the bound is a
     # cap on adversarial nesting, not on the interleave convention)
     assert decode_avi_mjpeg(_wrap_movi_in_rec(blob, group=1)) == frames
+
+
+# --- MPEG-1 intra-only video codec (r13: the last media stub made real) ------
+
+
+def _mpeg_frames(specs):
+    """Frames from [(g_left, g_right), ...] — two 16x16 macroblocks."""
+    import numpy as np
+
+    out = np.zeros((len(specs), 16, 32, 3), np.uint8)
+    for f, (gl, gr) in enumerate(specs):
+        out[f, :, :16] = gl
+        out[f, :, 16:] = gr
+    return out
+
+
+def test_mpeg1_block_constant_roundtrip_bit_exact():
+    """Block-constant frames are DC-only; the DC quant step is exactly
+    8 regardless of quantizer_scale, so the round trip is BIT-exact —
+    the closed-form oracle path. Covers multi-frame streams and the
+    cross-macroblock DC differential predictor."""
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.mpeg1 import (
+        decode_mpeg1,
+        encode_mpeg1_iframes,
+    )
+
+    frames = _mpeg_frames([(0, 255), (17, 81), (240, 48), (128, 128)])
+    for qs in (1, 8, 31):
+        dec = decode_mpeg1(encode_mpeg1_iframes(frames, quantizer_scale=qs))
+        assert dec.shape == (4, 16, 32, 3)
+        assert np.array_equal(dec, frames), qs
+
+
+def test_mpeg1_gray_roundtrip_tolerance_property():
+    """Arbitrary grayscale frames round-trip within the intra quant
+    error bound at quantizer_scale=1 (gray kills the 4:2:0 chroma
+    loss, leaving pure DCT quantization — the JPEG ±2 convention,
+    wider here because MPEG's default intra matrix reaches 83 vs
+    JPEG's all-ones test matrix)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tradesignal_mtm_runner_spark.operators.mpeg1 import (
+        decode_mpeg1,
+        encode_mpeg1_iframes,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.integers(0, 2**31 - 1))
+    def run(seed):
+        rng = np.random.default_rng(seed)
+        g = rng.integers(0, 256, (1, 16, 16, 1), np.uint8).repeat(3, axis=3)
+        dec = decode_mpeg1(encode_mpeg1_iframes(g, quantizer_scale=1))
+        assert int(np.abs(dec.astype(int) - g.astype(int)).max()) <= 10
+
+    run()
+
+
+def test_mpeg1_mb_constant_color_roundtrip_tight():
+    """Per-macroblock constant COLOR: 4:2:0 subsampling is lossless on
+    flat chroma, so only color-transform + DC rounding remains (±2)."""
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.mpeg1 import (
+        decode_mpeg1,
+        encode_mpeg1_iframes,
+    )
+
+    rng = np.random.default_rng(7)
+    fr = np.zeros((2, 32, 32, 3), np.uint8)
+    for f in range(2):
+        for my in range(2):
+            for mx in range(2):
+                fr[f, my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                    rng.integers(0, 256, 3)
+                )
+    dec = decode_mpeg1(encode_mpeg1_iframes(fr, quantizer_scale=1))
+    assert int(np.abs(dec.astype(int) - fr.astype(int)).max()) <= 2
+
+
+def test_mpeg1_escape_coding_roundtrip():
+    """High-frequency / large-level coefficients fall outside the
+    implemented Table B.5 subset and must flow through the spec ESCAPE
+    mechanism (6-bit run + 8/16-bit level) — a checkerboard puts all
+    its energy in the highest-frequency coefficient (run 62), and a
+    strong one needs the double-byte level form."""
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.mpeg1 import (
+        decode_mpeg1,
+        encode_mpeg1_iframes,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    board = np.where((xx + yy) % 2 == 0, 255, 0).astype(np.uint8)
+    fr = np.stack([np.stack([board] * 3, axis=-1)])
+    dec = decode_mpeg1(encode_mpeg1_iframes(fr, quantizer_scale=1))
+    err = np.abs(dec.astype(int) - fr.astype(int))
+    # extreme content: quant error is large but structure must survive
+    got = dec[0, :, :, 0].astype(int)
+    assert (got[(xx + yy) % 2 == 0] > 128).mean() > 0.95
+    assert (got[(xx + yy) % 2 == 1] < 128).mean() > 0.95
+    assert err.max() <= 96
+
+
+def test_mpeg1_rejects_malformed_and_bombs():
+    import numpy as np
+    import pytest as _pytest
+
+    from tradesignal_mtm_runner_spark.operators.mpeg1 import (
+        _Bits,
+        decode_mpeg1,
+        encode_mpeg1_iframes,
+    )
+
+    frames = _mpeg_frames([(10, 20)])
+    good = encode_mpeg1_iframes(frames)
+
+    with _pytest.raises(ValueError, match="sequence header"):
+        decode_mpeg1(b"\x00\x00\x01\xb7")
+    with _pytest.raises(ValueError, match="ended early|sequence_end"):
+        decode_mpeg1(good[:-8])
+    # dimension bomb: caps BEFORE allocation
+    w = _Bits()
+    w.put(4080, 12)
+    w.put(4080, 12)
+    w.put(1, 4)
+    w.put(3, 4)
+    w.put((1 << 18) - 1, 18)
+    w.put(1, 1)
+    w.put(0, 10)
+    w.put(0, 3)
+    with _pytest.raises(ValueError, match="max_pixels"):
+        decode_mpeg1(b"\x00\x00\x01\xb3" + w.bytes() + good[12:], max_pixels=1 << 20)
+    # P-picture rejected: flip picture_coding_type in the picture header
+    pic = good.find(b"\x00\x00\x01\x00")
+    hdr = bytearray(good)
+    # temporal_reference(10) then type(3): type bits live in byte 5 of
+    # the picture unit (bits 10-12 after the 4-byte start code)
+    hdr[pic + 5] = (hdr[pic + 5] & 0b11000111) | (2 << 3)  # type P
+    with _pytest.raises(ValueError, match="I-pictures"):
+        decode_mpeg1(bytes(hdr))
+    # non-macroblock-aligned size
+    w2 = _Bits()
+    w2.put(24, 12)
+    w2.put(16, 12)
+    w2.put(1, 4)
+    w2.put(3, 4)
+    w2.put((1 << 18) - 1, 18)
+    w2.put(1, 1)
+    w2.put(0, 10)
+    w2.put(0, 3)
+    with _pytest.raises(ValueError, match="aligned"):
+        decode_mpeg1(b"\x00\x00\x01\xb3" + w2.bytes() + good[12:])
+    # encoder-side validation
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        encode_mpeg1_iframes(np.zeros((1, 8, 8, 3), np.uint8))
+    with _pytest.raises(ValueError, match="quantizer_scale"):
+        encode_mpeg1_iframes(frames, quantizer_scale=0)
+
+
+def test_mpeg1_decode_pixels_routes_first_frame():
+    """decode_pixels now routes MPEG-1 streams to the real codec (the
+    former NotImplementedError stub) and returns the FIRST frame."""
+    import numpy as np
+
+    from tradesignal_mtm_runner_spark.operators.mpeg1 import (
+        encode_mpeg1_iframes,
+    )
+
+    frames = _mpeg_frames([(100, 200), (50, 60)])
+    px = decode_pixels(encode_mpeg1_iframes(frames), "video")
+    assert px.shape == (16, 32, 3)
+    assert np.array_equal(px, frames[0])

@@ -14,10 +14,14 @@ verification, inflate, scanline unfiltering for all five filter
 types); baseline-sequential JPEG decodes via the pure-numpy codec in
 ``operators/jpeg.py`` (Huffman entropy decode, dequant, IDCT, chroma
 upsampling); WAV/PCM audio decodes via ``operators/wav.py`` (RIFF
-chunk walk, bit-exact integer samples). Only compressed-video sample
-decode remains behind ``NotImplementedError`` because no video codec
-ships in this container; plugging pyav into ``decode_pixels`` changes
-nothing about the Spark plumbing around it.
+chunk walk, bit-exact integer samples); compressed video decodes via
+``operators/mpeg1.py`` (MPEG-1 intra-only elementary streams — 8x8
+DCT + VLC + dequant, the same machinery family as the JPEG codec), so
+every media family the header parser recognizes now has a real
+byte-level pixel/sample path. Codecs beyond the shipped set
+(H.26x/AAC/...) raise a plain ValueError at ``decode_pixels``;
+plugging pyav in there changes nothing about the Spark plumbing
+around it.
 """
 
 from __future__ import annotations
@@ -358,9 +362,12 @@ def decode_pixels(payload: bytes, media_type: str):
     """Full pixel/sample decode to an (h, w, 3) uint8 array. PNG
     decodes via the stdlib-zlib codec above; baseline-sequential JPEG
     via the pure-numpy codec in ``operators/jpeg.py`` (Huffman + IDCT,
-    grayscale/4:4:4/4:2:0). Audio/video samples have no codec in this
-    container — plug soundfile / pyav here (the Spark plumbing around
-    this hook is identical either way)."""
+    grayscale/4:4:4/4:2:0); MPEG-1 intra-only video via
+    ``operators/mpeg1.py`` (first frame — the multi-frame form is
+    ``mpeg1.decode_mpeg1``); WAV/PCM audio via operators/wav.py
+    (extract_audio_stats). Formats outside the shipped codecs
+    (H.26x/AAC/...) raise here — plug pyav/soundfile in at this hook;
+    the Spark plumbing around it is identical either way."""
     b = bytes(payload)
     if b[:8] == _PNG_SIG:
         return decode_png_rgb(b)
@@ -372,10 +379,15 @@ def decode_pixels(payload: bytes, media_type: str):
         from .gif import decode_gif_rgb
 
         return decode_gif_rgb(b, max_pixels=MAX_DECODE_PIXELS)
-    raise NotImplementedError(
-        f"no {media_type} codec installed; WAV/PCM audio decodes via "
-        "operators/wav.py (extract_audio_stats); integrate pyav here "
-        "for compressed video"
+    if b[:4] == b"\x00\x00\x01\xb3":
+        from .mpeg1 import decode_mpeg1
+
+        return decode_mpeg1(b, max_pixels=MAX_DECODE_PIXELS)[0]
+    raise ValueError(
+        f"no codec for this {media_type} payload (magic {b[:4]!r}); "
+        "shipped codecs: PNG, baseline JPEG, GIF, MPEG-1 intra video, "
+        "RIFF/WAV PCM — integrate pyav here for anything compressed "
+        "beyond those"
     )
 
 
@@ -891,6 +903,101 @@ def _sniff_format(payload: bytes) -> str:
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     return "jpeg"
+
+
+#: MPEG-1 demo geometry: two macroblocks side by side so every frame
+#: exercises macroblock iteration AND DC differential prediction
+#: (the second MB's DC is coded relative to the first's).
+MPEG1_W, MPEG1_H = 32, 16
+
+
+def _mpeg1_grays(doc_id: int, frame: int) -> tuple[int, int]:
+    """Closed-form (left MB, right MB) grays — deliberately a DIFFERENT
+    formula from the AVI/MJPEG family's frame_pixels so a crossed-up
+    decode route cannot pass the oracle."""
+    gl = (17 + 7 * doc_id + 11 * frame) % 256
+    return gl, (gl + 64) % 256
+
+
+def attach_mpeg1_video_payloads(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """A REAL MPEG-1 intra-only elementary stream per video doc
+    (operators/mpeg1.py): 2-5 frames of 32x16 gray, each frame two
+    block-constant macroblocks. Block-constant frames are DC-only, so
+    the codec round-trips them BIT-exactly and the oracle is the
+    closed-form gray formula — the C35/C39 convention applied to the
+    last media family that was still a stub."""
+    from .mpeg1 import encode_mpeg1_iframes
+
+    subset = docs.filter(F.col(id_col) % 3 == 1).select(
+        F.col(id_col).cast("long").alias("doc_id")
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                n = int(i % 4 + 2)
+                frames = np.zeros((n, MPEG1_H, MPEG1_W, 3), dtype=np.uint8)
+                for f in range(n):
+                    gl, gr = _mpeg1_grays(int(i), f)
+                    frames[f, :, :16] = gl
+                    frames[f, :, 16:] = gr
+                payloads.append(encode_mpeg1_iframes(frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return subset.mapInPandas(_synth, schema)
+
+
+#: output schema of extract_mpeg1_stats — stable driver-facing contract
+MPEG1_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_gray", DoubleType()),
+    ]
+)
+
+
+def extract_mpeg1_stats(assets: DataFrame) -> DataFrame:
+    """Decode every frame of each MPEG-1 payload (sequence header +
+    picture/slice walk, VLC entropy decode, dequant + oddification,
+    IDCT) and emit per-clip frame count, dimensions and overall gray
+    mean. Arrow-batched ``mapInPandas``, no shuffle — the decode bill
+    scales with payload frames, partitioned like any other column."""
+    from .mpeg1 import decode_mpeg1
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fr = decode_mpeg1(payload, max_pixels=MAX_DECODE_PIXELS)
+                n, h, w, _ = fr.shape
+                rows.append(
+                    (
+                        int(doc_id),
+                        n,
+                        w,
+                        h,
+                        round(float(fr[:, :, :, 0].astype(np.float64).mean()), 9),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "width", "height", "mean_gray"],
+            )
+
+    return assets.mapInPandas(_stats, MPEG1_STATS_SCHEMA)
 
 
 #: output schema of extract_audio_stats — stable driver-facing contract
