@@ -114,6 +114,12 @@ HEADLINERS = [
     "events_seasonality",
     # round-12 pipeline surface: loader-ready shard packing
     "corpus_pack_shards",
+    # round-13 surface: streaming shard packing (the C66 admission
+    # twin — staging + replay + per-batch offset merges, timed whole)
+    # and the MPEG-1 intra video codec path (synthesize + decode a
+    # real elementary stream for every video id at the bench SF)
+    "corpus_pack_shards_stream",
+    "multimodal_mpeg1",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput
@@ -425,6 +431,26 @@ def main() -> None:
             "bench_idx.cc_labels",
             "bench_idx.cc_best",
             max_hamming=SIMHASH_MAX_HAMMING,
+        ),
+    )
+
+    from tradesignal_mtm_runner_spark.operators.lexical import (
+        probe_bm25_index,
+        write_bm25_index,
+    )
+    from tradesignal_mtm_runner_spark.queries_r8 import BM25_QUERIES, BM25_TOPK
+
+    def _build_bm25() -> None:
+        # once-per-corpus half: tokenize + persist postings/df/stats
+        write_bm25_index(
+            docs.filter(F.col("doc_id") % 4 != 0), "bench_idx.bm25_idx"
+        )
+
+    _time_probe(
+        "index_probe_bm25",
+        _build_bm25,
+        lambda: probe_bm25_index(
+            spark, BM25_QUERIES, "bench_idx.bm25_idx", k=BM25_TOPK
         ),
     )
 

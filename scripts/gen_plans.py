@@ -89,6 +89,7 @@ SNAPSHOT = [
     ("user_rfm_segments", "one user agg + 9-number threshold broadcast, no global NTILE"),
     ("events_seasonality", "one corpus agg to the 168-cell grid; windows on the grid"),
     ("corpus_pack_shards", "one shard window (position + running offset) + prefix-keyed pack agg"),
+    ("multimodal_mpeg1", "one Arrow mapInPandas pass (MPEG-1 synth + full-frame decode), no shuffle"),
 ]
 
 

@@ -817,6 +817,12 @@ from .queries_r12 import R12_ORACLES, R12_QUERIES  # noqa: E402
 EXTRA_QUERIES.update(R12_QUERIES)
 EXTRA_ORACLES.update(R12_ORACLES)
 
+# round-13 batch: streaming shard packing (the C66 admission twin)
+from .queries_r13 import R13_ORACLES, R13_QUERIES  # noqa: E402
+
+EXTRA_QUERIES.update(R13_QUERIES)
+EXTRA_ORACLES.update(R13_ORACLES)
+
 # --- round-5 driver-window rotation (VERDICT r4, next-round item 1) ---------
 # The driver CORRECTNESS harness only ever sees the first 50 queries();
 # everything else is verified by the identical DuckDB harness in pytest.
@@ -1143,6 +1149,39 @@ ROTATED_IN_R12 = (
     # construction; the never-driver-verified queue is EMPTY again
     "corpus_pack_shards",
 )
+ROTATED_OUT_R13 = (
+    # two-round-green r11-rotation cohort (driver-green r11 + r12);
+    # every rotated-out shape keeps an in-window or pytest twin:
+    # pca_topk → embedding_pca_power (in-window) + pytest oracle,
+    # keep_best/pagerank/basket → the simhash/CC and agg families
+    # still in-window + their own pytest oracles
+    "embedding_pca_topk",
+    "copurchase_pagerank",
+    "dedup_keep_best",
+    "basket_pairs",
+    "token_zipf_fit",
+    "doc_char_entropy",
+    "boilerplate_segments",
+    "retention_cohort",
+    "user_transition_matrix",
+    "events_anomaly_mad",
+)
+ROTATED_IN_R13 = (
+    # second-pass refresh (VERDICT r12 item 4): the r5–r8 cohort whose
+    # only driver exposure is now ≥4 rounds old
+    "contamination_check",
+    "corpus_filter_pipeline",
+    "dedup_substring",
+    "dedup_semantic",
+    "tech_indicators",
+    "stream_join",
+    "stream_session",
+    "mtm_sweep_stream",
+    # r13's own registrants take their exposure the same round (the
+    # standing pattern; integer/string/rounded-double outputs only)
+    "corpus_pack_shards_stream",
+    "multimodal_mpeg1",
+)
 for _out, _in in (
     (ROTATED_OUT_R5, ROTATED_IN_R5),
     (ROTATED_OUT_R6, ROTATED_IN_R6),
@@ -1152,6 +1191,7 @@ for _out, _in in (
     (ROTATED_OUT_R10, ROTATED_IN_R10),
     (ROTATED_OUT_R11, ROTATED_IN_R11),
     (ROTATED_OUT_R12, ROTATED_IN_R12),
+    (ROTATED_OUT_R13, ROTATED_IN_R13),
 ):
     for _k in _out:
         EXTRA_QUERIES[_k] = QUERIES.pop(_k)
