@@ -120,6 +120,9 @@ HEADLINERS = [
     # real elementary stream for every video id at the bench SF)
     "corpus_pack_shards_stream",
     "multimodal_mpeg1",
+    # round-13 graph surface: degree-oriented triangle counting over
+    # the co-purchase graph (corpus-sized lineitem scan + wedge join)
+    "copurchase_triangles",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput

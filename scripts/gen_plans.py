@@ -90,6 +90,7 @@ SNAPSHOT = [
     ("events_seasonality", "one corpus agg to the 168-cell grid; windows on the grid"),
     ("corpus_pack_shards", "one shard window (position + running offset) + prefix-keyed pack agg"),
     ("multimodal_mpeg1", "one Arrow mapInPandas pass (MPEG-1 synth + full-frame decode), no shuffle"),
+    ("copurchase_triangles", "degree-oriented wedge join closes against oriented edges — no Σdeg² hub blowup"),
 ]
 
 

@@ -249,3 +249,33 @@ def test_auto_num_shards_bounds_per_task_input(spark, tmp_path):
     import math as _math
 
     assert all(c <= 2 * _math.ceil(total_rows / n) for c in per_shard_rows)
+
+
+def test_copurchase_triangles_planted_graph(spark, tmp_path):
+    """B55 semantics on a planted graph: a K4 clique (every pair
+    co-purchased twice — past the support cut) puts each of its four
+    corners in exactly C(3,2)=3 triangles; a 3-node path contributes
+    none; and the ≺-orientation counts each triangle exactly once
+    (total participation = 3 × #triangles)."""
+    from tradesignal_mtm_runner_spark.queries_r13 import copurchase_triangles
+
+    rows = []
+    oid = 0
+    for _ in range(2):  # K4 on parts 1-4, twice → all 6 pairs cnt=2
+        oid += 1
+        rows += [(oid, p) for p in (1, 2, 3, 4)]
+    for _ in range(2):  # path 10-11, 11-12 (no triangle)
+        oid += 1
+        rows += [(oid, 10), (oid, 11)]
+        oid += 1
+        rows += [(oid, 11), (oid, 12)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        r["part"]: r["n_triangles"]
+        for r in copurchase_triangles(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert sum(got.values()) == 3 * 4  # K4 has 4 triangles, 3 corners each

@@ -107,9 +107,7 @@ def _write_increment(
                 F.count(F.lit(1)).cast("long").alias("n_docs"),
             )
         )
-        stats.write.mode("append" if mode == "append" else mode).saveAsTable(
-            f"{table}_stats"
-        )
+        stats.write.mode(mode).saveAsTable(f"{table}_stats")
     finally:
         post.unpersist()
 
@@ -145,7 +143,11 @@ def append_to_bm25_index(
     Unlike the frozen-model IVF/PQ appends, BM25's "model" (df, avgdl)
     legitimately shifts with ingest, and the partial-count layout keeps
     scores exact: build(A) + append(B) probes identically to
-    build(A ∪ B) (pinned in tests/test_scale_patterns.py)."""
+    build(A ∪ B) (pinned in tests/test_scale_patterns.py). Caller
+    contract (every standing index shares it): the batch must be NEW
+    doc_ids — re-appending an already-indexed doc double-counts its
+    postings; dedup admission (probe_hash_index / dedup_incremental)
+    is the upstream identity gate."""
     _write_increment(
         _postings(new_docs, id_col, text_col), table, num_buckets, "append"
     )

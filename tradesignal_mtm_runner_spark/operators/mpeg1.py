@@ -91,6 +91,7 @@ _SEQ_END = b"\x00\x00\x01\xb7"
 _DC_LUMA_DEC = {v: k for k, v in DC_LUMA_CODES.items()}
 _DC_CHROMA_DEC = {v: k for k, v in DC_CHROMA_CODES.items()}
 _AC_DEC = {v: k for k, v in AC_CODES.items()}
+_AC_DEC_FULL = {**_AC_DEC, EOB: "eob", ESCAPE: "esc"}
 _MAX_VLC_LEN = max(
     len(EOB),
     len(ESCAPE),
@@ -326,11 +327,8 @@ def _decode_block(
     zz[0] = dc_u * 8
     q = DEFAULT_INTRA_Q.reshape(64)[ZIGZAG]
     i = 0
-    ac_table = dict(_AC_DEC)
-    ac_table[EOB] = "eob"
-    ac_table[ESCAPE] = "esc"
     while True:
-        sym = r.vlc(ac_table, "dct_coeff")
+        sym = r.vlc(_AC_DEC_FULL, "dct_coeff")
         if sym == "eob":
             break
         if sym == "esc":

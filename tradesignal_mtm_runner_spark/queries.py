@@ -1165,6 +1165,7 @@ ROTATED_OUT_R13 = (
     "retention_cohort",
     "user_transition_matrix",
     "events_anomaly_mad",
+    "dq_audit",
 )
 ROTATED_IN_R13 = (
     # second-pass refresh (VERDICT r12 item 4): the r5–r8 cohort whose
@@ -1181,6 +1182,7 @@ ROTATED_IN_R13 = (
     # standing pattern; integer/string/rounded-double outputs only)
     "corpus_pack_shards_stream",
     "multimodal_mpeg1",
+    "copurchase_triangles",
 )
 for _out, _in in (
     (ROTATED_OUT_R5, ROTATED_IN_R5),

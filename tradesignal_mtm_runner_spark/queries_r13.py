@@ -331,9 +331,102 @@ GROUP BY doc_id, n_frames
 """
 
 
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B55: triangle counting over the co-purchase graph — the third
+    classic distributed graph computation next to the label-
+    propagation (CC) and fixed-point-score (PageRank) families already
+    in the registry, and the building block for clustering-coefficient
+    / community-quality analytics. Nodes = parts, edges = B43's
+    support-cut co-purchase pairs (output-sized by construction).
+
+    The scale pattern is DEGREE-ORDERED ORIENTATION: orient every
+    undirected edge from its lower to its higher endpoint in the
+    (degree, id) total order, enumerate wedges only at each edge's
+    SOURCE (two out-neighbors v ≺ w), and close the wedge against the
+    oriented edge v→w. Every triangle is counted exactly once (its
+    ≺-minimal vertex owns it), and the wedge fan-out is bounded by the
+    out-degree, which orientation caps at O(√E) for any graph (the
+    arboricity bound) — the naive wedge join at high-degree hubs is
+    Σ deg² and melts on power-law graphs; oriented it survives. The
+    oracle enumerates the identical triangle set by plain id order
+    (a<b<c three-way self-join) — same values, different physical
+    strategy, the B43 convention. Output: per-part triangle
+    participation counts (each triangle credits its 3 corners)."""
+    from .queries_r10b import _basket_pair_counts
+
+    _, pairs = _basket_pair_counts(spark, sf_dir)
+    edges = pairs.select("part_a", "part_b")
+    deg = (
+        edges.select(F.col("part_a").alias("pk"))
+        .unionAll(edges.select(F.col("part_b").alias("pk")))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # degree relation is per-part (SF-scaling) — no explicit broadcast
+    # hint, per the family-wide bounded-dims-only convention; AQE picks
+    # the strategy from measured sizes
+    e = edges.join(
+        deg.select(F.col("pk").alias("part_a"), F.col("deg").alias("deg_a")),
+        "part_a",
+    ).join(
+        deg.select(F.col("pk").alias("part_b"), F.col("deg").alias("deg_b")),
+        "part_b",
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("part_a") < F.col("part_b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
+        F.when(a_first, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
+    )
+    o1 = oriented.select("src", F.col("dst").alias("v"), F.col("deg_dst").alias("deg_v"))
+    o2 = oriented.select("src", F.col("dst").alias("w"), F.col("deg_dst").alias("deg_w"))
+    wedges = o1.join(o2, "src").filter(
+        (F.col("deg_v") < F.col("deg_w"))
+        | ((F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    )
+    return (
+        closed.select(
+            F.explode(F.array(F.col("src"), F.col("v"), F.col("w"))).alias("pk")
+        )
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .select(F.col("pk").cast("long").alias("part"), "n_triangles")
+    )
+
+
+def _triangles_sql() -> str:
+    from .queries_r10b import _BASKET_CTES
+
+    return f"""
+WITH {_BASKET_CTES},
+tri AS MATERIALIZED (
+  SELECT e1.part_a AS a, e1.part_b AS b, e2.part_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.part_a = e1.part_a AND e2.part_b > e1.part_b
+  JOIN pairs e3 ON e3.part_a = e1.part_b AND e3.part_b = e2.part_b
+),
+corners AS (
+  SELECT a AS pk FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT CAST(pk AS BIGINT) AS part,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners
+GROUP BY pk
+"""
+
+
 R13_QUERIES: dict = {
     "corpus_pack_shards_stream": corpus_pack_shards_stream,
     "multimodal_mpeg1": multimodal_mpeg1,
+    "copurchase_triangles": copurchase_triangles,
 }
 
 R13_ORACLES: dict = {
@@ -341,4 +434,5 @@ R13_ORACLES: dict = {
     # identical manifest
     "corpus_pack_shards_stream": CORPUS_PACK_SHARDS_SQL,
     "multimodal_mpeg1": MULTIMODAL_MPEG1_SQL,
+    "copurchase_triangles": _triangles_sql(),
 }
