@@ -1213,3 +1213,31 @@ def test_mpeg1_decode_pixels_routes_first_frame():
     px = decode_pixels(encode_mpeg1_iframes(frames), "video")
     assert px.shape == (16, 32, 3)
     assert np.array_equal(px, frames[0])
+
+
+def test_mpeg1_review_fixes_dimensions_truncation_max_frames():
+    """r13 review regressions: (a) dimensions past the 12-bit header
+    fields must raise at ENCODE time, not truncate into a corrupt
+    stream; (b) a stream ending in a bare 3-byte start-code prefix is
+    a ValueError (the truncation contract), not an IndexError; (c)
+    max_frames stops the entropy decode early for first-frame
+    callers."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tradesignal_mtm_runner_spark.operators.mpeg1 import (
+        decode_mpeg1,
+        encode_mpeg1_iframes,
+    )
+
+    with _pytest.raises(ValueError, match="12-bit"):
+        encode_mpeg1_iframes(np.full((1, 16, 4096, 3), 100, np.uint8))
+
+    good = encode_mpeg1_iframes(_mpeg_frames([(10, 20), (30, 40)]))
+    gop = good.find(b"\x00\x00\x01\xb8")
+    with _pytest.raises(ValueError, match="sequence_end"):
+        decode_mpeg1(good[: gop + 3])  # bare start-code prefix at EOF
+
+    one = decode_mpeg1(good, max_frames=1)
+    assert one.shape[0] == 1
+    assert np.array_equal(one[0], decode_mpeg1(good)[0])

@@ -246,6 +246,11 @@ def encode_mpeg1_iframes(frames: np.ndarray, quantizer_scale: int = 8) -> bytes:
     n, h, w_px, _ = frames.shape
     if h % 16 or w_px % 16 or h == 0 or w_px == 0:
         raise ValueError("mpeg1: dimensions must be non-zero multiples of 16")
+    if h > 4080 or w_px > 4080:
+        # the sequence header carries 12-bit dimensions; anything past
+        # 4080 (the largest MB-aligned 12-bit value) would silently
+        # truncate into a corrupt stream (review r13)
+        raise ValueError("mpeg1: dimensions exceed the 12-bit header fields")
     if not 1 <= quantizer_scale <= 31:
         raise ValueError("quantizer_scale must be in [1, 31]")
 
@@ -353,11 +358,16 @@ def _decode_block(
 _MAX_FRAMES = 4096
 
 
-def decode_mpeg1(payload: bytes, max_pixels: int = 1 << 22) -> np.ndarray:
+def decode_mpeg1(
+    payload: bytes, max_pixels: int = 1 << 22, max_frames: int | None = None
+) -> np.ndarray:
     """MPEG-1 I-frame-only elementary stream -> (n, h, w, 3) uint8.
     Hardened like the other decoders: dimension/frame caps BEFORE any
     allocation, bounded VLC walks, explicit errors on P/B pictures,
-    truncation, and streams outside the intra subset."""
+    truncation, and streams outside the intra subset. ``max_frames``
+    stops decoding once that many pictures are out (review r13: a
+    first-frame caller must not pay the whole clip's entropy decode);
+    None decodes everything up to the bomb cap."""
     b = bytes(payload)
     if b[:4] != _SEQ_START:
         raise ValueError("mpeg1: missing sequence header")
@@ -386,11 +396,15 @@ def decode_mpeg1(payload: bytes, max_pixels: int = 1 << 22) -> np.ndarray:
         r.byte_align()
         pos = r.pos // 8
         nxt = b.find(b"\x00\x00\x01", pos)
-        if nxt < 0:
+        if nxt < 0 or nxt + 3 >= len(b):
+            # not found, or a bare 3-byte prefix at the stream's end
+            # (truncation must be ValueError, not IndexError — review r13)
             raise ValueError("mpeg1: stream ends without sequence_end_code")
         code = b[nxt + 3]
         r.pos = (nxt + 4) * 8
         if code == 0xB7:  # sequence_end
+            break
+        if max_frames is not None and len(frames) >= max_frames:
             break
         if code == 0xB8:  # GOP header
             r.bits(25 + 1 + 1)
@@ -413,7 +427,7 @@ def decode_mpeg1(payload: bytes, max_pixels: int = 1 << 22) -> np.ndarray:
         r.byte_align()
         pos = r.pos // 8
         nxt = b.find(b"\x00\x00\x01", pos)
-        if nxt < 0 or not 0x01 <= b[nxt + 3] <= 0xAF:
+        if nxt < 0 or nxt + 3 >= len(b) or not 0x01 <= b[nxt + 3] <= 0xAF:
             raise ValueError("mpeg1: picture without slice")
         r.pos = (nxt + 4) * 8
         qs = r.bits(5)

@@ -382,7 +382,9 @@ def decode_pixels(payload: bytes, media_type: str):
     if b[:4] == b"\x00\x00\x01\xb3":
         from .mpeg1 import decode_mpeg1
 
-        return decode_mpeg1(b, max_pixels=MAX_DECODE_PIXELS)[0]
+        # first frame only — max_frames stops the entropy decode after
+        # one picture instead of decoding the whole clip (review r13)
+        return decode_mpeg1(b, max_pixels=MAX_DECODE_PIXELS, max_frames=1)[0]
     raise ValueError(
         f"no codec for this {media_type} payload (magic {b[:4]!r}); "
         "shipped codecs: PNG, baseline JPEG, GIF, MPEG-1 intra video, "

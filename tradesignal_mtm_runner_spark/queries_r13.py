@@ -184,20 +184,27 @@ def _staged_perm_stream(spark: SparkSession, docs: DataFrame, prefix: str):
     )
     stream_dir = _os.path.join(root, "stream")
     _os.makedirs(stream_dir)
+    # ONE corpus scan stages all slices (review r13 — the per-slice
+    # filter loop re-read the corpus once per slice): repartitioning on
+    # the slice key puts every slice's rows in exactly one task, so
+    # partitionBy writes exactly ONE file per slice=<i> directory — the
+    # one-file-per-batch property the in-order replay needs (two files
+    # of one slice would land in different micro-batches with
+    # interleaved perm ranges).
+    part_root = _os.path.join(root, "slices")
+    (
+        sliced.repartition(PACK_STREAM_BATCHES, F.col("slice"))
+        .write.partitionBy("slice")
+        .mode("overwrite")
+        .parquet(part_root)
+    )
     now = _time.time()
     n_files = 0
     for i in range(PACK_STREAM_BATCHES):
-        part_dir = _os.path.join(root, f"slice{i}")
-        (
-            sliced.filter(F.col("slice") == i)
-            .drop("slice")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(part_dir)
-        )
-        files = _glob.glob(_os.path.join(part_dir, "*.parquet"))
+        files = _glob.glob(_os.path.join(part_root, f"slice={i}", "*.parquet"))
         if not files:
             continue
+        assert len(files) == 1, files  # repartition-on-slice guarantee
         dst = _os.path.join(stream_dir, f"d{n_files:04d}.parquet")
         _os.link(files[0], dst)
         _os.utime(dst, (now - 100 + n_files, now - 100 + n_files))
