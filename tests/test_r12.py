@@ -279,3 +279,18 @@ def test_copurchase_triangles_planted_graph(spark, tmp_path):
     }
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
     assert sum(got.values()) == 3 * 4  # K4 has 4 triangles, 3 corners each
+
+
+def test_copurchase_triangles_plan_is_oriented_not_cartesian(spark):
+    """B55 plan shape: the wedge enumeration and closing join must plan
+    as hash/sort-merge equi-joins (never a cartesian/nested-loop pair
+    blowup), and the degree relation must carry NO explicit broadcast
+    hint (per-part = SF-scaling; the family bounded-dims-only
+    convention — AQE decides from measured sizes)."""
+    from tradesignal_mtm_runner_spark import plans as P
+    from tradesignal_mtm_runner_spark.queries_r13 import copurchase_triangles
+
+    df = copurchase_triangles(spark, SF_SMOKE)
+    plan = P.explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert P.broadcast_hint_count(df) == 0
