@@ -1474,11 +1474,24 @@ def test_pack_stream_multibatch_matches_batch_stateless_and_idempotent(
     )
     assert max(per_pack.values()) >= 2, "expected a batch-spanning pack"
 
-    # retry idempotence: re-run batch 1 with its exact data; outputs
+    # state GC: only the committed gen and its retry fallback survive
+    # (older generations are never read again), so on-disk state is
+    # bounded at 2 x num_shards rows for any stream lifetime
+    state_gens = sorted(p.name for p in (tmp_path / "offsets").iterdir())
+    assert len(state_gens) <= 2, state_gens
+
+    # retry idempotence: re-run the LAST batch with its exact data (the
+    # only batch the engine can actually retry — batches commit
+    # serially, so its fallback gen is exactly what GC keeps); outputs
     # and state recompute byte-identically, final manifest unchanged
-    retry_df = spark.createDataFrame(slice_pdfs[1], "doc_id long, text string")
-    pack_stream_batch(state_root, out_root)(retry_df, 1)
+    last = PACK_STREAM_BATCHES - 1
+    retry_df = spark.createDataFrame(
+        slice_pdfs[last], "doc_id long, text string"
+    )
+    pack_stream_batch(state_root, out_root)(retry_df, last)
     again = read_packed_segments(spark, out_root).toPandas()
     assert_frames_match(again, want, "pack_stream_retry")
-    off = spark.read.parquet(os.path.join(state_root, "b00001")).toPandas()
+    off = spark.read.parquet(
+        os.path.join(state_root, f"b{last:05d}")
+    ).toPandas()
     assert (off["tok_offset"] >= 0).all() and len(off) > 0

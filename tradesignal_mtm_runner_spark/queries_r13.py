@@ -80,10 +80,12 @@ def pack_stream_batch(state_root: str, out_root: str):
     committed offsets, (4) append this batch's pack SEGMENTS to
     ``out_root/b<batch_id>`` and the new cumulative offsets to
     ``state_root/b<batch_id>`` — both overwrite-by-batch_id, so a
-    RETRY recomputes identical bytes (exactly-once downstream).
-    Production note: state generations are GC'd by keeping the last
-    two (the prior gen is the retry fallback); the replay here is
-    bounded so the sweep is a docstring, not code."""
+    RETRY recomputes identical bytes (exactly-once downstream). After
+    committing gen k the sweep keeps only gens ≥ k−1: a retry of
+    batch k reads the latest gen < k (= k−1, its fallback), and no
+    older generation is ever read again — state on disk stays ≤ 2 ×
+    num_shards rows for any stream lifetime (pinned in
+    tests/test_streaming.py)."""
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -161,6 +163,14 @@ def pack_stream_batch(state_root: str, out_root: str):
             newoff.coalesce(1).write.mode("overwrite").parquet(
                 _os.path.join(state_root, f"b{batch_id:05d}")
             )
+            # GC: gens older than the retry fallback (batch_id - 1)
+            # are never read again — reclaim them post-commit
+            import shutil as _shutil
+
+            for p in _glob.glob(_os.path.join(state_root, "b*")):
+                tail = _os.path.basename(p)[1:]
+                if tail.isdigit() and int(tail) < batch_id - 1:
+                    _shutil.rmtree(p, ignore_errors=True)
         finally:
             d.unpersist()
 
