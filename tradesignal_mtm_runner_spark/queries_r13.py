@@ -369,10 +369,14 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a<b<c three-way self-join) — same values, different physical
     strategy, the B43 convention. Output: per-part triangle
     participation counts (each triangle credits its 3 corners)."""
+    from .cache_registry import persist_tracked
     from .queries_r10b import _basket_pair_counts
 
     _, pairs = _basket_pair_counts(spark, sf_dir)
-    edges = pairs.select("part_a", "part_b")
+    # the edge relation is referenced ~6x downstream (degrees x2,
+    # orientation, both wedge arms, the closing join) — persist it so
+    # the lineitem-scan -> basket-agg -> pair-agg chain runs ONCE
+    edges = persist_tracked(pairs.select("part_a", "part_b"))
     deg = (
         edges.select(F.col("part_a").alias("pk"))
         .unionAll(edges.select(F.col("part_b").alias("pk")))
