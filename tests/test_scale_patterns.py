@@ -1030,3 +1030,33 @@ def test_bm25_index_append_equals_full_build(spark, bucket_db):
     want = probe_bm25_index(spark, BM25_QUERIES, full_t, k=BM25_TOPK)
     assert_frames_match(got.toPandas(), want.toPandas(), "bm25_append_parity")
     assert got.count() > 0
+
+
+def test_bm25_append_check_ids_guard(spark, bucket_db):
+    """ADVICE r13: a re-append of already-indexed doc_ids silently
+    double-counts postings/df/stats (the append-only partial layout
+    hides it until probe scores drift). ``check_ids=True`` must reject
+    an overlapping batch LOUDLY — naming offending ids — and must pass
+    a genuinely-new batch through unchanged."""
+    import pytest
+
+    from tradesignal_mtm_runner_spark.operators.lexical import (
+        append_to_bm25_index,
+        validate_bm25_batch,
+        write_bm25_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    t = f"{bucket_db}.bm25_guard"
+    write_bm25_index(docs.filter(F.col("doc_id") % 4 != 0), t, num_buckets=4)
+
+    overlap = docs.filter(F.col("doc_id") % 4 != 0).limit(3)
+    with pytest.raises(ValueError, match="already-indexed"):
+        append_to_bm25_index(overlap, t, num_buckets=4, check_ids=True)
+    # the rejected append must not have touched the stats partials
+    assert spark.table(f"{t}_stats").count() == 1
+
+    fresh = docs.filter(F.col("doc_id") % 4 == 0)
+    validate_bm25_batch(fresh, t)  # standalone helper: no raise
+    append_to_bm25_index(fresh, t, num_buckets=4, check_ids=True)
+    assert spark.table(f"{t}_stats").count() == 2

@@ -129,12 +129,47 @@ def write_bm25_index(
     _write_increment(_postings(docs, id_col, text_col), table, num_buckets, "overwrite")
 
 
+def validate_bm25_batch(
+    new_docs: DataFrame, table: str, id_col: str = "doc_id"
+) -> None:
+    """Raise if any of the batch's doc_ids is already indexed. The
+    append-only partial-count layout makes a double-append INVISIBLE
+    until probe scores drift (the postings, df and stats partials all
+    silently double), so this guard is the loud alternative: one
+    id-projected scan of the postings relation, semi-joined against
+    the (broadcast) batch ids. Costs a corpus-column scan — callers
+    with a real upstream identity gate keep the documented fast path
+    and skip it; callers without one pass ``check_ids=True`` below."""
+    spark = new_docs.sparkSession
+    batch_ids = (
+        new_docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+    )
+    dup = (
+        spark.table(table)
+        .select("doc_id")
+        .join(F.broadcast(batch_ids), "doc_id", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        ids = sorted(int(r["doc_id"]) for r in dup)
+        raise ValueError(
+            f"append_to_bm25_index: batch re-appends already-indexed "
+            f"doc_ids (sample: {ids}) — this would double-count "
+            f"postings/df/stats in {table!r}; dedup the batch upstream "
+            f"(probe_hash_index / dedup_incremental) first"
+        )
+
+
 def append_to_bm25_index(
     new_docs: DataFrame,
     table: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = 32,
+    check_ids: bool = False,
 ) -> None:
     """Incremental ingest: one tokenize pass over the BATCH, appended
     into all three relations. df and the corpus stats are append-only
@@ -147,7 +182,12 @@ def append_to_bm25_index(
     contract (every standing index shares it): the batch must be NEW
     doc_ids — re-appending an already-indexed doc double-counts its
     postings; dedup admission (probe_hash_index / dedup_incremental)
-    is the upstream identity gate."""
+    is the upstream identity gate. Pass ``check_ids=True`` (or call
+    :func:`validate_bm25_batch` yourself) to ENFORCE that contract at
+    the cost of one id-projected postings scan — the corruption is
+    otherwise invisible until probe scores drift."""
+    if check_ids:
+        validate_bm25_batch(new_docs, table, id_col=id_col)
     _write_increment(
         _postings(new_docs, id_col, text_col), table, num_buckets, "append"
     )

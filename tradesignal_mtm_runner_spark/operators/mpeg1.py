@@ -23,6 +23,13 @@ Scope (documented subset, not hidden):
 - Intra reconstruction per spec 2.4.4.2: recon = (2·level·qs·Q)/16
   truncated toward zero, oddification toward zero on even values,
   clamp to [-2048, 2047]; DC recon = dct_dc·8.
+- Quantized AC levels SATURATE at ±255 (the escape mechanism's
+  maximum). Consequence worth knowing: at LOW quantizer_scale on
+  high-frequency content the pre-quantization levels are large, the
+  clip engages, and reconstruction error can be WORSE than at a
+  higher qs (measured ~44 mean abs error on uniform noise at qs=1 vs
+  qs=8, where the quant step absorbs the range). Spec-legal and still
+  closed over decode — just not the monotone quality-vs-qs intuition.
 
 Like the PNG/JPEG/GIF/WAV/AVI codecs this is an engine-side
 demonstration that the Spark plumbing moves REAL bytes — synthesis
@@ -221,6 +228,13 @@ def _encode_block(
     zz = coefs.reshape(64)[ZIGZAG]
     q = DEFAULT_INTRA_Q.reshape(64)[ZIGZAG].astype(np.float64)
     levels = np.round(8.0 * zz / (qs * q)).astype(np.int64)
+    # MPEG-1's escape mechanism tops out at |level| = 255, so quantized
+    # ACs saturate here. At LOW quantizer_scale on busy (high-frequency)
+    # content the pre-clip levels are large and the clip bites hard —
+    # low qs can reconstruct WORSE than a higher qs on such blocks
+    # (~44 mean abs error on noise at qs=1 vs qs=8). Spec-legal, and
+    # decode stays closed over everything encode emits; see the module
+    # scope note.
     levels = np.clip(levels, -255, 255)
     run = 0
     for i in range(1, 64):

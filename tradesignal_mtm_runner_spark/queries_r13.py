@@ -214,7 +214,15 @@ def _staged_perm_stream(spark: SparkSession, docs: DataFrame, prefix: str):
         files = _glob.glob(_os.path.join(part_root, f"slice={i}", "*.parquet"))
         if not files:
             continue
-        assert len(files) == 1, files  # repartition-on-slice guarantee
+        if len(files) != 1:  # repartition-on-slice guarantee — the
+            # replay==batch oracle depends on it, so it must fail
+            # loudly even under ``python -O`` (a bare assert would be
+            # stripped and the perm ranges would silently interleave
+            # across micro-batches)
+            raise RuntimeError(
+                f"staged slice {i} produced {len(files)} files "
+                f"(expected exactly 1): {files}"
+            )
         dst = _os.path.join(stream_dir, f"d{n_files:04d}.parquet")
         _os.link(files[0], dst)
         _os.utime(dst, (now - 100 + n_files, now - 100 + n_files))
