@@ -1,6 +1,23 @@
 """Headline benchmark. Runs the flagship queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (r14 — VERDICT r13 items 1 and 5): the per-query map
+grew past 70 keys, which overflowed the harness's 2000-byte stdout
+tail capture and lost the machine-readable headline (BENCH_r13.json
+``parsed: null``). So stdout now carries ONE COMPACT final JSON line —
+total seconds, sf, query/error counts, sweep throughput, the
+bookkeeper host anchor + drift ratio vs the previous round's artifact,
+and a pointer to the detail file — while the FULL per-query map is
+written to ``docs/BENCH_local_r{N}.json`` (round inferred from the
+newest repo-root BENCH_r*.json, overridable via $SPARK_GRAFT_ROUND).
+Set $SPARK_GRAFT_BENCH_DETAIL=1 to also print the full map line
+(before the compact line, so the compact line stays last).
+
+The ``anchor_bookkeeper_500k`` field is the Spark-FREE driver-side
+numpy stress: it moves only when the HOST slows down, so
+``host_factor_vs_prev`` (this anchor / previous round's) separates
+host drift from plan regressions without manual normalization (the
+r6 and r13 cross-round reads both needed it by hand).
 
 Execution is forced with the noop sink so every column is computed
 (count() would let Catalyst prune the expensive windows away).
@@ -8,12 +25,58 @@ Execution is forced with the noop sink so every column is computed
 
 from __future__ import annotations
 
+import glob as _glob
 import json
 import os
+import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+
+def _infer_round() -> int:
+    """Current round number: env override, else newest driver artifact
+    (BENCH_r{N}.json is written AFTER the round, so current = max + 1)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND", "")
+    if env.isdigit():
+        return int(env)
+    ns = []
+    for p in _glob.glob(os.path.join(_REPO, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        if m:
+            ns.append(int(m.group(1)))
+    return max(ns) + 1 if ns else 0
+
+
+def _prev_anchor() -> tuple[int, float] | None:
+    """(round, bookkeeper_500k_bars) from the newest prior artifact
+    that has one — parsed dict first, raw-tail regex as the fallback
+    (the r13 artifact only has the value inside the truncated tail)."""
+    cands: list[tuple[int, str]] = []
+    for p in _glob.glob(os.path.join(_REPO, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        if m:
+            cands.append((int(m.group(1)), p))
+    for n, p in sorted(cands, reverse=True):
+        try:
+            data = json.load(open(p))
+        except Exception:  # noqa: BLE001 - a corrupt artifact is skippable
+            continue
+        parsed = data.get("parsed")
+        if isinstance(parsed, dict):
+            v = (parsed.get("queries") or {}).get(
+                "bookkeeper_500k_bars"
+            ) or parsed.get("anchor_bookkeeper_500k")
+            if v:
+                return n, float(v)
+        m2 = re.search(
+            r'"bookkeeper_500k_bars":\s*([0-9.]+)', data.get("tail", "")
+        )
+        if m2:
+            return n, float(m2.group(1))
+    return None
 
 HEADLINERS = [
     "mtm_timeline",
@@ -457,6 +520,26 @@ def main() -> None:
         ),
     )
 
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        triangles_from_index,
+        write_edge_index,
+    )
+    from tradesignal_mtm_runner_spark.queries_r10b import _basket_pair_counts
+
+    def _build_edges() -> None:
+        # once-per-refresh half: the lineitem scan -> basket agg ->
+        # support-cut pair agg, persisted as the standing graph
+        write_edge_index(
+            _basket_pair_counts(spark, sf_dir)[1], "bench_idx.edge_idx"
+        )
+        release_caches()
+
+    _time_probe(
+        "index_probe_triangles",
+        _build_edges,
+        lambda: triangles_from_index(spark, "bench_idx.edge_idx"),
+    )
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -503,7 +586,60 @@ def main() -> None:
         errors["mtm_sweep_scale_explode"] = f"{type(exc).__name__}: {exc}"[:500]
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+
+    # host-drift anchor (VERDICT r13 item 5): the Spark-free bookkeeper
+    # stress vs the previous round's artifact
+    anchor = timings.get("bookkeeper_500k_bars")
+    out["anchor_bookkeeper_500k"] = anchor
+    prev = _prev_anchor()
+    if anchor and prev:
+        out["host_factor_prev_round"] = prev[0]
+        out["host_factor_vs_prev"] = round(anchor / prev[1], 3)
+
+    # full per-query detail -> docs/ (the committed, judge-readable
+    # artifact); stdout gets the compact line the 2000-byte tail can
+    # always hold (VERDICT r13 item 1)
+    rnd = _infer_round()
+    sf_tag = "" if out["sf"] == 0.1 else f"_sf{sf}"
+    detail_rel = f"docs/BENCH_local_r{rnd:02d}{sf_tag}.json"
+    try:
+        with open(os.path.join(_REPO, detail_rel), "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout must not fail the bench
+        errors["detail_file"] = f"{type(exc).__name__}: {exc}"[:200]
+        detail_rel = None
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        # the flagship stays machine-readable in the artifact itself
+        "queries": {
+            k: v
+            for k, v in timings.items()
+            if k in ("mtm_timeline", "bookkeeper_500k_bars")
+        },
+        "detail_file": detail_rel,
+    }
+    for k in (
+        "sweep_configs_per_sec",
+        "sweep_explode_secs",
+        "sweep_explode_configs_per_sec",
+        "anchor_bookkeeper_500k",
+        "host_factor_prev_round",
+        "host_factor_vs_prev",
+    ):
+        if k in out:
+            compact[k] = out[k]
+    if errors:
+        compact["error_keys"] = sorted(errors)[:10]
+    if os.environ.get("SPARK_GRAFT_BENCH_DETAIL") == "1":
+        print(json.dumps(out))
+    print(json.dumps(compact))
     spark.stop()
 
 

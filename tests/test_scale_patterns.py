@@ -1060,3 +1060,49 @@ def test_bm25_append_check_ids_guard(spark, bucket_db):
     validate_bm25_batch(fresh, t)  # standalone helper: no raise
     append_to_bm25_index(fresh, t, num_buckets=4, check_ids=True)
     assert spark.table(f"{t}_stats").count() == 2
+
+
+def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
+    """VERDICT r13 item 4: the standing co-purchase EDGE index must
+    close the graph family's batch/standing asymmetry the way BM25/PQ
+    did for retrieval. write_edge_index persists the support-cut graph
+    (edges + degrees, bucketed); triangles_from_index and
+    pagerank_from_index must reproduce the live lineitem-rescan
+    queries value-for-value (the kernels are shared, so this pins the
+    WRITE/READ path), and the probe plans must read ZERO lineitem
+    bytes — graph-proportional cost is the whole point."""
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        pagerank_from_index,
+        triangles_from_index,
+        write_edge_index,
+    )
+    from tradesignal_mtm_runner_spark.queries_r10b import (
+        PR_DAMP,
+        PR_ITERS,
+        _basket_pair_counts,
+        copurchase_pagerank,
+    )
+    from tradesignal_mtm_runner_spark.queries_r13 import copurchase_triangles
+
+    _, pairs = _basket_pair_counts(spark, SF_SMOKE)
+    t = f"{bucket_db}.edge_idx"
+    write_edge_index(pairs, t, num_buckets=4)
+
+    tri_probe = triangles_from_index(spark, t)
+    pr_probe = pagerank_from_index(spark, t, PR_DAMP, PR_ITERS)
+    # graph-proportional: no lineitem (or any base-table) scan in the
+    # probe plans — only the two persisted index tables
+    for probe in (tri_probe, pr_probe):
+        plan = P.explain_str(probe)
+        assert "lineitem" not in plan.lower(), plan
+
+    assert_frames_match(
+        tri_probe.toPandas(),
+        copurchase_triangles(spark, SF_SMOKE).toPandas(),
+        "edge_index_triangles",
+    )
+    assert_frames_match(
+        pr_probe.toPandas(),
+        copurchase_pagerank(spark, SF_SMOKE).toPandas(),
+        "edge_index_pagerank",
+    )

@@ -1,0 +1,222 @@
+"""Standing co-purchase EDGE index + the shared graph kernels
+(VERDICT r13 item 4).
+
+The live graph queries (``copurchase_triangles`` B55,
+``copurchase_pagerank`` B44) rebuild the lineitem → basket → pair edge
+relation on every invocation — the same batch/standing asymmetry the
+retrieval stack closed round by round (hash/band r5, IVF r7, CC r10,
+PQ r12, BM25 r13). At 100 TB the lineitem scan + basket aggregate is
+the cost; the graph itself is support-cut and therefore OUTPUT-sized.
+This module persists the graph once so every downstream graph
+computation runs at GRAPH-proportional cost:
+
+- ``{table}``      undirected support-cut edges (part_a < part_b,
+  pair_cnt) — bucketed and sorted on (part_a, part_b), the
+  write_band_index convention.
+- ``{table}_deg``  per-node degrees (pk, deg, wdeg): ``deg`` = the
+  unweighted support-cut degree (what triangle ORIENTATION orders by),
+  ``wdeg`` = Σ pair_cnt over incident edges (PageRank's normalizer).
+  Persisting both means neither probe re-aggregates the edge list to
+  get its ordering relation.
+
+The kernels (:func:`triangle_counts`, :func:`pagerank_scores`) are
+SHARED between the live queries and the index probes — parity is
+structural, not coincidental — and pinned value-for-value in
+tests/test_scale_patterns.py. ``index_probe_triangles`` in bench.py
+times the probe form against the live lineitem-rescan form.
+
+Unlike BM25's append-only partials, the edge relation is NOT
+incrementally maintainable without a merge: new orders can lift a
+sub-support pair over the cut, so an ingest batch changes existing
+pair counts. The honest refresh story is rebuild-on-schedule from the
+(one) lineitem scan — the IVF/PQ frozen-model convention, documented
+rather than hidden.
+
+No counterpart in the pandas reference (reference runner_mtm.py:71 is
+the MTM loop); this is the warehouse/graph surface the build brief
+adds on top of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries_r8 import _r9
+from ..sinks import ensure_table_absent, write_bucketed
+
+
+def node_degrees(edges: DataFrame) -> DataFrame:
+    """(pk, deg, wdeg) from the undirected (part_a, part_b, pair_cnt)
+    edge relation: one union + one aggregate, both graph-sized."""
+    half = edges.select(
+        F.col("part_a").alias("pk"), F.col("pair_cnt").alias("w")
+    ).unionAll(
+        edges.select(F.col("part_b").alias("pk"), F.col("pair_cnt").alias("w"))
+    )
+    return half.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("long").alias("deg"),
+        F.sum("w").cast("long").alias("wdeg"),
+    )
+
+
+def triangle_counts(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Per-node triangle participation via DEGREE-ORDERED ORIENTATION
+    (the B55 kernel — see copurchase_triangles for the full scale
+    argument): orient low→high in the (deg, id) total order, wedges
+    enumerate only at each edge's source (out-degree ≤ O(√E) by the
+    arboricity bound), the closing join hits the oriented edge. Each
+    triangle is counted once at its ≺-minimal corner and credits all
+    three corners. ``edges`` = (part_a, part_b [, ...]) with
+    part_a < part_b; ``deg`` = (pk, deg)."""
+    e = edges.join(
+        deg.select(F.col("pk").alias("part_a"), F.col("deg").alias("deg_a")),
+        "part_a",
+    ).join(
+        deg.select(F.col("pk").alias("part_b"), F.col("deg").alias("deg_b")),
+        "part_b",
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("part_a") < F.col("part_b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
+        F.when(a_first, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
+    )
+    o1 = oriented.select(
+        "src", F.col("dst").alias("v"), F.col("deg_dst").alias("deg_v")
+    )
+    o2 = oriented.select(
+        "src", F.col("dst").alias("w"), F.col("deg_dst").alias("deg_w")
+    )
+    wedges = o1.join(o2, "src").filter(
+        (F.col("deg_v") < F.col("deg_w"))
+        | ((F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    )
+    return (
+        closed.select(
+            F.explode(F.array(F.col("src"), F.col("v"), F.col("w"))).alias("pk")
+        )
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .select(F.col("pk").cast("long").alias("part"), "n_triangles")
+    )
+
+
+def pagerank_scores(
+    edges: DataFrame,
+    wdeg: DataFrame,
+    damp: float,
+    iters: int,
+) -> DataFrame:
+    """Weighted PageRank over the symmetrized support-cut graph (the
+    B44 kernel — see copurchase_pagerank for the full plan argument):
+    transition probabilities w/wdeg built once, each iteration = one
+    join + one aggregate, ranks rounded to 9 dp per iteration so the
+    Spark and oracle fixed-point chains stay glued. ``edges`` =
+    (part_a, part_b, pair_cnt) undirected; ``wdeg`` = (pk, wdeg).
+    Returns (p_partkey, pagerank)."""
+    from ..cache_registry import persist_tracked
+
+    sym = edges.select(
+        F.col("part_a").alias("src"),
+        F.col("part_b").alias("dst"),
+        F.col("pair_cnt").alias("w"),
+    ).unionAll(
+        edges.select(
+            F.col("part_b").alias("src"),
+            F.col("part_a").alias("dst"),
+            F.col("pair_cnt").alias("w"),
+        )
+    )
+    trans = persist_tracked(
+        sym.join(wdeg.select(F.col("pk").alias("src"), "wdeg"), "src").select(
+            "src", "dst", (F.col("w") / F.col("wdeg")).alias("p")
+        )
+    )
+    nodes = persist_tracked(wdeg.select(F.col("pk").alias("node")))
+    n = nodes.count()  # bounded model scalar: |V| of the support-cut graph
+    ranks = nodes.select(
+        "node", _r9(F.lit(1.0) / F.lit(float(n))).alias("pagerank")
+    )
+    base = 1.0 - damp
+    for _ in range(iters):
+        incoming = (
+            trans.join(ranks, trans["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pagerank") * F.col("p")).alias("mass"))
+        )
+        ranks = nodes.join(
+            incoming, nodes["node"] == incoming["dst"], "left"
+        ).select(
+            "node",
+            _r9(
+                F.lit(base) / F.lit(float(n))
+                + F.lit(damp) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("pagerank"),
+        )
+    return ranks.select(F.col("node").alias("p_partkey"), "pagerank")
+
+
+def write_edge_index(
+    pairs: DataFrame, table: str, num_buckets: int = 32
+) -> None:
+    """Persist the support-cut co-purchase graph as the standing edge
+    index: the ONE lineitem-proportional pass (upstream of ``pairs``)
+    happens here; every subsequent graph computation probes at
+    graph-proportional cost. ``pairs`` = the (part_a, part_b,
+    pair_cnt) support-cut relation (part_a < part_b), e.g.
+    ``_basket_pair_counts(spark, sf_dir)[1]``. Rebuild-on-schedule is
+    the refresh model (see module docstring: the support cut makes
+    incremental edge maintenance a merge, not an append)."""
+    spark = pairs.sparkSession
+    for t in (table, f"{table}_deg"):
+        ensure_table_absent(spark, t)
+    pairs = pairs.select("part_a", "part_b", "pair_cnt").persist()
+    try:
+        write_bucketed(
+            pairs,
+            table,
+            bucket_cols=["part_a"],
+            num_buckets=num_buckets,
+            sort_cols=["part_a", "part_b"],
+            mode="overwrite",
+        )
+        write_bucketed(
+            node_degrees(pairs),
+            f"{table}_deg",
+            bucket_cols=["pk"],
+            num_buckets=num_buckets,
+            sort_cols=["pk"],
+            mode="overwrite",
+        )
+    finally:
+        pairs.unpersist()
+
+
+def triangles_from_index(spark: SparkSession, table: str) -> DataFrame:
+    """B55 from the standing index: same kernel, zero lineitem bytes —
+    edges and the orientation's degree relation both come from the
+    persisted graph-sized tables."""
+    return triangle_counts(
+        spark.table(table), spark.table(f"{table}_deg").select("pk", "deg")
+    )
+
+
+def pagerank_from_index(
+    spark: SparkSession, table: str, damp: float, iters: int
+) -> DataFrame:
+    """B44 from the standing index: same kernel, zero lineitem bytes —
+    the symmetrization and w/wdeg normalization read only the
+    persisted edge + degree tables."""
+    return pagerank_scores(
+        spark.table(table),
+        spark.table(f"{table}_deg").select("pk", "wdeg"),
+        damp,
+        iters,
+    )

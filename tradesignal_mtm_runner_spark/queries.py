@@ -1184,6 +1184,43 @@ ROTATED_IN_R13 = (
     "multimodal_mpeg1",
     "copurchase_triangles",
 )
+ROTATED_OUT_R14 = (
+    # two-round-green r12-rotation cohort (driver-green r12 + r13);
+    # every rotated-out shape keeps an in-window or pytest twin: the
+    # TPC-H heads keep q1/q3/q5-style siblings plus their own pytest
+    # oracles, the corpus shuffle/sample/pack family keeps
+    # corpus_pack_shards_stream (in-window r13–r14) which hash-matches
+    # the batch C66 oracle, and the streaming pair keeps scd2's + full
+    # outer's pytest equality pins
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_late_priority",
+    "q16_supplier_counts",
+    "q20_excess_suppliers",
+    "corpus_shuffle_shards",
+    "corpus_weighted_sample",
+    "scd2_stream",
+    "stream_join_full_outer",
+    "user_rfm_segments",
+    "events_seasonality",
+    "corpus_pack_shards",
+)
+ROTATED_IN_R14 = (
+    # second-pass refresh, r9 cohort (SURVEY §7 round-14 plan): last
+    # driver exposure r10, ≥4 rounds old
+    "upsert_latest",
+    "q7_volume_shipping",
+    "q9_profit_by_nation",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_pushdown",
+    "q22_idle_customers",
+    "multimodal_stream_decode",
+    "image_dhash",
+    "image_dhash_pairs",
+)
 for _out, _in in (
     (ROTATED_OUT_R5, ROTATED_IN_R5),
     (ROTATED_OUT_R6, ROTATED_IN_R6),
@@ -1194,6 +1231,7 @@ for _out, _in in (
     (ROTATED_OUT_R11, ROTATED_IN_R11),
     (ROTATED_OUT_R12, ROTATED_IN_R12),
     (ROTATED_OUT_R13, ROTATED_IN_R13),
+    (ROTATED_OUT_R14, ROTATED_IN_R14),
 ):
     for _k in _out:
         EXTRA_QUERIES[_k] = QUERIES.pop(_k)

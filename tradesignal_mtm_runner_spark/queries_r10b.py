@@ -164,41 +164,20 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     so there is no dangling-mass term. Node count N is fetched as ONE
     scalar (bounded model state, same convention as the trained
     centroid/BPE families); ranks are rounded to 9 dp each iteration
-    on BOTH engines so the two fixed-point chains stay glued."""
+    on BOTH engines so the two fixed-point chains stay glued.
+
+    The kernel (symmetrize + w/wdeg normalize + iterate) lives in
+    operators/graph.py (r14) and is SHARED with the standing-edge-
+    index probe ``pagerank_from_index`` — live pays the lineitem scan,
+    the probe reads the persisted graph-sized tables; parity pinned in
+    tests/test_scale_patterns.py."""
+    from .operators.graph import node_degrees, pagerank_scores
+
     _, pairs = _basket_pair_counts(spark, sf_dir)
-    edges = pairs.select(
-        F.col("part_a").alias("src"), F.col("part_b").alias("dst"), F.col("pair_cnt").alias("w")
-    ).unionAll(
-        pairs.select(
-            F.col("part_b").alias("src"), F.col("part_a").alias("dst"), F.col("pair_cnt").alias("w")
-        )
+    edges = pairs.select("part_a", "part_b", "pair_cnt")
+    return pagerank_scores(
+        edges, node_degrees(edges).select("pk", "wdeg"), PR_DAMP, PR_ITERS
     )
-    deg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
-    trans = persist_tracked(
-        edges.join(deg, "src").select(
-            "src", "dst", (F.col("w") / F.col("wdeg")).alias("p")
-        )
-    )
-    nodes = persist_tracked(deg.select(F.col("src").alias("node")))
-    n = nodes.count()  # bounded model scalar: |V| of the support-cut graph
-    ranks = nodes.select(
-        "node", _r9(F.lit(1.0) / F.lit(float(n))).alias("pagerank")
-    )
-    base = 1.0 - PR_DAMP
-    for _ in range(PR_ITERS):
-        incoming = (
-            trans.join(ranks, trans["src"] == ranks["node"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("pagerank") * F.col("p")).alias("mass"))
-        )
-        ranks = nodes.join(incoming, nodes["node"] == incoming["dst"], "left").select(
-            "node",
-            _r9(
-                F.lit(base) / F.lit(float(n))
-                + F.lit(PR_DAMP) * F.coalesce(F.col("mass"), F.lit(0.0))
-            ).alias("pagerank"),
-        )
-    return ranks.select(F.col("node").alias("p_partkey"), "pagerank")
 
 
 def _pagerank_iter_sql(k: int) -> str:

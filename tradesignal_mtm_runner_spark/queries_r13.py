@@ -376,57 +376,25 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle enumerates the identical triangle set by plain id order
     (a<b<c three-way self-join) — same values, different physical
     strategy, the B43 convention. Output: per-part triangle
-    participation counts (each triangle credits its 3 corners)."""
+    participation counts (each triangle credits its 3 corners).
+
+    The kernel (orientation + wedge + close) lives in
+    operators/graph.py (r14) and is SHARED with the standing-edge-
+    index probe ``triangles_from_index`` — the live form here pays the
+    lineitem scan each run, the probe form reads the persisted
+    graph-sized tables; value parity is structural and pinned in
+    tests/test_scale_patterns.py. Degree joins carry no broadcast hint
+    per the family-wide bounded-dims-only convention (AQE decides)."""
     from .cache_registry import persist_tracked
+    from .operators.graph import node_degrees, triangle_counts
     from .queries_r10b import _basket_pair_counts
 
     _, pairs = _basket_pair_counts(spark, sf_dir)
     # the edge relation is referenced ~6x downstream (degrees x2,
     # orientation, both wedge arms, the closing join) — persist it so
     # the lineitem-scan -> basket-agg -> pair-agg chain runs ONCE
-    edges = persist_tracked(pairs.select("part_a", "part_b"))
-    deg = (
-        edges.select(F.col("part_a").alias("pk"))
-        .unionAll(edges.select(F.col("part_b").alias("pk")))
-        .groupBy("pk")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    # degree relation is per-part (SF-scaling) — no explicit broadcast
-    # hint, per the family-wide bounded-dims-only convention; AQE picks
-    # the strategy from measured sizes
-    e = edges.join(
-        deg.select(F.col("pk").alias("part_a"), F.col("deg").alias("deg_a")),
-        "part_a",
-    ).join(
-        deg.select(F.col("pk").alias("part_b"), F.col("deg").alias("deg_b")),
-        "part_b",
-    )
-    a_first = (F.col("deg_a") < F.col("deg_b")) | (
-        (F.col("deg_a") == F.col("deg_b")) & (F.col("part_a") < F.col("part_b"))
-    )
-    oriented = e.select(
-        F.when(a_first, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
-        F.when(a_first, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
-        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
-    )
-    o1 = oriented.select("src", F.col("dst").alias("v"), F.col("deg_dst").alias("deg_v"))
-    o2 = oriented.select("src", F.col("dst").alias("w"), F.col("deg_dst").alias("deg_w"))
-    wedges = o1.join(o2, "src").filter(
-        (F.col("deg_v") < F.col("deg_w"))
-        | ((F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
-    )
-    closed = wedges.join(
-        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
-        ["v", "w"],
-    )
-    return (
-        closed.select(
-            F.explode(F.array(F.col("src"), F.col("v"), F.col("w"))).alias("pk")
-        )
-        .groupBy("pk")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-        .select(F.col("pk").cast("long").alias("part"), "n_triangles")
-    )
+    edges = persist_tracked(pairs.select("part_a", "part_b", "pair_cnt"))
+    return triangle_counts(edges, node_degrees(edges).select("pk", "deg"))
 
 
 def _triangles_sql() -> str:
