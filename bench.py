@@ -186,6 +186,10 @@ HEADLINERS = [
     # round-13 graph surface: degree-oriented triangle counting over
     # the co-purchase graph (corpus-sized lineitem scan + wedge join)
     "copurchase_triangles",
+    # round-14 graph surface: k-core via iterated simultaneous peeling
+    # (lineitem scan + peel-depth graph-sized rounds; the standing-
+    # index probe of the same graph is timed as index_probe_triangles)
+    "copurchase_kcore",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput

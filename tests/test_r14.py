@@ -1,0 +1,82 @@
+"""Round-14 pins: k-core decomposition over the co-purchase graph
+(B56). Oracle equality runs in tests/test_queries_oracle.py via the
+registry; here we pin the SEMANTIC claims the fixed unroll rests on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_kcore_converged_at_fixed_peels(spark):
+    """KCORE_PEELS simultaneous-peel rounds must be ENOUGH: one more
+    round may not change the membership or the in-core degrees
+    (otherwise the Spark loop and the fixed SQL unroll are both
+    under-iterated — they'd still agree with each other, which is
+    exactly why convergence needs its own pin)."""
+    from tradesignal_mtm_runner_spark.operators.graph import kcore_members
+    from tradesignal_mtm_runner_spark.queries_r10b import _basket_pair_counts
+    from tradesignal_mtm_runner_spark.queries_r14 import KCORE_K, KCORE_PEELS
+
+    _, pairs = _basket_pair_counts(spark, SF_SMOKE)
+    edges = pairs.select("part_a", "part_b")
+    a = (
+        kcore_members(edges, KCORE_K, KCORE_PEELS)
+        .toPandas()
+        .sort_values("part")
+        .reset_index(drop=True)
+    )
+    b = (
+        kcore_members(edges, KCORE_K, KCORE_PEELS + 1)
+        .toPandas()
+        .sort_values("part")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0  # vacuous convergence would pin nothing
+    assert (a["part"].values == b["part"].values).all()
+    assert (a["core_deg"].values == b["core_deg"].values).all()
+    # every member holds the defining property: in-core degree >= k
+    assert int(a["core_deg"].min()) >= KCORE_K
+
+
+def test_kcore_planted_graph(spark, tmp_path):
+    """B56 semantics on a planted graph: a 4-cycle (every adjacent
+    pair co-purchased twice — past the support cut) is a 2-core where
+    each member has in-core degree exactly 2; a pendant 3-node chain
+    peels away completely (leaf 10 drops round 1, exposing 11, then
+    12 — the iterated peel, not a one-shot degree filter)."""
+    from tradesignal_mtm_runner_spark.queries_r14 import copurchase_kcore
+
+    rows = []
+    oid = 0
+    for a, b in ((1, 2), (2, 3), (3, 4), (1, 4)):  # the ring
+        for _ in range(2):
+            oid += 1
+            rows += [(oid, a), (oid, b)]
+    for a, b in ((10, 11), (11, 12)):  # the pendant chain
+        for _ in range(2):
+            oid += 1
+            rows += [(oid, a), (oid, b)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        r["part"]: r["core_deg"]
+        for r in copurchase_kcore(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_kcore_plan_shape(spark):
+    """Plan pins: graph-sized equi-joins only (no cartesian), and no
+    explicit broadcast hints (the family bounded-dims-only
+    convention — AQE decides from measured sizes)."""
+    from tradesignal_mtm_runner_spark import plans as P
+    from tradesignal_mtm_runner_spark.queries_r14 import copurchase_kcore
+
+    df = copurchase_kcore(spark, SF_SMOKE)
+    plan = P.explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert P.broadcast_hint_count(df) == 0

@@ -1072,6 +1072,7 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
     WRITE/READ path), and the probe plans must read ZERO lineitem
     bytes — graph-proportional cost is the whole point."""
     from tradesignal_mtm_runner_spark.operators.graph import (
+        kcore_from_index,
         pagerank_from_index,
         triangles_from_index,
         write_edge_index,
@@ -1083,6 +1084,11 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
         copurchase_pagerank,
     )
     from tradesignal_mtm_runner_spark.queries_r13 import copurchase_triangles
+    from tradesignal_mtm_runner_spark.queries_r14 import (
+        KCORE_K,
+        KCORE_PEELS,
+        copurchase_kcore,
+    )
 
     _, pairs = _basket_pair_counts(spark, SF_SMOKE)
     t = f"{bucket_db}.edge_idx"
@@ -1090,9 +1096,10 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
 
     tri_probe = triangles_from_index(spark, t)
     pr_probe = pagerank_from_index(spark, t, PR_DAMP, PR_ITERS)
+    kc_probe = kcore_from_index(spark, t, KCORE_K, KCORE_PEELS)
     # graph-proportional: no lineitem (or any base-table) scan in the
-    # probe plans — only the two persisted index tables
-    for probe in (tri_probe, pr_probe):
+    # probe plans — only the persisted index tables
+    for probe in (tri_probe, pr_probe, kc_probe):
         plan = P.explain_str(probe)
         assert "lineitem" not in plan.lower(), plan
 
@@ -1105,4 +1112,9 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
         pr_probe.toPandas(),
         copurchase_pagerank(spark, SF_SMOKE).toPandas(),
         "edge_index_pagerank",
+    )
+    assert_frames_match(
+        kc_probe.toPandas(),
+        copurchase_kcore(spark, SF_SMOKE).toPandas(),
+        "edge_index_kcore",
     )

@@ -163,6 +163,62 @@ def pagerank_scores(
     return ranks.select(F.col("node").alias("p_partkey"), "pagerank")
 
 
+def kcore_members(edges: DataFrame, k: int, peels: int) -> DataFrame:
+    """k-core membership via ITERATED SIMULTANEOUS PEELING — the
+    fourth classic distributed graph computation beside CC label
+    propagation, PageRank and oriented triangle counting. Each round
+    drops EVERY node whose degree within the surviving set is < k;
+    after enough rounds the survivors are exactly the k-core (the
+    maximal subgraph of minimum degree ≥ k). Simultaneous (round-
+    synchronous) deletion is the distributed form: rounds needed =
+    the graph's peel DEPTH, which is small in practice (≤5 across the
+    test SFs — pinned convergent at ``peels`` with one spare round),
+    while the sequential min-degree peel would be |V| driver round
+    trips. Each round is two semi-joins (restrict the symmetrized
+    edge list to survivors) + one aggregate, all partial-agg
+    friendly; survivors persist per round (the CC convention —
+    operators/dedup.py connected_canonical — else round r re-executes
+    rounds 1..r-1 per consumer). A fixed ``peels`` is mirrored
+    exactly by the SQL oracle, so engine/oracle equality holds even
+    mid-convergence; CONVERGENCE itself is the separate pinned claim
+    (tests/test_r14.py: one more round changes nothing).
+
+    ``edges`` = undirected (part_a, part_b [, ...]); returns
+    (part, core_deg) for k-core members, core_deg = the member's
+    degree WITHIN the core.
+
+    LINEAGE CUTS, not persists: each round references the survivor
+    set TWICE (both endpoints of every edge must survive), so the
+    logical plan DOUBLES per round — 2^peels copies of the upstream
+    chain OOMs the optimizer (a 2 GB plan string at peels=8), which
+    persist() does not prevent (it caches data, not lineage). The
+    contracted-CC precedent (queries_r10) applies: an eager
+    localCheckpoint per round materializes a graph-sized survivor set
+    (kilobytes at any sane k) and keeps every round's plan constant-
+    size. The edge list gets one cut up front so the live query's
+    lineitem→basket→pair chain runs exactly once."""
+    sym = (
+        edges.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .unionAll(
+            edges.select(
+                F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    cur = sym.select("src").distinct()
+    for _ in range(peels):
+        cur = (
+            sym.join(cur.select("src"), "src")
+            .join(cur.select(F.col("src").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+            .filter(F.col("core_deg") >= k)
+            .localCheckpoint(eager=True)
+        )
+    return cur.select(F.col("src").cast("long").alias("part"), "core_deg")
+
+
 def write_edge_index(
     pairs: DataFrame, table: str, num_buckets: int = 32
 ) -> None:
@@ -220,3 +276,11 @@ def pagerank_from_index(
         damp,
         iters,
     )
+
+
+def kcore_from_index(
+    spark: SparkSession, table: str, k: int, peels: int
+) -> DataFrame:
+    """B56 from the standing index: same peeling kernel, zero lineitem
+    bytes — only the persisted edge table is read."""
+    return kcore_members(spark.table(table), k, peels)

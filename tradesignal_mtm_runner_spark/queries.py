@@ -823,6 +823,12 @@ from .queries_r13 import R13_ORACLES, R13_QUERIES  # noqa: E402
 EXTRA_QUERIES.update(R13_QUERIES)
 EXTRA_ORACLES.update(R13_ORACLES)
 
+# round-14 batch: k-core decomposition over the co-purchase graph
+from .queries_r14 import R14_ORACLES, R14_QUERIES  # noqa: E402
+
+EXTRA_QUERIES.update(R14_QUERIES)
+EXTRA_ORACLES.update(R14_ORACLES)
+
 # --- round-5 driver-window rotation (VERDICT r4, next-round item 1) ---------
 # The driver CORRECTNESS harness only ever sees the first 50 queries();
 # everything else is verified by the identical DuckDB harness in pytest.
@@ -1204,6 +1210,9 @@ ROTATED_OUT_R14 = (
     "user_rfm_segments",
     "events_seasonality",
     "corpus_pack_shards",
+    # three-round-green r11-rotation holdover (driver-green r11-r13),
+    # making the slot for the r14 registrant below
+    "doc_feature_hashing",
 )
 ROTATED_IN_R14 = (
     # second-pass refresh, r9 cohort (SURVEY §7 round-14 plan): last
@@ -1220,6 +1229,10 @@ ROTATED_IN_R14 = (
     "multimodal_stream_decode",
     "image_dhash",
     "image_dhash_pairs",
+    # r14's own registrant takes its exposure the same round (the
+    # standing pattern; BIGINT outputs only — hash-safe by
+    # construction)
+    "copurchase_kcore",
 )
 for _out, _in in (
     (ROTATED_OUT_R5, ROTATED_IN_R5),
