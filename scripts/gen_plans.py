@@ -91,6 +91,8 @@ SNAPSHOT = [
     ("corpus_pack_shards", "one shard window (position + running offset) + prefix-keyed pack agg"),
     ("multimodal_mpeg1", "one Arrow mapInPandas pass (MPEG-1 synth + full-frame decode), no shuffle"),
     ("copurchase_triangles", "degree-oriented wedge join closes against oriented edges — no Σdeg² hub blowup"),
+    # round-14 additions
+    ("copurchase_kcore", "iterated simultaneous peel: per-round lineage cuts keep the plan constant-size"),
 ]
 
 

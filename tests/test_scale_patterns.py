@@ -1118,3 +1118,100 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
         copurchase_kcore(spark, SF_SMOKE).toPandas(),
         "edge_index_kcore",
     )
+
+
+def test_edge_partials_append_equals_full_build(spark, bucket_db):
+    """The append-only ingest form of the co-purchase graph: pair
+    counts are ADDITIVE when batches are whole orders, so
+    build(A) + append(B) must FOLD identically to build(A ∪ B) and to
+    the live support-cut pair relation — including a pair whose count
+    only crosses the support cut once both batches are in (the
+    non-monotonicity that forces write_edge_index to rebuild is
+    exactly what fold-time cutting absorbs). Appends must write new
+    files only; the orders sidecar must reject a re-appended order."""
+    import glob as _glob
+
+    import pytest
+
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        append_to_edge_partials,
+        edges_from_partials,
+        node_degrees,
+        triangle_counts,
+        validate_edge_batch,
+        write_edge_partials,
+    )
+    from tradesignal_mtm_runner_spark.queries_r10b import (
+        BASKET_MIN_SUP,
+        _basket_pair_counts,
+    )
+    from tradesignal_mtm_runner_spark.queries_r13 import copurchase_triangles
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    half_a = li.filter(F.col("l_orderkey") % 2 == 0)
+    half_b = li.filter(F.col("l_orderkey") % 2 == 1)
+
+    inc_t = f"{bucket_db}.edge_inc"
+    full_t = f"{bucket_db}.edge_full"
+    write_edge_partials(half_a, inc_t, num_buckets=4)
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {inc_t}")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    )
+    before = set(_glob.glob(f"{loc.removeprefix('file:')}/*"))
+    append_to_edge_partials(half_b, inc_t, num_buckets=4, check_orders=True)
+    after = set(_glob.glob(f"{loc.removeprefix('file:')}/*"))
+    assert before <= after and len(after) > len(before)
+
+    write_edge_partials(li, full_t, num_buckets=4)
+    inc_edges = edges_from_partials(spark, inc_t, BASKET_MIN_SUP)
+    full_edges = edges_from_partials(spark, full_t, BASKET_MIN_SUP)
+    live_pairs = _basket_pair_counts(spark, SF_SMOKE)[1]
+    assert_frames_match(
+        inc_edges.toPandas(), full_edges.toPandas(), "edge_partials_append"
+    )
+    assert_frames_match(
+        inc_edges.toPandas(), live_pairs.toPandas(), "edge_partials_vs_live"
+    )
+    # the additivity matters: some pair must be sub-cut in EACH batch
+    # alone (per-batch partial rows all < MIN_SUP) yet cross the cut
+    # combined — else the fold-time-cut pin is vacuous
+    crossers = (
+        spark.table(inc_t)
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("pair_cnt").alias("mx"),
+            F.sum("pair_cnt").alias("tot"),
+        )
+        .filter(
+            (F.col("n_rows") >= 2)
+            & (F.col("mx") < BASKET_MIN_SUP)
+            & (F.col("tot") >= BASKET_MIN_SUP)
+        )
+        .count()
+    )
+    assert crossers > 0
+
+    # downstream kernels consume the fold directly
+    tri = triangle_counts(
+        inc_edges, node_degrees(inc_edges).select("pk", "deg")
+    )
+    assert_frames_match(
+        tri.toPandas(),
+        copurchase_triangles(spark, SF_SMOKE).toPandas(),
+        "edge_partials_triangles",
+    )
+
+    # guard: re-appending half_b's orders must fail loudly and leave
+    # the orders sidecar untouched
+    n_orders = spark.table(f"{inc_t}_orders").count()
+    with pytest.raises(ValueError, match="already-indexed"):
+        append_to_edge_partials(
+            half_b.limit(10), inc_t, num_buckets=4, check_orders=True
+        )
+    validate_edge_batch(half_a.limit(0), inc_t)  # empty batch: no raise
+    assert spark.table(f"{inc_t}_orders").count() == n_orders

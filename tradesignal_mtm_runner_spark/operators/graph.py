@@ -46,6 +46,26 @@ from ..queries_r8 import _r9
 from ..sinks import ensure_table_absent, write_bucketed
 
 
+def pairs_from_baskets(baskets: DataFrame, min_sup: int | None = None) -> DataFrame:
+    """(part_a, part_b, pair_cnt) from the per-order distinct item
+    sets: pair generation is ROW-LOCAL (two lateral explodes of the
+    sorted array, a < b — bounded by order size, which the schema
+    bounds at single digits), the pair aggregate is the only shuffle,
+    with map-side partial aggregation. Never an O(n²) self-join.
+    ``min_sup`` applies the support cut; None keeps RAW counts (the
+    append-only partials path, where the cut happens at fold time)."""
+    pairs = (
+        baskets.select(F.explode("parts").alias("part_a"), "parts")
+        .select("part_a", F.explode("parts").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+    )
+    if min_sup is not None:
+        pairs = pairs.filter(F.col("pair_cnt") >= min_sup)
+    return pairs
+
+
 def node_degrees(edges: DataFrame) -> DataFrame:
     """(pk, deg, wdeg) from the undirected (part_a, part_b, pair_cnt)
     edge relation: one union + one aggregate, both graph-sized."""
@@ -284,3 +304,138 @@ def kcore_from_index(
     """B56 from the standing index: same peeling kernel, zero lineitem
     bytes — only the persisted edge table is read."""
     return kcore_members(spark.table(table), k, peels)
+
+
+# --- append-only ingest form: pair-count PARTIALS ----------------------------
+#
+# write_edge_index freezes the support-cut graph (rebuild-on-schedule),
+# but the co-purchase pair counts are ADDITIVE as long as the ingest
+# unit is WHOLE ORDERS: an order's distinct-item pairs are computed
+# entirely within its own batch, so pair_cnt(A ∪ B) = pair_cnt(A) +
+# pair_cnt(B) exactly — the same property that makes BM25's df/stats
+# partials sound (operators/lexical.py). These tables keep the
+# retrieval convention: appends write new files only, the SUPPORT CUT
+# moves to fold time (a sub-cut pair that later crosses the threshold
+# is a legitimate new edge — the non-monotonicity that forces
+# write_edge_index to rebuild is exactly what folding partials absorbs).
+# Probe cost ∝ the pair relation (already past the lineitem scan, the
+# basket aggregate and the explode — the expensive corpus-sized work),
+# never ∝ raw lineitem. Caller contract: each batch = whole orders,
+# never a re-appended or split order; ``check_orders=True`` (or
+# validate_edge_batch) enforces it against the orders sidecar.
+
+
+def _write_partials_increment(
+    order_items: DataFrame,
+    table: str,
+    num_buckets: int,
+    mode: str,
+    id_cols: tuple[str, str],
+) -> None:
+    ok, pk = id_cols
+    items = order_items.select(
+        F.col(ok).alias("l_orderkey"), F.col(pk).alias("l_partkey")
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    baskets = baskets.persist()
+    try:
+        write_bucketed(
+            pairs_from_baskets(baskets),
+            table,
+            bucket_cols=["part_a"],
+            num_buckets=num_buckets,
+            sort_cols=["part_a", "part_b"],
+            mode=mode,
+        )
+        write_bucketed(
+            baskets.select("l_orderkey"),
+            f"{table}_orders",
+            bucket_cols=["l_orderkey"],
+            num_buckets=num_buckets,
+            sort_cols=["l_orderkey"],
+            mode=mode,
+        )
+    finally:
+        baskets.unpersist()
+
+
+def write_edge_partials(
+    order_items: DataFrame,
+    table: str,
+    num_buckets: int = 32,
+    id_cols: tuple[str, str] = ("l_orderkey", "l_partkey"),
+) -> None:
+    """Build the append-only ingest form from scratch: ``order_items``
+    = (l_orderkey, l_partkey) rows covering WHOLE orders. Persists
+    ``{table}`` — RAW (un-cut) pair-count partials, bucketed+sorted on
+    part_a — and ``{table}_orders`` — the indexed order keys, the
+    identity sidecar the append guard probes."""
+    spark = order_items.sparkSession
+    for t in (table, f"{table}_orders"):
+        ensure_table_absent(spark, t)
+    _write_partials_increment(order_items, table, num_buckets, "overwrite", id_cols)
+
+
+def validate_edge_batch(
+    order_items: DataFrame,
+    table: str,
+    id_cols: tuple[str, str] = ("l_orderkey", "l_partkey"),
+) -> None:
+    """Raise if any of the batch's orders is already indexed — a
+    re-appended order double-counts every one of its pairs, and the
+    partial-count layout makes that invisible until fold results
+    drift (the BM25 validate twin, ADVICE r13 convention)."""
+    spark = order_items.sparkSession
+    batch_ids = order_items.select(
+        F.col(id_cols[0]).alias("l_orderkey")
+    ).distinct()
+    dup = (
+        spark.table(f"{table}_orders")
+        .join(F.broadcast(batch_ids), "l_orderkey", "left_semi")
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        ids = sorted(int(r["l_orderkey"]) for r in dup)
+        raise ValueError(
+            f"append_to_edge_partials: batch re-appends already-indexed "
+            f"orders (sample: {ids}) — this would double-count their "
+            f"pairs in {table!r}; batches must be NEW whole orders"
+        )
+
+
+def append_to_edge_partials(
+    order_items: DataFrame,
+    table: str,
+    num_buckets: int = 32,
+    check_orders: bool = False,
+    id_cols: tuple[str, str] = ("l_orderkey", "l_partkey"),
+) -> None:
+    """Incremental ingest: one basket+pair pass over the BATCH,
+    appended as new files (nothing rewritten — pinned). Additivity
+    holds because pair generation never crosses order boundaries, so
+    build(A) + append(B) folds identically to build(A ∪ B) (pinned in
+    tests/test_scale_patterns.py). Caller contract: whole NEW orders
+    only; ``check_orders=True`` enforces it via the orders sidecar."""
+    if check_orders:
+        validate_edge_batch(order_items, table, id_cols=id_cols)
+    _write_partials_increment(order_items, table, num_buckets, "append", id_cols)
+
+
+def edges_from_partials(
+    spark: SparkSession, table: str, min_sup: int
+) -> DataFrame:
+    """Fold the pair-count partials into the CURRENT support-cut edge
+    relation: one aggregate over the bucketed pair table (map-side
+    partials; no lineitem bytes, no basket re-aggregation) + the cut.
+    Feed the result to triangle_counts / pagerank_scores /
+    kcore_members — or materialize it with write_edge_index when a
+    probe window wants the pre-folded form."""
+    return (
+        spark.table(table)
+        .groupBy("part_a", "part_b")
+        .agg(F.sum("pair_cnt").cast("long").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_sup)
+    )

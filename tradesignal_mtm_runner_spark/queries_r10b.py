@@ -57,21 +57,17 @@ def _basket_pair_counts(spark: SparkSession, sf_dir: str):
     explode is bounded by order size, which the schema bounds at
     single digits (TPC-H-style ≤7 lineitems/order). Returns
     (baskets, pairs) with baskets persisted for reuse by support /
-    total counts."""
+    total counts. Pair generation is the shared
+    operators/graph.pairs_from_baskets kernel (also the append-only
+    edge-partials ingest path, where the cut moves to fold time)."""
+    from .operators.graph import pairs_from_baskets
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
     baskets = persist_tracked(baskets)
-    pairs = (
-        baskets.select(F.explode("parts").alias("part_a"), "parts")
-        .select("part_a", F.explode("parts").alias("part_b"))
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("pair_cnt"))
-        .filter(F.col("pair_cnt") >= BASKET_MIN_SUP)
-    )
-    return baskets, pairs
+    return baskets, pairs_from_baskets(baskets, min_sup=BASKET_MIN_SUP)
 
 
 #: shared oracle CTEs for the pair relation (DuckDB mirrors the
