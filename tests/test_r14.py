@@ -80,3 +80,53 @@ def test_kcore_plan_shape(spark):
     plan = P.explain_str(df)
     assert "CartesianProduct" not in plan
     assert P.broadcast_hint_count(df) == 0
+
+
+def test_kcore_stream_replay_equals_batch_and_retry_idempotent(spark):
+    """B56b pins: (1) the staged whole-order replay folds to the SAME
+    k-core as the batch query (stream == batch — the oracle equality
+    is also enforced via the registry at sf0.001); (2) a RETRIED
+    micro-batch overwrites its batch_id-derived partials with
+    byte-identical content instead of double-counting (the C67
+    exactly-once convention)."""
+    import os
+
+    from tests.conftest import assert_frames_match
+    from tradesignal_mtm_runner_spark.cache_registry import tracked_mkdtemp
+    from tradesignal_mtm_runner_spark.queries_r14 import (
+        copurchase_kcore,
+        copurchase_kcore_stream,
+        kcore_stream_batch,
+    )
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    got = copurchase_kcore_stream(spark, SF_SMOKE)
+    want = copurchase_kcore(spark, SF_SMOKE)
+    assert_frames_match(got.toPandas(), want.toPandas(), "kcore_stream_vs_batch")
+
+    # retry: run the same handler twice with the same batch_id — the
+    # fold must count the batch ONCE
+    items = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+    )
+    root = tracked_mkdtemp("kcore_retry_")
+    handler = kcore_stream_batch(root)
+    handler(items, 0)
+    once = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("part_a long, part_b long, pair_cnt long")
+        .parquet(root)
+        .agg(F.sum("pair_cnt").alias("t"))
+        .collect()[0]["t"]
+    )
+    handler(items, 0)  # the retry
+    twice = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("part_a long, part_b long, pair_cnt long")
+        .parquet(root)
+        .agg(F.sum("pair_cnt").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert once == twice
+    assert os.path.isdir(os.path.join(root, "b00000"))

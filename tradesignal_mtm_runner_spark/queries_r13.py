@@ -222,16 +222,38 @@ def _staged_perm_stream(spark: SparkSession, docs: DataFrame, prefix: str):
         .mode("overwrite")
         .parquet(part_root)
     )
+    return _slice_replay_stream(
+        spark,
+        part_root,
+        stream_dir,
+        PACK_STREAM_BATCHES,
+        "doc_id long, text string",
+    )
+
+
+def _slice_replay_stream(
+    spark: SparkSession,
+    part_root: str,
+    stream_dir: str,
+    n_slices: int,
+    schema: str,
+):
+    """Shared replay plumbing for the one-file-per-slice stagers
+    (_staged_perm_stream here, _staged_order_stream in queries_r14):
+    hardlink each slice's single file into ``stream_dir`` with
+    ascending mtimes + names so ``maxFilesPerTrigger=1`` delivers one
+    micro-batch per slice IN slice order. Returns (stream, n_files)
+    or (None, 0) if no slice produced data."""
     now = _time.time()
     n_files = 0
-    for i in range(PACK_STREAM_BATCHES):
+    for i in range(n_slices):
         files = _glob.glob(_os.path.join(part_root, f"slice={i}", "*.parquet"))
         if not files:
             continue
         if len(files) != 1:  # repartition-on-slice guarantee — the
             # replay==batch oracle depends on it, so it must fail
             # loudly even under ``python -O`` (a bare assert would be
-            # stripped and the perm ranges would silently interleave
+            # stripped and the slice ranges would silently interleave
             # across micro-batches)
             raise RuntimeError(
                 f"staged slice {i} produced {len(files)} files "
@@ -244,7 +266,7 @@ def _staged_perm_stream(spark: SparkSession, docs: DataFrame, prefix: str):
     if n_files == 0:
         return None, 0
     return (
-        spark.readStream.schema("doc_id long, text string")
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir),
         n_files,

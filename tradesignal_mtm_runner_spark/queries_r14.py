@@ -18,11 +18,14 @@ build brief adds on top of it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os as _os
 
-from .cache_registry import persist_tracked
-from .operators.graph import kcore_members
-from .queries_r10b import _BASKET_CTES, _basket_pair_counts
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cache_registry import persist_tracked, tracked_mkdtemp
+from .operators.graph import kcore_members, pairs_from_baskets
+from .queries_r10b import _BASKET_CTES, BASKET_MIN_SUP, _basket_pair_counts
 
 #: the core order: k=2 prunes the tree-like fringe (leaf chains peel
 #: away round by round) while keeping every cycle-supported region —
@@ -84,10 +87,114 @@ FROM a{KCORE_PEELS}
 """
 
 
+#: replay micro-batches for the staged whole-order stream
+KCORE_STREAM_BATCHES = 3
+
+
+def _staged_order_stream(spark: SparkSession, items: DataFrame, prefix: str):
+    """Stage (l_orderkey, l_partkey) as a finite WHOLE-ORDER replay:
+    slice = l_orderkey % KCORE_STREAM_BATCHES keeps every order's rows
+    inside ONE slice — the additivity contract the edge-partials
+    ingest rests on (pair generation never crosses an order boundary)
+    — with one file per slice via repartition-on-slice + partitionBy
+    (the _staged_perm_stream convention; shared replay plumbing in
+    queries_r13._slice_replay_stream). LOCAL-FS BY DESIGN: this is the
+    oracle-side replay harness; the production-path per-batch writes
+    below go through Spark's Hadoop FS and are portable."""
+    from .queries_r13 import _slice_replay_stream
+
+    root = tracked_mkdtemp(prefix)
+    part_root = _os.path.join(root, "slices")
+    stream_dir = _os.path.join(root, "stream")
+    _os.makedirs(stream_dir)
+    (
+        items.withColumn(
+            "slice",
+            (F.col("l_orderkey") % KCORE_STREAM_BATCHES).cast("int"),
+        )
+        .repartition(KCORE_STREAM_BATCHES, F.col("slice"))
+        .write.partitionBy("slice")
+        .mode("overwrite")
+        .parquet(part_root)
+    )
+    return _slice_replay_stream(
+        spark,
+        part_root,
+        stream_dir,
+        KCORE_STREAM_BATCHES,
+        "l_orderkey long, l_partkey long",
+    )
+
+
+def kcore_stream_batch(parts_root: str):
+    """The foreachBatch edge-partials appender: per micro-batch, ONE
+    basket aggregate + the row-local pair kernel, written to a
+    batch_id-derived path — ``overwrite`` by batch_id means a RETRIED
+    batch recomputes byte-identical partials instead of double-
+    counting (the C67 exactly-once convention; retry idempotence
+    pinned in tests/test_r14.py). No state store, no cross-batch
+    state at all: additivity is carried by the data layout."""
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        baskets = batch_df.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("parts")
+        )
+        pairs_from_baskets(baskets).write.mode("overwrite").parquet(
+            _os.path.join(parts_root, f"b{batch_id:05d}")
+        )
+
+    return _fn
+
+
+def copurchase_kcore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B56b: ``copurchase_kcore`` under ``readStream`` — continual
+    order ingest maintains the co-purchase graph WITHOUT re-scanning
+    history. Each micro-batch of whole orders appends its raw
+    pair-count partials (additive across batches — the
+    write_edge_partials property); the fold applies the support cut
+    over all generations and feeds the SAME peeling kernel, so the
+    stream replay equals the batch B56 oracle exactly, including
+    pairs whose count only crosses the cut across batch boundaries."""
+    from .sources import load_table
+    from .streaming import await_or_raise
+
+    items = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+    )
+    stream, n_files = _staged_order_stream(spark, items, "kcore_stream_")
+    if stream is None:
+        return spark.createDataFrame([], "part long, core_deg long")
+
+    base = tracked_mkdtemp("kcore_stream_out_")
+    parts_root = _os.path.join(base, "pair_partials")
+    _os.makedirs(parts_root)
+    q = (
+        stream.writeStream.foreachBatch(kcore_stream_batch(parts_root))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .start()
+    )
+    await_or_raise(q)
+    edges = (
+        spark.read.schema("part_a long, part_b long, pair_cnt long")
+        .option("recursiveFileLookup", "true")
+        .parquet(parts_root)
+        .groupBy("part_a", "part_b")
+        .agg(F.sum("pair_cnt").cast("long").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= BASKET_MIN_SUP)
+    )
+    return kcore_members(edges, KCORE_K, KCORE_PEELS)
+
+
 R14_QUERIES: dict = {
     "copurchase_kcore": copurchase_kcore,
+    "copurchase_kcore_stream": copurchase_kcore_stream,
 }
 
 R14_ORACLES: dict = {
     "copurchase_kcore": _kcore_sql(),
+    # stream replay == batch: the staged whole-order replay folds to
+    # the identical support-cut graph, so the B56 oracle applies
+    "copurchase_kcore_stream": _kcore_sql(),
 }
