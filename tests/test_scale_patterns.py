@@ -1169,6 +1169,10 @@ def test_edge_partials_append_equals_full_build(spark, bucket_db):
     write_edge_partials(li, full_t, num_buckets=4)
     inc_edges = edges_from_partials(spark, inc_t, BASKET_MIN_SUP)
     full_edges = edges_from_partials(spark, full_t, BASKET_MIN_SUP)
+    # the fold is SHUFFLE-FREE: bucketing on part_a already clusters
+    # (part_a, part_b), so the sum+cut aggregate rides the bucket
+    # layout in place — probing the partials never re-shuffles them
+    assert P.exchange_count(inc_edges) == 0, P.explain_str(inc_edges)
     live_pairs = _basket_pair_counts(spark, SF_SMOKE)[1]
     assert_frames_match(
         inc_edges.toPandas(), full_edges.toPandas(), "edge_partials_append"

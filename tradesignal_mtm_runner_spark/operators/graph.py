@@ -428,8 +428,11 @@ def edges_from_partials(
     spark: SparkSession, table: str, min_sup: int
 ) -> DataFrame:
     """Fold the pair-count partials into the CURRENT support-cut edge
-    relation: one aggregate over the bucketed pair table (map-side
-    partials; no lineitem bytes, no basket re-aggregation) + the cut.
+    relation: one aggregate over the bucketed pair table + the cut —
+    SHUFFLE-FREE, because bucketing on part_a already clusters
+    (part_a, part_b), so the sum rides the bucket layout in place
+    (exchange_count == 0 pinned in tests/test_scale_patterns.py); no
+    lineitem bytes, no basket re-aggregation.
     Feed the result to triangle_counts / pagerank_scores /
     kcore_members — or materialize it with write_edge_index when a
     probe window wants the pre-folded form."""
