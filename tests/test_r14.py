@@ -130,3 +130,53 @@ def test_kcore_stream_replay_equals_batch_and_retry_idempotent(spark):
     )
     assert once == twice
     assert os.path.isdir(os.path.join(root, "b00000"))
+
+
+def test_kcore_matches_python_reference_on_random_graphs(spark):
+    """Semantic pin beyond the SQL oracle (which unrolls the SAME
+    rounds and so cannot catch an algorithmic error shared by both
+    sides): on seeded random graphs, the distributed simultaneous
+    peel at enough rounds must equal a trivially-correct sequential
+    Python peel — the true k-core by definition."""
+    import random
+
+    from tradesignal_mtm_runner_spark.operators.graph import kcore_members
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(40, 160))
+            }
+        )
+        k = rng.randint(2, 4)
+
+        # sequential reference peel
+        adj = {i: set() for i in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        alive = {v for v in adj if adj[v]}
+        depth = 0
+        while True:
+            drop = {v for v in alive if sum(1 for u in adj[v] if u in alive) < k}
+            if not drop:
+                break
+            alive -= drop
+            depth += 1
+        want = {
+            v: sum(1 for u in adj[v] if u in alive) for v in sorted(alive)
+        }
+
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges], "part_a long, part_b long"
+        )
+        # the reference's measured peel depth + spare rounds suffices
+        # (each localCheckpoint round is a Spark job — keep it bounded)
+        got = {
+            r["part"]: r["core_deg"]
+            for r in kcore_members(df, k, peels=depth + 2).collect()
+        }
+        assert got == want, f"seed={seed} k={k} depth={depth}"

@@ -187,9 +187,114 @@ def copurchase_kcore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_members(edges, KCORE_K, KCORE_PEELS)
 
 
+#: neighbors reported per part by the item-item similarity query
+SIMILAR_TOPK = 3
+
+
+def copurchase_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B57: item-item top-k similarity over the co-purchase graph —
+    THE classic recommender precompute ("customers who bought X also
+    bought Y", the item-item k-NN graph collaborative filtering
+    serves from). Similarity = basket Jaccard, computed entirely from
+    relations the B43 chain already produces: for a support-cut pair,
+    J(a,b) = pair_cnt / (sup_a + sup_b − pair_cnt) — no new corpus
+    scan, no all-pairs work (candidates ARE the support-cut edges;
+    sub-support pairs are definitionally below any useful similarity
+    floor). One symmetrize + two per-part joins (NO broadcast hints —
+    the per-part support relation is SF-scaling, the bounded-dims-only
+    convention; AQE decides) + one part-partitioned top-k window.
+    Jaccard is rounded to 9 dp BEFORE ranking and ties break on
+    neighbor id, so the rank order is bit-stable across engines.
+    Output: (part, neighbor, jaccard, rank ≤ SIMILAR_TOPK)."""
+    from pyspark.sql import Window
+
+    from .queries_r8 import _r9
+
+    baskets, pairs = _basket_pair_counts(spark, sf_dir)
+    sup = (
+        baskets.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("sup"))
+    )
+    sym = pairs.select(
+        F.col("part_a").alias("part"),
+        F.col("part_b").alias("neighbor"),
+        "pair_cnt",
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("part"),
+            F.col("part_a").alias("neighbor"),
+            "pair_cnt",
+        )
+    )
+    j = (
+        sym.join(
+            sup.select(F.col("pk").alias("part"), F.col("sup").alias("sup_a")),
+            "part",
+        )
+        .join(
+            sup.select(
+                F.col("pk").alias("neighbor"), F.col("sup").alias("sup_b")
+            ),
+            "neighbor",
+        )
+        .select(
+            "part",
+            "neighbor",
+            _r9(
+                F.col("pair_cnt")
+                / (F.col("sup_a") + F.col("sup_b") - F.col("pair_cnt"))
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.desc("jaccard"), F.asc("neighbor")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= SIMILAR_TOPK)
+        .select(
+            F.col("part").cast("long").alias("part"),
+            F.col("neighbor").cast("long").alias("neighbor"),
+            "jaccard",
+            "rank",
+        )
+    )
+
+
+COPURCHASE_TOPK_SIMILAR_SQL = f"""
+WITH {_BASKET_CTES},
+sup AS (SELECT l_partkey AS pk, count(*) AS sup FROM op GROUP BY 1),
+sym AS (
+  SELECT part_a AS part, part_b AS neighbor, pair_cnt FROM pairs
+  UNION ALL
+  SELECT part_b AS part, part_a AS neighbor, pair_cnt FROM pairs
+),
+j AS (
+  SELECT s.part, s.neighbor,
+         round(s.pair_cnt * 1.0 / (sa.sup + sb.sup - s.pair_cnt), 9) + 0.0
+           AS jaccard
+  FROM sym s
+  JOIN sup sa ON sa.pk = s.part
+  JOIN sup sb ON sb.pk = s.neighbor
+),
+r AS (
+  SELECT part, neighbor, jaccard,
+         CAST(row_number() OVER (PARTITION BY part
+                                 ORDER BY jaccard DESC, neighbor) AS INT)
+           AS rank
+  FROM j
+)
+SELECT CAST(part AS BIGINT) AS part, CAST(neighbor AS BIGINT) AS neighbor,
+       jaccard, rank
+FROM r WHERE rank <= {SIMILAR_TOPK}
+"""
+
+
 R14_QUERIES: dict = {
     "copurchase_kcore": copurchase_kcore,
     "copurchase_kcore_stream": copurchase_kcore_stream,
+    "copurchase_topk_similar": copurchase_topk_similar,
 }
 
 R14_ORACLES: dict = {
@@ -197,4 +302,5 @@ R14_ORACLES: dict = {
     # stream replay == batch: the staged whole-order replay folds to
     # the identical support-cut graph, so the B56 oracle applies
     "copurchase_kcore_stream": _kcore_sql(),
+    "copurchase_topk_similar": COPURCHASE_TOPK_SIMILAR_SQL,
 }
