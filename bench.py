@@ -60,22 +60,26 @@ def _prev_anchor() -> tuple[int, float] | None:
         if m:
             cands.append((int(m.group(1)), p))
     for n, p in sorted(cands, reverse=True):
+        # the whole per-candidate parse is guarded, not just the JSON
+        # load: a syntactically-valid artifact with the wrong shape
+        # (top-level list, "tail": null, ...) is equally skippable and
+        # must never kill the bench AFTER the timing loop ran
         try:
             data = json.load(open(p))
+            parsed = data.get("parsed")
+            if isinstance(parsed, dict):
+                v = (parsed.get("queries") or {}).get(
+                    "bookkeeper_500k_bars"
+                ) or parsed.get("anchor_bookkeeper_500k")
+                if v:
+                    return n, float(v)
+            m2 = re.search(
+                r'"bookkeeper_500k_bars":\s*([0-9.]+)', data.get("tail") or ""
+            )
+            if m2:
+                return n, float(m2.group(1))
         except Exception:  # noqa: BLE001 - a corrupt artifact is skippable
             continue
-        parsed = data.get("parsed")
-        if isinstance(parsed, dict):
-            v = (parsed.get("queries") or {}).get(
-                "bookkeeper_500k_bars"
-            ) or parsed.get("anchor_bookkeeper_500k")
-            if v:
-                return n, float(v)
-        m2 = re.search(
-            r'"bookkeeper_500k_bars":\s*([0-9.]+)', data.get("tail", "")
-        )
-        if m2:
-            return n, float(m2.group(1))
     return None
 
 HEADLINERS = [
@@ -188,8 +192,13 @@ HEADLINERS = [
     "copurchase_triangles",
     # round-14 graph surface: k-core via iterated simultaneous peeling
     # (lineitem scan + peel-depth graph-sized rounds; the standing-
-    # index probe of the same graph is timed as index_probe_triangles)
+    # index probe of the same graph is timed as index_probe_triangles),
+    # its streaming twin (whole-order micro-batches appending pair
+    # partials, timed whole like corpus_pack_shards_stream), and the
+    # item-item Jaccard top-k recommender precompute
     "copurchase_kcore",
+    "copurchase_kcore_stream",
+    "copurchase_topk_similar",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput
@@ -613,6 +622,11 @@ def main() -> None:
     except OSError as exc:  # read-only checkout must not fail the bench
         errors["detail_file"] = f"{type(exc).__name__}: {exc}"[:200]
         detail_rel = None
+    # refresh AFTER the detail-write attempt so the (optional) full
+    # stdout line and the compact line agree on the error set even
+    # when the detail write itself was the first error
+    if errors:
+        out["errors"] = errors
 
     compact = {
         "metric": out["metric"],

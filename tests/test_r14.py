@@ -180,3 +180,15 @@ def test_kcore_matches_python_reference_on_random_graphs(spark):
             for r in kcore_members(df, k, peels=depth + 2).collect()
         }
         assert got == want, f"seed={seed} k={k} depth={depth}"
+
+
+def test_kcore_rejects_zero_peels(spark):
+    """peels < 1 must fail with a clear error, not an unresolved-
+    column AnalysisException from the un-run loop (review r14)."""
+    import pytest
+
+    from tradesignal_mtm_runner_spark.operators.graph import kcore_members
+
+    edges = spark.createDataFrame([(1, 2)], "part_a long, part_b long")
+    with pytest.raises(ValueError, match="peels"):
+        kcore_members(edges, 2, peels=0)

@@ -205,7 +205,8 @@ def kcore_members(edges: DataFrame, k: int, peels: int) -> DataFrame:
 
     ``edges`` = undirected (part_a, part_b [, ...]); returns
     (part, core_deg) for k-core members, core_deg = the member's
-    degree WITHIN the core.
+    degree WITHIN the core. ``peels`` must be ≥ 1 (the survivor
+    relation only carries core_deg after a round has run).
 
     LINEAGE CUTS, not persists: each round references the survivor
     set TWICE (both endpoints of every edge must survive), so the
@@ -217,6 +218,11 @@ def kcore_members(edges: DataFrame, k: int, peels: int) -> DataFrame:
     (kilobytes at any sane k) and keeps every round's plan constant-
     size. The edge list gets one cut up front so the live query's
     lineitem→basket→pair chain runs exactly once."""
+    if peels < 1:
+        raise ValueError(
+            f"kcore_members: peels must be >= 1 (got {peels}) — the "
+            "survivor relation only carries core_deg after a round"
+        )
     sym = (
         edges.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
         .unionAll(
@@ -325,6 +331,24 @@ def kcore_from_index(
 # validate_edge_batch) enforces it against the orders sidecar.
 
 
+def baskets_from_items(
+    order_items: DataFrame,
+    id_cols: tuple[str, str] = ("l_orderkey", "l_partkey"),
+) -> DataFrame:
+    """Per-order distinct item sets — the shared basket aggregate
+    feeding pair generation everywhere (the live B43 chain, the
+    partials ingest below, the streaming kcore batches): one orderkey
+    shuffle, collect_set dedups in-agg."""
+    ok, pk = id_cols
+    return (
+        order_items.select(
+            F.col(ok).alias("l_orderkey"), F.col(pk).alias("l_partkey")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+
+
 def _write_partials_increment(
     order_items: DataFrame,
     table: str,
@@ -332,29 +356,33 @@ def _write_partials_increment(
     mode: str,
     id_cols: tuple[str, str],
 ) -> None:
-    ok, pk = id_cols
-    items = order_items.select(
-        F.col(ok).alias("l_orderkey"), F.col(pk).alias("l_partkey")
-    )
-    baskets = items.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    baskets = baskets.persist()
+    baskets = baskets_from_items(order_items, id_cols).persist()
     try:
-        write_bucketed(
-            pairs_from_baskets(baskets),
-            table,
-            bucket_cols=["part_a"],
-            num_buckets=num_buckets,
-            sort_cols=["part_a", "part_b"],
-            mode=mode,
-        )
+        # WRITE ORDER MATTERS (review r14): the orders SIDECAR commits
+        # FIRST. The two writes are not atomic; if the pairs write
+        # committed first and the process died before the sidecar, a
+        # retry with check_orders=True would pass validation and
+        # silently double-count the batch — the exact corruption the
+        # sidecar exists to prevent. Sidecar-first inverts the torn
+        # state into the FAIL-LOUD direction: a retry either trips the
+        # guard (orders present, pairs torn — operator repairs) or,
+        # without the guard, re-appends pairs once and merely leaves
+        # harmless duplicate sidecar rows (the semi-join guard is
+        # insensitive to duplicates).
         write_bucketed(
             baskets.select("l_orderkey"),
             f"{table}_orders",
             bucket_cols=["l_orderkey"],
             num_buckets=num_buckets,
             sort_cols=["l_orderkey"],
+            mode=mode,
+        )
+        write_bucketed(
+            pairs_from_baskets(baskets),
+            table,
+            bucket_cols=["part_a"],
+            num_buckets=num_buckets,
+            sort_cols=["part_a", "part_b"],
             mode=mode,
         )
     finally:

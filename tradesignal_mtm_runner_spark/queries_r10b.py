@@ -60,13 +60,10 @@ def _basket_pair_counts(spark: SparkSession, sf_dir: str):
     total counts. Pair generation is the shared
     operators/graph.pairs_from_baskets kernel (also the append-only
     edge-partials ingest path, where the cut moves to fold time)."""
-    from .operators.graph import pairs_from_baskets
+    from .operators.graph import baskets_from_items, pairs_from_baskets
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    baskets = persist_tracked(baskets)
+    baskets = persist_tracked(baskets_from_items(li))
     return baskets, pairs_from_baskets(baskets, min_sup=BASKET_MIN_SUP)
 
 

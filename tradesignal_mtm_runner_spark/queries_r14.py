@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .cache_registry import persist_tracked, tracked_mkdtemp
-from .operators.graph import kcore_members, pairs_from_baskets
+from .operators.graph import (
+    baskets_from_items,
+    kcore_members,
+    pairs_from_baskets,
+)
 from .queries_r10b import _BASKET_CTES, BASKET_MIN_SUP, _basket_pair_counts
 
 #: the core order: k=2 prunes the tree-like fringe (leaf chains peel
@@ -136,12 +140,9 @@ def kcore_stream_batch(parts_root: str):
     state at all: additivity is carried by the data layout."""
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
-        baskets = batch_df.groupBy("l_orderkey").agg(
-            F.sort_array(F.collect_set("l_partkey")).alias("parts")
-        )
-        pairs_from_baskets(baskets).write.mode("overwrite").parquet(
-            _os.path.join(parts_root, f"b{batch_id:05d}")
-        )
+        pairs_from_baskets(baskets_from_items(batch_df)).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(parts_root, f"b{batch_id:05d}"))
 
     return _fn
 
