@@ -192,3 +192,88 @@ def test_kcore_rejects_zero_peels(spark):
     edges = spark.createDataFrame([(1, 2)], "part_a long, part_b long")
     with pytest.raises(ValueError, match="peels"):
         kcore_members(edges, 2, peels=0)
+
+
+def test_triangles_and_pagerank_match_python_reference_on_random_graphs(
+    spark,
+):
+    """Independent-reference pins for the other two graph kernels on
+    seeded random graphs. Triangles already has an algorithm-diverse
+    oracle (a<b<c self-join), but random graphs exercise the
+    degree-TIE orientation paths a planted K4 never hits; PageRank's
+    oracle unrolls the same iteration, so — like k-core — only an
+    independent implementation can catch a shared algorithmic error.
+    The Python PageRank mirrors the per-iteration 9-dp rounding
+    loosely (tolerance compare; the pin is the fixed point's value,
+    not the rounding mechanics)."""
+    import random
+
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        node_degrees,
+        pagerank_scores,
+        triangle_counts,
+    )
+
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        n = 40
+        raw = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(60, 140))
+            }
+        )
+        edges_py = [(a, b, rng.randint(1, 5)) for a, b in raw]
+        df = spark.createDataFrame(
+            edges_py, "part_a long, part_b long, pair_cnt long"
+        )
+        deg = node_degrees(df)
+
+        # --- triangles: reference = brute-force closed-wedge count
+        adj = {}
+        for a, b, _ in edges_py:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want_tri: dict[int, int] = {}
+        for a, b in raw:
+            for c in adj[a] & adj[b]:
+                for v in (a, b, c):
+                    want_tri[v] = want_tri.get(v, 0) + 1
+        # each triangle found 3 times (once per edge) above
+        want_tri = {v: c // 3 for v, c in want_tri.items() if c // 3 > 0}
+        got_tri = {
+            r["part"]: r["n_triangles"]
+            for r in triangle_counts(df, deg.select("pk", "deg")).collect()
+        }
+        assert got_tri == want_tri, f"seed={seed}"
+
+        # --- pagerank: reference = dense weighted power iteration
+        from tradesignal_mtm_runner_spark.queries_r10b import (
+            PR_DAMP,
+            PR_ITERS,
+        )
+
+        wdeg: dict[int, float] = {}
+        for a, b, w in edges_py:
+            wdeg[a] = wdeg.get(a, 0) + w
+            wdeg[b] = wdeg.get(b, 0) + w
+        nodes = sorted(wdeg)
+        nn = len(nodes)
+        rank = {v: 1.0 / nn for v in nodes}
+        for _ in range(PR_ITERS):
+            mass = {v: 0.0 for v in nodes}
+            for a, b, w in edges_py:
+                mass[b] += rank[a] * w / wdeg[a]
+                mass[a] += rank[b] * w / wdeg[b]
+            rank = {
+                v: (1 - PR_DAMP) / nn + PR_DAMP * mass[v] for v in nodes
+            }
+        got_pr = {
+            r["p_partkey"]: r["pagerank"]
+            for r in pagerank_scores(
+                df, deg.select("pk", "wdeg"), PR_DAMP, PR_ITERS
+            ).collect()
+        }
+        assert set(got_pr) == set(rank)
+        for v in nodes:
+            assert abs(got_pr[v] - rank[v]) < 1e-6, f"seed={seed} node={v}"
