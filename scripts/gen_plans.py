@@ -93,6 +93,7 @@ SNAPSHOT = [
     ("copurchase_triangles", "degree-oriented wedge join closes against oriented edges — no Σdeg² hub blowup"),
     # round-14 additions
     ("copurchase_kcore", "iterated simultaneous peel: per-round lineage cuts keep the plan constant-size"),
+    ("copurchase_topk_similar", "Jaccard over the support-cut edges: candidates ARE the edges, zero hints, per-part top-k window"),
 ]
 
 
