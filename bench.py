@@ -199,6 +199,21 @@ HEADLINERS = [
     "copurchase_kcore",
     "copurchase_kcore_stream",
     "copurchase_topk_similar",
+    # round-14 second batch: the graph suite completed — synchronous
+    # self-vote LPA (9 lineage-cut rounds), clustering coefficients
+    # (the oriented-triangle kernel + a degree LEFT join), and
+    # hub-capped Adamic-Adar link prediction (wedge join + anti-join
+    # + top-k window); all three share the persisted edge relation
+    # with the earlier graph keys
+    "copurchase_communities",
+    "copurchase_clustering",
+    "copurchase_link_predict",
+    # the one-row graph health profile (degree-arithmetic wedges +
+    # oriented-kernel triangle total) and the MinHash sketch-QA
+    # calibration (signature compare + exact Jaccard, both
+    # candidate-bounded)
+    "copurchase_graph_profile",
+    "minhash_calibration",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput
@@ -534,10 +549,15 @@ def main() -> None:
     )
 
     from tradesignal_mtm_runner_spark.operators.graph import (
+        linkpred_from_index,
         triangles_from_index,
         write_edge_index,
     )
     from tradesignal_mtm_runner_spark.queries_r10b import _basket_pair_counts
+    from tradesignal_mtm_runner_spark.queries_r14b import (
+        LINK_MAX_DEG,
+        LINK_TOPK,
+    )
 
     def _build_edges() -> None:
         # once-per-refresh half: the lineitem scan -> basket agg ->
@@ -551,6 +571,15 @@ def main() -> None:
         "index_probe_triangles",
         _build_edges,
         lambda: triangles_from_index(spark, "bench_idx.edge_idx"),
+    )
+    # the r14b kernels probe the SAME standing graph — reuse the build
+    # above (no second lineitem pass; the index is the shared artifact)
+    _time_probe(
+        "index_probe_linkpred",
+        lambda: None,
+        lambda: linkpred_from_index(
+            spark, "bench_idx.edge_idx", LINK_MAX_DEG, LINK_TOPK
+        ),
     )
 
     total = round(sum(timings.values()), 3)

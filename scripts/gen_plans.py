@@ -94,6 +94,12 @@ SNAPSHOT = [
     # round-14 additions
     ("copurchase_kcore", "iterated simultaneous peel: per-round lineage cuts keep the plan constant-size"),
     ("copurchase_topk_similar", "Jaccard over the support-cut edges: candidates ARE the edges, zero hints, per-part top-k window"),
+    # round-14 second batch
+    ("copurchase_communities", "self-vote LPA: per-round vote join + top-1 window, lineage cut per round"),
+    ("copurchase_clustering", "oriented-triangle kernel + degree LEFT join: triangle-free nodes kept"),
+    ("copurchase_link_predict", "hub-capped wedge join + anti-join existing edges + per-part top-k"),
+    ("copurchase_graph_profile", "two bounded aggregates: degree-arithmetic wedges + oriented triangle total"),
+    ("minhash_calibration", "shared signature persist: row-local K-column compare + candidate-bounded exact Jaccard"),
 ]
 
 

@@ -1072,7 +1072,10 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
     WRITE/READ path), and the probe plans must read ZERO lineitem
     bytes — graph-proportional cost is the whole point."""
     from tradesignal_mtm_runner_spark.operators.graph import (
+        clustering_from_index,
+        communities_from_index,
         kcore_from_index,
+        linkpred_from_index,
         pagerank_from_index,
         triangles_from_index,
         write_edge_index,
@@ -1089,6 +1092,14 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
         KCORE_PEELS,
         copurchase_kcore,
     )
+    from tradesignal_mtm_runner_spark.queries_r14b import (
+        LINK_MAX_DEG,
+        LINK_TOPK,
+        LPA_ROUNDS,
+        copurchase_clustering,
+        copurchase_communities,
+        copurchase_link_predict,
+    )
 
     _, pairs = _basket_pair_counts(spark, SF_SMOKE)
     t = f"{bucket_db}.edge_idx"
@@ -1097,11 +1108,16 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
     tri_probe = triangles_from_index(spark, t)
     pr_probe = pagerank_from_index(spark, t, PR_DAMP, PR_ITERS)
     kc_probe = kcore_from_index(spark, t, KCORE_K, KCORE_PEELS)
+    cl_probe = clustering_from_index(spark, t)
+    lp_probe = linkpred_from_index(spark, t, LINK_MAX_DEG, LINK_TOPK)
     # graph-proportional: no lineitem (or any base-table) scan in the
-    # probe plans — only the persisted index tables
-    for probe in (tri_probe, pr_probe, kc_probe):
+    # probe plans — only the persisted index tables. (The LPA probe's
+    # plan is checked the same way below, after its lineage cuts run.)
+    for probe in (tri_probe, pr_probe, kc_probe, cl_probe, lp_probe):
         plan = P.explain_str(probe)
         assert "lineitem" not in plan.lower(), plan
+    co_probe = communities_from_index(spark, t, LPA_ROUNDS)
+    assert "lineitem" not in P.explain_str(co_probe).lower()
 
     assert_frames_match(
         tri_probe.toPandas(),
@@ -1117,6 +1133,21 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
         kc_probe.toPandas(),
         copurchase_kcore(spark, SF_SMOKE).toPandas(),
         "edge_index_kcore",
+    )
+    assert_frames_match(
+        co_probe.toPandas(),
+        copurchase_communities(spark, SF_SMOKE).toPandas(),
+        "edge_index_communities",
+    )
+    assert_frames_match(
+        cl_probe.toPandas(),
+        copurchase_clustering(spark, SF_SMOKE).toPandas(),
+        "edge_index_clustering",
+    )
+    assert_frames_match(
+        lp_probe.toPandas(),
+        copurchase_link_predict(spark, SF_SMOKE).toPandas(),
+        "edge_index_linkpred",
     )
 
 

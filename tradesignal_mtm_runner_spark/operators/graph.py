@@ -217,7 +217,13 @@ def kcore_members(edges: DataFrame, k: int, peels: int) -> DataFrame:
     localCheckpoint per round materializes a graph-sized survivor set
     (kilobytes at any sane k) and keeps every round's plan constant-
     size. The edge list gets one cut up front so the live query's
-    lineitem→basket→pair chain runs exactly once."""
+    lineitem→basket→pair chain runs exactly once.
+
+    Caller contract (family-wide, also community_labels /
+    clustering_coefficients / link_predictions): ``edges`` is the
+    CANONICAL undirected relation — one row per pair, part_a < part_b,
+    no duplicates (what pairs_from_baskets / edges_from_partials
+    emit); duplicate rows would inflate the vote/degree counts."""
     if peels < 1:
         raise ValueError(
             f"kcore_members: peels must be >= 1 (got {peels}) — the "
@@ -243,6 +249,186 @@ def kcore_members(edges: DataFrame, k: int, peels: int) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return cur.select(F.col("src").cast("long").alias("part"), "core_deg")
+
+
+def community_labels(edges: DataFrame, rounds: int) -> DataFrame:
+    """Community detection via SYNCHRONOUS LABEL PROPAGATION with a
+    self-vote — the fifth classic distributed graph computation in the
+    family (CC label propagation, PageRank, oriented triangles,
+    k-core peeling, and now LPA communities: "which items form a
+    cross-sold cluster" is the modularity-free community question
+    production recommenders actually ask).
+
+    Each round, every node adopts the label with the MOST votes among
+    {its neighbors' current labels} ∪ {its own current label}, ties
+    broken toward the SMALLEST label — fully deterministic, so a fixed
+    ``rounds`` is mirrored exactly by the SQL oracle. The self-vote is
+    load-bearing: plain synchronous LPA two-cycles on sparse/bipartite
+    regions (measured on the sf0.01 co-purchase graph: still >1400
+    flips/round after 15 rounds), while the self-inclusive vote
+    converges in ≤7 rounds on every test SF — convergence itself is
+    the separately pinned claim (tests/test_r14b.py: one more round
+    changes nothing), the Spark/oracle equality holds even
+    mid-convergence by the fixed unroll.
+
+    Scale shape: per round, one graph-sized equi-join (labels onto the
+    symmetrized edge list), one (node, label) vote count with map-side
+    partials, one node-partitioned top-1 window — all graph-sized,
+    nothing driver-side. The label relation is referenced TWICE per
+    round (neighbor votes + self-vote), so the logical plan doubles
+    per round: lineage CUTS per round (localCheckpoint, the
+    k-core/contracted-CC convention), not persists. Returns
+    (part, community); community ids are the propagated node ids (the
+    min-tie-break makes each community's label a stable member id,
+    typically its smallest)."""
+    from pyspark.sql import Window
+
+    if rounds < 1:
+        raise ValueError(
+            f"community_labels: rounds must be >= 1 (got {rounds})"
+        )
+    sym = (
+        edges.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .unionAll(
+            edges.select(
+                F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select("src").distinct().select(
+            F.col("src").alias("node"), F.col("src").alias("label")
+        )
+    )
+    top1 = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        votes = sym.join(
+            labels.select(F.col("node").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("node"), "label").unionAll(labels)
+        labels = (
+            votes.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rk", F.row_number().over(top1))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").cast("long").alias("part"),
+        F.col("label").cast("long").alias("community"),
+    )
+
+
+def clustering_coefficients(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Per-node LOCAL CLUSTERING COEFFICIENT — the per-node density
+    measure triangle counting exists to feed: c(v) = 2·T(v) /
+    (deg(v)·(deg(v)−1)) for deg ≥ 2, defined 0.0 below (the standard
+    convention). Reuses the ORIENTED triangle kernel verbatim (same
+    O(√E) wedge bound — see :func:`triangle_counts`) plus one
+    graph-sized LEFT join from the degree relation, so triangle-free
+    nodes appear with coefficient 0.0 instead of silently dropping.
+    ``edges`` = (part_a, part_b [, ...]) with part_a < part_b; ``deg``
+    = (pk, deg). Returns (part, deg, n_triangles, clustering) with the
+    coefficient rounded to 9 dp (the cross-engine float convention)."""
+    tri = triangle_counts(edges, deg.select("pk", "deg"))
+    d = F.col("deg").cast("double")
+    nt = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    return (
+        deg.select("pk", "deg")
+        .join(
+            tri.select(F.col("part").alias("pk"), "n_triangles"), "pk", "left"
+        )
+        .select(
+            F.col("pk").cast("long").alias("part"),
+            F.col("deg").cast("long").alias("deg"),
+            nt.alias("n_triangles"),
+            _r9(
+                F.when(
+                    F.col("deg") >= 2,
+                    F.lit(2.0) * nt.cast("double") / (d * (d - F.lit(1.0))),
+                ).otherwise(F.lit(0.0))
+            ).alias("clustering"),
+        )
+    )
+
+
+def link_predictions(
+    edges: DataFrame, deg: DataFrame, max_deg: int, topk: int
+) -> DataFrame:
+    """ADAMIC-ADAR link prediction over the co-purchase graph — the
+    classic "may also buy" precompute: for every NON-adjacent pair at
+    distance 2, score = Σ over common neighbors v of 1/ln(deg(v)),
+    keep each node's top-k candidates. High-degree common neighbors
+    are discounted (everything is 2 hops from a hub — uninformative),
+    which is exactly why the kernel can also CAP them: wedge
+    enumeration at a center v is C(deg(v), 2), quadratic in the hub's
+    degree, so centers with deg > ``max_deg`` are excluded up front —
+    the hot-bucket cap convention (operators/dedup.py
+    lsh_candidate_pairs max_bucket): their per-wedge contribution
+    1/ln(deg) is the smallest in the graph by construction, and the
+    cap is what bounds the wedge join at 100 TB on power-law graphs
+    (no test-SF co-purchase graph has a node past 64 — the cap is
+    pinned by a planted hub instead, tests/test_r14b.py). The oracle
+    mirrors the cap, so engine and oracle score the identical wedge
+    set.
+
+    Plan: one degree-filtered center join, one wedge self-join
+    (fan-out ≤ C(max_deg, 2) per center), one (u, w) score aggregate
+    with map-side partials, one LEFT ANTI against the existing edge
+    relation (u < w aligns with part_a < part_b), one symmetrize +
+    node-partitioned top-k window. Scores are rounded to 9 dp BEFORE
+    ranking and ties break on candidate id (the B57 convention), so
+    the rank order is bit-stable across engines. Returns
+    (part, cand, n_common, aa_score, rank ≤ topk)."""
+    from pyspark.sql import Window
+
+    sym = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    centers = deg.filter(
+        (F.col("deg") >= 2) & (F.col("deg") <= max_deg)
+    ).select(F.col("pk").alias("src"), F.col("deg").alias("deg_src"))
+    adj = sym.join(centers, "src")
+    a1 = adj.select("src", F.col("dst").alias("u"), "deg_src")
+    a2 = adj.select("src", F.col("dst").alias("w"))
+    wedges = a1.join(a2, "src").filter(F.col("u") < F.col("w"))
+    scores = wedges.groupBy("u", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        _r9(F.sum(F.lit(1.0) / F.log(F.col("deg_src").cast("double")))).alias(
+            "aa_score"
+        ),
+    )
+    pred = scores.join(
+        edges.select(F.col("part_a").alias("u"), F.col("part_b").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    symp = pred.select(
+        F.col("u").alias("part"), F.col("w").alias("cand"), "n_common",
+        "aa_score",
+    ).unionAll(
+        pred.select(
+            F.col("w").alias("part"), F.col("u").alias("cand"), "n_common",
+            "aa_score",
+        )
+    )
+    rank_w = Window.partitionBy("part").orderBy(
+        F.desc("aa_score"), F.asc("cand")
+    )
+    return (
+        symp.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("part").cast("long").alias("part"),
+            F.col("cand").cast("long").alias("cand"),
+            "n_common",
+            "aa_score",
+            "rank",
+        )
+    )
 
 
 def write_edge_index(
@@ -310,6 +496,37 @@ def kcore_from_index(
     """B56 from the standing index: same peeling kernel, zero lineitem
     bytes — only the persisted edge table is read."""
     return kcore_members(spark.table(table), k, peels)
+
+
+def communities_from_index(
+    spark: SparkSession, table: str, rounds: int
+) -> DataFrame:
+    """B58 from the standing index: same LPA kernel, zero lineitem
+    bytes — only the persisted edge table is read."""
+    return community_labels(spark.table(table), rounds)
+
+
+def clustering_from_index(spark: SparkSession, table: str) -> DataFrame:
+    """B59 from the standing index: same oriented-triangle kernel plus
+    the persisted degree relation — zero lineitem bytes, and no degree
+    re-aggregation either."""
+    return clustering_coefficients(
+        spark.table(table), spark.table(f"{table}_deg").select("pk", "deg")
+    )
+
+
+def linkpred_from_index(
+    spark: SparkSession, table: str, max_deg: int, topk: int
+) -> DataFrame:
+    """B60 from the standing index: same Adamic-Adar kernel — the
+    persisted degree relation feeds both the hub cap and the 1/ln(deg)
+    discount, zero lineitem bytes."""
+    return link_predictions(
+        spark.table(table),
+        spark.table(f"{table}_deg").select("pk", "deg"),
+        max_deg,
+        topk,
+    )
 
 
 # --- append-only ingest form: pair-count PARTIALS ----------------------------

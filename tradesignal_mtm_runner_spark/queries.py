@@ -829,6 +829,13 @@ from .queries_r14 import R14_ORACLES, R14_QUERIES  # noqa: E402
 EXTRA_QUERIES.update(R14_QUERIES)
 EXTRA_ORACLES.update(R14_ORACLES)
 
+# round-14 second batch: the graph family completed — LPA communities,
+# local clustering coefficients, Adamic-Adar link prediction
+from .queries_r14b import R14B_ORACLES, R14B_QUERIES  # noqa: E402
+
+EXTRA_QUERIES.update(R14B_QUERIES)
+EXTRA_ORACLES.update(R14B_ORACLES)
+
 # --- round-5 driver-window rotation (VERDICT r4, next-round item 1) ---------
 # The driver CORRECTNESS harness only ever sees the first 50 queries();
 # everything else is verified by the identical DuckDB harness in pytest.
