@@ -427,23 +427,48 @@ def test_minhash_calibration_semantics(spark, tmp_path):
 
 
 def test_r14b_plan_shapes(spark):
-    """Plan pins for all three queries: graph-sized equi-joins only
-    (no cartesian), and no explicit broadcast hints (the family
-    bounded-dims-only convention — AQE decides from measured
-    sizes)."""
+    """Plan pins: graph-sized equi-joins only (no cartesian), and no
+    explicit broadcast hints (the family bounded-dims-only convention
+    — AQE decides from measured sizes). For the LPA query the
+    query-level plan is a post-checkpoint scan that pins nothing
+    (review r14b), so the per-round shape is asserted on lpa_round's
+    plan directly (and kcore_round's, which had the same blind
+    spot)."""
+    from pyspark.sql import functions as F2
+
     from tradesignal_mtm_runner_spark import plans as P
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        kcore_round,
+        lpa_round,
+    )
     from tradesignal_mtm_runner_spark.queries_r14b import (
         copurchase_clustering,
-        copurchase_communities,
         copurchase_link_predict,
     )
 
-    for q in (
-        copurchase_communities,
-        copurchase_clustering,
-        copurchase_link_predict,
-    ):
+    for q in (copurchase_clustering, copurchase_link_predict):
         df = q(spark, SF_SMOKE)
         plan = P.explain_str(df)
         assert "CartesianProduct" not in plan, q.__name__
         assert P.broadcast_hint_count(df) == 0, q.__name__
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "part_a long, part_b long"
+    )
+    sym = edges.select(
+        F2.col("part_a").alias("src"), F2.col("part_b").alias("dst")
+    ).unionAll(
+        edges.select(
+            F2.col("part_b").alias("src"), F2.col("part_a").alias("dst")
+        )
+    )
+    labels = sym.select("src").distinct().select(
+        F2.col("src").alias("node"), F2.col("src").alias("label")
+    )
+    for df in (
+        lpa_round(sym, labels),
+        kcore_round(sym, sym.select("src").distinct(), 2),
+    ):
+        plan = P.explain_str(df)
+        assert "CartesianProduct" not in plan, plan
+        assert P.broadcast_hint_count(df) == 0

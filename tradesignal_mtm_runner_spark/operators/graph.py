@@ -240,15 +240,24 @@ def kcore_members(edges: DataFrame, k: int, peels: int) -> DataFrame:
     )
     cur = sym.select("src").distinct()
     for _ in range(peels):
-        cur = (
-            sym.join(cur.select("src"), "src")
-            .join(cur.select(F.col("src").alias("dst")), "dst")
-            .groupBy("src")
-            .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
-            .filter(F.col("core_deg") >= k)
-            .localCheckpoint(eager=True)
-        )
+        cur = kcore_round(sym, cur, k).localCheckpoint(eager=True)
     return cur.select(F.col("src").cast("long").alias("part"), "core_deg")
+
+
+def kcore_round(sym: DataFrame, survivors: DataFrame, k: int) -> DataFrame:
+    """One simultaneous-peel round: restrict the symmetrized edge list
+    to edges whose BOTH endpoints survive, re-count degrees, drop
+    nodes below k. Exposed separately so the per-round PLAN can be
+    pinned directly — the query-level plan is a post-checkpoint scan,
+    which pins nothing (review r14b). ``sym`` = (src, dst);
+    ``survivors`` = a relation with a ``src`` column."""
+    return (
+        sym.join(survivors.select("src"), "src")
+        .join(survivors.select(F.col("src").alias("dst")), "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+        .filter(F.col("core_deg") >= k)
+    )
 
 
 def community_labels(edges: DataFrame, rounds: int) -> DataFrame:
@@ -281,8 +290,6 @@ def community_labels(edges: DataFrame, rounds: int) -> DataFrame:
     (part, community); community ids are the propagated node ids (the
     min-tie-break makes each community's label a stable member id,
     typically its smallest)."""
-    from pyspark.sql import Window
-
     if rounds < 1:
         raise ValueError(
             f"community_labels: rounds must be >= 1 (got {rounds})"
@@ -301,22 +308,33 @@ def community_labels(edges: DataFrame, rounds: int) -> DataFrame:
             F.col("src").alias("node"), F.col("src").alias("label")
         )
     )
-    top1 = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(rounds):
-        votes = sym.join(
-            labels.select(F.col("node").alias("src"), "label"), "src"
-        ).select(F.col("dst").alias("node"), "label").unionAll(labels)
-        labels = (
-            votes.groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rk", F.row_number().over(top1))
-            .filter(F.col("rk") == 1)
-            .select("node", "label")
-            .localCheckpoint(eager=True)
-        )
+        labels = lpa_round(sym, labels).localCheckpoint(eager=True)
     return labels.select(
         F.col("node").cast("long").alias("part"),
         F.col("label").cast("long").alias("community"),
+    )
+
+
+def lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous self-vote LPA round: neighbor votes + the self
+    vote, (node, label) count, deterministic top-1 (max count, then
+    min label). Exposed separately so the per-round PLAN can be
+    pinned directly — the query-level plan is a post-checkpoint scan,
+    which pins nothing (review r14b). ``sym`` = directed symmetrized
+    edges (src, dst); ``labels`` = (node, label)."""
+    from pyspark.sql import Window
+
+    top1 = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    votes = sym.join(
+        labels.select(F.col("node").alias("src"), "label"), "src"
+    ).select(F.col("dst").alias("node"), "label").unionAll(labels)
+    return (
+        votes.groupBy("node", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rk", F.row_number().over(top1))
+        .filter(F.col("rk") == 1)
+        .select("node", "label")
     )
 
 

@@ -72,7 +72,12 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     at every test SF, and the oracle unrolls the SAME rounds so
     equality would hold even mid-convergence."""
     _, pairs = _basket_pair_counts(spark, sf_dir)
-    return community_labels(pairs.select("part_a", "part_b"), LPA_ROUNDS)
+    # the kernel's symmetrize references the pair relation twice
+    # (review r14b): persist so the lineitem->basket->pair chain runs
+    # once in the checkpoint-materialization job (the family
+    # convention — see kcore_members' docstring)
+    edges = persist_tracked(pairs.select("part_a", "part_b"))
+    return community_labels(edges, LPA_ROUNDS)
 
 
 def _lpa_round_sql(i: int) -> str:
@@ -326,10 +331,10 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 9 dp; est is a multiple of 1/K by construction (both
     engines compute it as an exact small rational in doubles)."""
     from .operators.dedup import (
-        doc_shingle_sets,
         lsh_bands_from_wide,
         lsh_candidate_pairs,
         minhash_signatures_wide,
+        pair_jaccard,
     )
     from .queries_pipeline import (
         BANDS,
@@ -346,10 +351,12 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, num_hashes=MINHASH_K, shingle_k=SHINGLE_K
         )
     )
-    cand = lsh_candidate_pairs(
-        lsh_bands_from_wide(sig, "doc_id", BANDS, MINHASH_K),
-        "doc_id",
-        max_bucket=LSH_MAX_BUCKET,
+    cand = persist_tracked(
+        lsh_candidate_pairs(
+            lsh_bands_from_wide(sig, "doc_id", BANDS, MINHASH_K),
+            "doc_id",
+            max_bucket=LSH_MAX_BUCKET,
+        )
     )
     agree = sum(
         F.when(F.col(f"_a_m{i}") == F.col(f"_b_m{i}"), 1).otherwise(0)
@@ -376,40 +383,16 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (agree.cast("double") / F.lit(float(MINHASH_K))).alias("_est"),
         )
     )
-    sh_sets = doc_shingle_sets(docs, "doc_id", "text", SHINGLE_K)
-    exact = (
-        est.join(
-            sh_sets.select(
-                F.col("doc_id").alias("id_a"), F.col("sh_set").alias("_sa")
-            ),
-            "id_a",
-        )
-        .join(
-            sh_sets.select(
-                F.col("doc_id").alias("id_b"), F.col("sh_set").alias("_sb")
-            ),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            "_est",
-            (
-                F.size(F.array_intersect("_sa", "_sb")).cast("double")
-                / (
-                    F.size("_sa")
-                    + F.size("_sb")
-                    - F.size(F.array_intersect("_sa", "_sb"))
-                )
-            ).alias("_exact"),
-        )
-    )
-    return exact.select(
+    # exact side = the shared candidate-bounded verify step (review
+    # r14b: pair_jaccard also fans out the single-file doc scan before
+    # the CPU-heavy shingling — the inline copy ran it single-task)
+    exact = pair_jaccard(docs, cand, shingle_k=SHINGLE_K)
+    return est.join(exact, ["id_a", "id_b"]).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         _r9(F.col("_est")).alias("est_jaccard"),
-        _r9(F.col("_exact")).alias("exact_jaccard"),
-        _r9(F.abs(F.col("_est") - F.col("_exact"))).alias("abs_err"),
+        _r9(F.col("jaccard")).alias("exact_jaccard"),
+        _r9(F.abs(F.col("_est") - F.col("jaccard"))).alias("abs_err"),
     )
 
 
