@@ -214,6 +214,10 @@ HEADLINERS = [
     # candidate-bounded)
     "copurchase_graph_profile",
     "minhash_calibration",
+    # evaluation/report rollups composing registered stages: lang-ID
+    # confusion metrics and the per-cluster dedup report
+    "lang_id_confusion",
+    "dedup_cluster_stats",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput

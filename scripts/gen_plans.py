@@ -100,6 +100,8 @@ SNAPSHOT = [
     ("copurchase_link_predict", "hub-capped wedge join + anti-join existing edges + per-part top-k"),
     ("copurchase_graph_profile", "two bounded aggregates: degree-arithmetic wedges + oriented triangle total"),
     ("minhash_calibration", "shared signature persist: row-local K-column compare + candidate-bounded exact Jaccard"),
+    ("lang_id_confusion", "one corpus pass -> three lang-bounded aggregates of the confusion matrix"),
+    ("dedup_cluster_stats", "the C17 CC chain + one doc-keyed join + one output-sized cluster aggregate"),
 ]
 
 

@@ -426,6 +426,70 @@ def test_minhash_calibration_semantics(spark, tmp_path):
     assert near[1] < 1.0  # one-token edit: exact Jaccard strictly below 1
 
 
+def test_lang_id_confusion_planted(spark, tmp_path):
+    """C70 semantics: a stopword-pure English doc and a German doc
+    score perfectly; a doc whose TRUE label ('xx') the heuristic can
+    never emit exercises every division guard — recall 0, and its
+    misprediction dilutes English precision to 1/2 (F1 = 2/3)."""
+    from tradesignal_mtm_runner_spark.queries_r14b import lang_id_confusion
+
+    rows = [
+        (1, "the and of to in the and of", "en", "s", 30),
+        (2, "der die das und ist der die", "de", "s", 30),
+        (3, "the and of to in the and of", "xx", "s", 30),  # en-looking
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r["lang"]: (
+            r["n_true"], r["n_pred"], r["n_correct"],
+            r["precision"], r["recall"], r["f1"],
+        )
+        for r in lang_id_confusion(spark, str(tmp_path)).collect()
+    }
+    two_thirds = _round9(2.0 / 3.0)
+    assert got == {
+        "en": (1, 2, 1, 0.5, 1.0, two_thirds),
+        "de": (1, 1, 1, 1.0, 1.0, 1.0),
+        "xx": (1, 0, 0, 0.0, 0.0, 0.0),
+    }
+
+
+def test_dedup_cluster_stats_planted(spark, tmp_path):
+    """C71 semantics: three identical docs form one cluster (simhash
+    distance 0) whose min-id member is kept — size 3, two dropped,
+    kept words = one copy, dropped fraction 2/3; the unique doc
+    produces NO row (singletons are not duplication)."""
+    from tradesignal_mtm_runner_spark.queries_r14b import dedup_cluster_stats
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, dup, "en", "s", len(dup)),
+        (2, dup, "en", "s", len(dup)),
+        (3, dup, "en", "s", len(dup)),
+        (9, "completely unrelated text about spark plans and shuffles",
+         "en", "s", 55),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = dedup_cluster_stats(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r == {
+        "canonical_id": 1,
+        "cluster_size": 3,
+        "n_dropped": 2,
+        "total_words": 24,
+        "kept_words": 8,
+        "dropped_words": 16,
+        "dropped_frac": _round9(2.0 / 3.0),
+    }
+
+
 def test_r14b_plan_shapes(spark):
     """Plan pins: graph-sized equi-joins only (no cartesian), and no
     explicit broadcast hints (the family bounded-dims-only convention

@@ -442,12 +442,209 @@ FROM ex
 """
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C70: language-ID EVALUATION rollup — the documents table
+    carries a ground-truth ``lang`` label, so the C5 heuristic can be
+    scored like any classifier: per true language, support and
+    correct-prediction counts plus precision / recall / F1 from the
+    confusion matrix (predicted-as counts come from the same single
+    aggregate pass). This is the QA loop a production lang-ID stage
+    actually runs — a stopword-table typo or tokenization drift shows
+    up as a per-language recall cliff long before anyone reads the
+    filtered corpus. Composes the REGISTERED C5 query (same plan, no
+    re-implementation): one pass → three bounded aggregates over the
+    ≤|langs|-sized relations, everything broadcast-sized after the
+    first aggregate. Division guards: precision 0.0 when the lang is
+    never predicted, F1 0.0 when P + R = 0."""
+    from .queries_pipeline import lang_id
+    from .queries_r8 import _r9
+
+    li = persist_tracked(
+        lang_id(spark, sf_dir).select("lang", "lang_pred")
+    )
+    true_c = li.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    pred_c = li.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred")
+    )
+    corr = (
+        li.filter(F.col("lang") == F.col("lang_pred"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_correct"))
+    )
+    j = (
+        true_c.join(corr, "lang", "left")
+        .join(pred_c.withColumnRenamed("lang_pred", "lang"), "lang", "left")
+        .select(
+            "lang",
+            "n_true",
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("n_correct", F.lit(0)).cast("long").alias("n_correct"),
+        )
+    )
+    p = F.when(
+        F.col("n_pred") > 0, F.col("n_correct") / F.col("n_pred")
+    ).otherwise(F.lit(0.0))
+    r = F.col("n_correct") / F.col("n_true")
+    return j.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "n_correct",
+        _r9(p).alias("precision"),
+        _r9(r).alias("recall"),
+        _r9(
+            F.when(p + r > 0, F.lit(2.0) * p * r / (p + r)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("f1"),
+    )
+
+
+def _lang_id_confusion_sql() -> str:
+    from .queries_pipeline import LANG_ID_SQL
+
+    return f"""
+WITH li AS ({LANG_ID_SQL}),
+t AS (SELECT lang, count(*) AS n_true FROM li GROUP BY lang),
+pr AS (SELECT lang_pred AS lang, count(*) AS n_pred FROM li GROUP BY 1),
+c AS (
+  SELECT lang, count(*) AS n_correct FROM li
+  WHERE lang = lang_pred GROUP BY lang
+),
+j AS (
+  SELECT t.lang, t.n_true,
+         coalesce(pr.n_pred, 0) AS n_pred,
+         coalesce(c.n_correct, 0) AS n_correct
+  FROM t LEFT JOIN c USING (lang) LEFT JOIN pr USING (lang)
+),
+m AS (
+  SELECT lang, n_true, n_pred, n_correct,
+         CASE WHEN n_pred > 0 THEN n_correct * 1.0 / n_pred
+              ELSE 0.0 END AS p,
+         n_correct * 1.0 / n_true AS r
+  FROM j
+)
+SELECT lang, CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_correct AS BIGINT) AS n_correct,
+       round(p, 9) + 0.0 AS precision,
+       round(r, 9) + 0.0 AS recall,
+       round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+                  ELSE 0.0 END, 9) + 0.0 AS f1
+FROM m
+"""
+
+
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C71: the DEDUP REPORT — per near-dup cluster (size ≥ 2, the
+    actual duplication), the rollup a production dedup stage publishes
+    with every run: cluster size, docs dropped, total / kept / dropped
+    word counts and the dropped fraction. Composes the REGISTERED C17
+    decision (simhash graph → min-label CC → keep = component
+    minimum) with the C6 word counts: one doc-keyed join + one
+    cluster-keyed aggregate, both output-sized past the shared CC
+    chain. Exactly one ``keep`` row per cluster, so kept_words is a
+    plain conditional sum (no argmax pass). All counts BIGINT;
+    dropped_frac guarded for zero-word clusters."""
+    from .functions import text as TX
+    from .queries_pipeline import _docs, dedup_connected
+    from .queries_r8 import _r9
+
+    cc = dedup_connected(spark, sf_dir)
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", TX.word_count(F.col("text")).cast("long").alias("n_words")
+    )
+    per = (
+        cc.join(toks, "doc_id")
+        .groupBy("canonical_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum(F.when(F.col("keep"), F.col("n_words")).otherwise(0))
+            .cast("long")
+            .alias("kept_words"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )
+    return per.select(
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "cluster_size",
+        (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+        "total_words",
+        "kept_words",
+        (F.col("total_words") - F.col("kept_words"))
+        .cast("long")
+        .alias("dropped_words"),
+        _r9(
+            F.when(
+                F.col("total_words") > 0,
+                (F.col("total_words") - F.col("kept_words"))
+                / F.col("total_words").cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("dropped_frac"),
+    )
+
+
+def _dedup_cluster_stats_sql() -> str:
+    from .queries_pipeline import (
+        _CC_ITERS_SQL,
+        _SIMHASH_BANDS_CAND,
+        _SIMHASH_CORE,
+        DEDUP_CC_ITERS,
+        SIMHASH_MAX_HAMMING,
+    )
+
+    return f"""
+WITH {_SIMHASH_CORE},
+{_SIMHASH_BANDS_CAND},
+p AS (
+  SELECT id_a, id_b FROM cand
+  WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+        <= {SIMHASH_MAX_HAMMING}
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+l0 AS (SELECT doc_id, doc_id AS lab FROM documents),
+{_CC_ITERS_SQL},
+cc AS (
+  SELECT doc_id, lab AS canonical_id, doc_id = lab AS keep
+  FROM l{DEDUP_CC_ITERS}
+),
+wc_tok AS (
+  SELECT doc_id, len(string_split_regex(trim(text), ' +')) AS n_words
+  FROM documents
+),
+per AS (
+  SELECT canonical_id, count(*) AS sz, sum(n_words) AS tw,
+         sum(CASE WHEN keep THEN n_words ELSE 0 END) AS kw
+  FROM cc JOIN wc_tok USING (doc_id)
+  GROUP BY canonical_id
+)
+SELECT CAST(canonical_id AS BIGINT) AS canonical_id,
+       CAST(sz AS BIGINT) AS cluster_size,
+       CAST(sz - 1 AS BIGINT) AS n_dropped,
+       CAST(tw AS BIGINT) AS total_words,
+       CAST(kw AS BIGINT) AS kept_words,
+       CAST(tw - kw AS BIGINT) AS dropped_words,
+       round(CASE WHEN tw > 0 THEN (tw - kw) * 1.0 / tw
+                  ELSE 0.0 END, 9) + 0.0 AS dropped_frac
+FROM per WHERE sz >= 2
+"""
+
+
 R14B_QUERIES: dict = {
     "copurchase_communities": copurchase_communities,
     "copurchase_clustering": copurchase_clustering,
     "copurchase_link_predict": copurchase_link_predict,
     "copurchase_graph_profile": copurchase_graph_profile,
     "minhash_calibration": minhash_calibration,
+    "lang_id_confusion": lang_id_confusion,
+    "dedup_cluster_stats": dedup_cluster_stats,
 }
 
 R14B_ORACLES: dict = {
@@ -456,4 +653,6 @@ R14B_ORACLES: dict = {
     "copurchase_link_predict": LINK_PREDICT_SQL,
     "copurchase_graph_profile": GRAPH_PROFILE_SQL,
     "minhash_calibration": _minhash_calibration_sql(),
+    "lang_id_confusion": _lang_id_confusion_sql(),
+    "dedup_cluster_stats": _dedup_cluster_stats_sql(),
 }
