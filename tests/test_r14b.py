@@ -429,14 +429,19 @@ def test_minhash_calibration_semantics(spark, tmp_path):
 def test_lang_id_confusion_planted(spark, tmp_path):
     """C70 semantics: a stopword-pure English doc and a German doc
     score perfectly; a doc whose TRUE label ('xx') the heuristic can
-    never emit exercises every division guard — recall 0, and its
-    misprediction dilutes English precision to 1/2 (F1 = 2/3)."""
+    never emit exercises the precision-0 guard (recall 0, and its
+    misprediction dilutes English precision); and an es-stopword doc
+    mislabeled 'en' makes Spanish a PREDICTED-ONLY class — the
+    full-outer anchor must still give it a row (n_true 0, the
+    recall-0 guard) instead of dropping the spurious-prediction
+    mass."""
     from tradesignal_mtm_runner_spark.queries_r14b import lang_id_confusion
 
     rows = [
         (1, "the and of to in the and of", "en", "s", 30),
         (2, "der die das und ist der die", "de", "s", 30),
         (3, "the and of to in the and of", "xx", "s", 30),  # en-looking
+        (4, "el los y por el los y por", "en", "s", 30),  # es-looking
     ]
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -449,11 +454,12 @@ def test_lang_id_confusion_planted(spark, tmp_path):
         )
         for r in lang_id_confusion(spark, str(tmp_path)).collect()
     }
-    two_thirds = _round9(2.0 / 3.0)
+    half = 0.5
     assert got == {
-        "en": (1, 2, 1, 0.5, 1.0, two_thirds),
+        "en": (2, 2, 1, half, half, half),
         "de": (1, 1, 1, 1.0, 1.0, 1.0),
         "xx": (1, 0, 0, 0.0, 0.0, 0.0),
+        "es": (0, 1, 0, 0.0, 0.0, 0.0),
     }
 
 

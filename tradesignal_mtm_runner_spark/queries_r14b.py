@@ -454,8 +454,12 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered corpus. Composes the REGISTERED C5 query (same plan, no
     re-implementation): one pass → three bounded aggregates over the
     ≤|langs|-sized relations, everything broadcast-sized after the
-    first aggregate. Division guards: precision 0.0 when the lang is
-    never predicted, F1 0.0 when P + R = 0."""
+    first aggregate. The anchor is true ∪ PREDICTED languages
+    (FULL OUTER — review r14b): a class the heuristic emits that
+    never occurs as truth still gets a row, so spurious-prediction
+    mass is visible, not silently dropped. Division guards: precision
+    0.0 when the lang is never predicted, recall 0.0 when it never
+    occurs as truth, F1 0.0 when P + R = 0."""
     from .queries_pipeline import lang_id
     from .queries_r8 import _r9
 
@@ -474,11 +478,13 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_correct"))
     )
     j = (
-        true_c.join(corr, "lang", "left")
-        .join(pred_c.withColumnRenamed("lang_pred", "lang"), "lang", "left")
+        true_c.join(
+            pred_c.withColumnRenamed("lang_pred", "lang"), "lang", "full_outer"
+        )
+        .join(corr, "lang", "left")
         .select(
             "lang",
-            "n_true",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
             F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
             F.coalesce("n_correct", F.lit(0)).cast("long").alias("n_correct"),
         )
@@ -486,7 +492,9 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.when(
         F.col("n_pred") > 0, F.col("n_correct") / F.col("n_pred")
     ).otherwise(F.lit(0.0))
-    r = F.col("n_correct") / F.col("n_true")
+    r = F.when(
+        F.col("n_true") > 0, F.col("n_correct") / F.col("n_true")
+    ).otherwise(F.lit(0.0))
     return j.select(
         "lang",
         "n_true",
@@ -514,17 +522,22 @@ c AS (
   WHERE lang = lang_pred GROUP BY lang
 ),
 j AS (
-  SELECT t.lang, t.n_true,
-         coalesce(pr.n_pred, 0) AS n_pred,
-         coalesce(c.n_correct, 0) AS n_correct
-  FROM t LEFT JOIN c USING (lang) LEFT JOIN pr USING (lang)
+  SELECT coalesce(t.lang, pr.lang) AS lang,
+         coalesce(t.n_true, 0) AS n_true,
+         coalesce(pr.n_pred, 0) AS n_pred
+  FROM t FULL OUTER JOIN pr ON pr.lang = t.lang
+),
+j2 AS (
+  SELECT j.lang, j.n_true, j.n_pred, coalesce(c.n_correct, 0) AS n_correct
+  FROM j LEFT JOIN c ON c.lang = j.lang
 ),
 m AS (
   SELECT lang, n_true, n_pred, n_correct,
          CASE WHEN n_pred > 0 THEN n_correct * 1.0 / n_pred
               ELSE 0.0 END AS p,
-         n_correct * 1.0 / n_true AS r
-  FROM j
+         CASE WHEN n_true > 0 THEN n_correct * 1.0 / n_true
+              ELSE 0.0 END AS r
+  FROM j2
 )
 SELECT lang, CAST(n_true AS BIGINT) AS n_true,
        CAST(n_pred AS BIGINT) AS n_pred,
@@ -545,8 +558,11 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision (simhash graph → min-label CC → keep = component
     minimum) with the C6 word counts: one doc-keyed join + one
     cluster-keyed aggregate, both output-sized past the shared CC
-    chain. Exactly one ``keep`` row per cluster, so kept_words is a
-    plain conditional sum (no argmax pass). All counts BIGINT;
+    chain. kept_words / n_dropped count the ``keep`` rows actually
+    present (review r14b: NOT size − 1 — if the fixed CC unroll has
+    not yet converged a component onto one minimum, a label group can
+    contain zero keep rows, and the report must say "everything here
+    is dropped" rather than contradict itself). All counts BIGINT;
     dropped_frac guarded for zero-word clusters."""
     from .functions import text as TX
     from .queries_pipeline import _docs, dedup_connected
@@ -561,6 +577,9 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("canonical_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("_n_kept"),
             F.sum("n_words").cast("long").alias("total_words"),
             F.sum(F.when(F.col("keep"), F.col("n_words")).otherwise(0))
             .cast("long")
@@ -571,7 +590,9 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         F.col("canonical_id").cast("long").alias("canonical_id"),
         "cluster_size",
-        (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+        (F.col("cluster_size") - F.col("_n_kept"))
+        .cast("long")
+        .alias("n_dropped"),
         "total_words",
         "kept_words",
         (F.col("total_words") - F.col("kept_words"))
@@ -588,29 +609,15 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_cluster_stats_sql() -> str:
-    from .queries_pipeline import (
-        _CC_ITERS_SQL,
-        _SIMHASH_BANDS_CAND,
-        _SIMHASH_CORE,
-        DEDUP_CC_ITERS,
-        SIMHASH_MAX_HAMMING,
-    )
+    # the C17 chain's CTEs VERBATIM (the _keep_best_sql reuse
+    # precedent — review r14b: a hand-pasted copy would silently
+    # diverge if DEDUP_CONNECTED_SQL's chain ever changes)
+    from .queries_pipeline import DEDUP_CC_ITERS, DEDUP_CONNECTED_SQL
 
-    return f"""
-WITH {_SIMHASH_CORE},
-{_SIMHASH_BANDS_CAND},
-p AS (
-  SELECT id_a, id_b FROM cand
-  WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
-        <= {SIMHASH_MAX_HAMMING}
-),
-e AS (
-  SELECT id_a AS src, id_b AS dst FROM p
-  UNION ALL
-  SELECT id_b AS src, id_a AS dst FROM p
-),
-l0 AS (SELECT doc_id, doc_id AS lab FROM documents),
-{_CC_ITERS_SQL},
+    chain = DEDUP_CONNECTED_SQL.rsplit(
+        "SELECT doc_id, lab AS canonical_id", 1
+    )[0].rstrip()
+    return f"""{chain},
 cc AS (
   SELECT doc_id, lab AS canonical_id, doc_id = lab AS keep
   FROM l{DEDUP_CC_ITERS}
@@ -620,14 +627,16 @@ wc_tok AS (
   FROM documents
 ),
 per AS (
-  SELECT canonical_id, count(*) AS sz, sum(n_words) AS tw,
+  SELECT canonical_id, count(*) AS sz,
+         sum(CASE WHEN keep THEN 1 ELSE 0 END) AS nk,
+         sum(n_words) AS tw,
          sum(CASE WHEN keep THEN n_words ELSE 0 END) AS kw
   FROM cc JOIN wc_tok USING (doc_id)
   GROUP BY canonical_id
 )
 SELECT CAST(canonical_id AS BIGINT) AS canonical_id,
        CAST(sz AS BIGINT) AS cluster_size,
-       CAST(sz - 1 AS BIGINT) AS n_dropped,
+       CAST(sz - nk AS BIGINT) AS n_dropped,
        CAST(tw AS BIGINT) AS total_words,
        CAST(kw AS BIGINT) AS kept_words,
        CAST(tw - kw AS BIGINT) AS dropped_words,
