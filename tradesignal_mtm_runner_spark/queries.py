@@ -1241,6 +1241,68 @@ ROTATED_IN_R14 = (
     # construction)
     "copurchase_kcore",
 )
+ROTATED_OUT_R15 = (
+    # two-round-green r13-rotation cohort (driver-green r13 + r14),
+    # per the SURVEY §7 round-15 plan: the r13 second-pass refresh
+    # block plus r13's own registrants. Every rotated-out shape keeps
+    # an in-window or pytest twin: the corpus/dedup chains keep their
+    # pytest oracles plus the in-window dedup_connected /
+    # dedup_minhash_lsh siblings, the streaming pair keeps
+    # mtm_streaming / dedup_incremental_near_stream in-window, and
+    # copurchase_triangles' kernel stays exercised by the six r15
+    # graph rotate-ins that share it (operators/graph.py).
+    "contamination_check",
+    "corpus_filter_pipeline",
+    "dedup_substring",
+    "dedup_semantic",
+    "tech_indicators",
+    "stream_join",
+    "stream_session",
+    "mtm_sweep_stream",
+    "corpus_pack_shards_stream",
+    "multimodal_mpeg1",
+    "copurchase_triangles",
+    # five longest-exposed window keys (driver-green r9/r10 through
+    # r14, ≥5 consecutive green rounds) making slots for the 16-key
+    # rotate-in; each keeps family coverage: simhash_pairs →
+    # dedup_connected (in-window, same simhash band chain),
+    # quality_classifier_scores → text_quality/corpus_filter pytest
+    # oracles, events_variant → events_json_extract pytest oracle,
+    # stream_topk_trending → the in-window streaming family,
+    # text_normalize → its own pytest oracle.
+    "simhash_pairs",
+    "quality_classifier_scores",
+    "events_variant",
+    "stream_topk_trending",
+    "text_normalize",
+)
+ROTATED_IN_R15 = (
+    # the nine-key first-exposure block registered in the r14 second
+    # session AFTER the r14 window was fixed (SURVEY §7 item 20); all
+    # nine pre-verified hash-green at sf0.001 AND sf0.01 under the
+    # vanilla-session harness at the r14 close
+    "copurchase_kcore_stream",
+    "copurchase_topk_similar",
+    "copurchase_communities",
+    "copurchase_clustering",
+    "copurchase_link_predict",
+    "copurchase_graph_profile",
+    "minhash_calibration",
+    "lang_id_confusion",
+    "dedup_cluster_stats",
+    # second-pass refresh, stale cohort: last driver exposure ≥4
+    # rounds old (bloom_prefilter r10, events_json_stream r10,
+    # symbol_correlation r8, stream_dedup r8, train_val_split r10,
+    # pii_scrub r10, embedding_quantize r10); all seven re-verified
+    # hash-green at sf0.01 at the r14 close
+    "bloom_prefilter",
+    "events_json_stream",
+    "symbol_correlation",
+    "stream_dedup",
+    "train_val_split",
+    "pii_scrub",
+    "embedding_quantize",
+)
 for _out, _in in (
     (ROTATED_OUT_R5, ROTATED_IN_R5),
     (ROTATED_OUT_R6, ROTATED_IN_R6),
@@ -1252,6 +1314,7 @@ for _out, _in in (
     (ROTATED_OUT_R12, ROTATED_IN_R12),
     (ROTATED_OUT_R13, ROTATED_IN_R13),
     (ROTATED_OUT_R14, ROTATED_IN_R14),
+    (ROTATED_OUT_R15, ROTATED_IN_R15),
 ):
     for _k in _out:
         EXTRA_QUERIES[_k] = QUERIES.pop(_k)
