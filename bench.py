@@ -554,10 +554,15 @@ def main() -> None:
 
     from tradesignal_mtm_runner_spark.operators.graph import (
         linkpred_from_index,
+        topk_similar_from_index,
         triangles_from_index,
         write_edge_index,
     )
     from tradesignal_mtm_runner_spark.queries_r10b import _basket_pair_counts
+    from tradesignal_mtm_runner_spark.queries_r14 import (
+        SIMILAR_TOPK,
+        basket_support,
+    )
     from tradesignal_mtm_runner_spark.queries_r14b import (
         LINK_MAX_DEG,
         LINK_TOPK,
@@ -565,9 +570,11 @@ def main() -> None:
 
     def _build_edges() -> None:
         # once-per-refresh half: the lineitem scan -> basket agg ->
-        # support-cut pair agg, persisted as the standing graph
+        # support-cut pair agg (+ the basket-support sidecar column),
+        # persisted as the standing graph
+        baskets, pairs = _basket_pair_counts(spark, sf_dir)
         write_edge_index(
-            _basket_pair_counts(spark, sf_dir)[1], "bench_idx.edge_idx"
+            pairs, "bench_idx.edge_idx", sup=basket_support(baskets)
         )
         release_caches()
 
@@ -576,13 +583,21 @@ def main() -> None:
         _build_edges,
         lambda: triangles_from_index(spark, "bench_idx.edge_idx"),
     )
-    # the r14b kernels probe the SAME standing graph — reuse the build
-    # above (no second lineitem pass; the index is the shared artifact)
+    # the r14/r14b kernels probe the SAME standing graph — reuse the
+    # build above (no second lineitem pass; the index is the shared
+    # artifact)
     _time_probe(
         "index_probe_linkpred",
         lambda: None,
         lambda: linkpred_from_index(
             spark, "bench_idx.edge_idx", LINK_MAX_DEG, LINK_TOPK
+        ),
+    )
+    _time_probe(
+        "index_probe_topk_similar",
+        lambda: None,
+        lambda: topk_similar_from_index(
+            spark, "bench_idx.edge_idx", SIMILAR_TOPK
         ),
     )
 

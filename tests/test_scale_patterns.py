@@ -1077,6 +1077,7 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
         kcore_from_index,
         linkpred_from_index,
         pagerank_from_index,
+        topk_similar_from_index,
         triangles_from_index,
         write_edge_index,
     )
@@ -1090,7 +1091,10 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
     from tradesignal_mtm_runner_spark.queries_r14 import (
         KCORE_K,
         KCORE_PEELS,
+        SIMILAR_TOPK,
+        basket_support,
         copurchase_kcore,
+        copurchase_topk_similar,
     )
     from tradesignal_mtm_runner_spark.queries_r14b import (
         LINK_MAX_DEG,
@@ -1101,19 +1105,20 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
         copurchase_link_predict,
     )
 
-    _, pairs = _basket_pair_counts(spark, SF_SMOKE)
+    baskets, pairs = _basket_pair_counts(spark, SF_SMOKE)
     t = f"{bucket_db}.edge_idx"
-    write_edge_index(pairs, t, num_buckets=4)
+    write_edge_index(pairs, t, num_buckets=4, sup=basket_support(baskets))
 
     tri_probe = triangles_from_index(spark, t)
     pr_probe = pagerank_from_index(spark, t, PR_DAMP, PR_ITERS)
     kc_probe = kcore_from_index(spark, t, KCORE_K, KCORE_PEELS)
     cl_probe = clustering_from_index(spark, t)
     lp_probe = linkpred_from_index(spark, t, LINK_MAX_DEG, LINK_TOPK)
+    ts_probe = topk_similar_from_index(spark, t, SIMILAR_TOPK)
     # graph-proportional: no lineitem (or any base-table) scan in the
     # probe plans — only the persisted index tables. (The LPA probe's
     # plan is checked the same way below, after its lineage cuts run.)
-    for probe in (tri_probe, pr_probe, kc_probe, cl_probe, lp_probe):
+    for probe in (tri_probe, pr_probe, kc_probe, cl_probe, lp_probe, ts_probe):
         plan = P.explain_str(probe)
         assert "lineitem" not in plan.lower(), plan
     co_probe = communities_from_index(spark, t, LPA_ROUNDS)
@@ -1149,6 +1154,17 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
         copurchase_link_predict(spark, SF_SMOKE).toPandas(),
         "edge_index_linkpred",
     )
+    assert_frames_match(
+        ts_probe.toPandas(),
+        copurchase_topk_similar(spark, SF_SMOKE).toPandas(),
+        "edge_index_topk_similar",
+    )
+    # the sup sidecar is opt-in: an index written WITHOUT it must fail
+    # loud on the similarity probe (never silently rescan lineitem)
+    t2 = f"{bucket_db}.edge_idx_nosup"
+    write_edge_index(pairs, t2, num_buckets=4)
+    with pytest.raises(ValueError, match="no 'sup' column"):
+        topk_similar_from_index(spark, t2, SIMILAR_TOPK)
 
 
 def test_edge_partials_append_equals_full_build(spark, bucket_db):

@@ -201,65 +201,34 @@ def copurchase_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     J(a,b) = pair_cnt / (sup_a + sup_b − pair_cnt) — no new corpus
     scan, no all-pairs work (candidates ARE the support-cut edges;
     sub-support pairs are definitionally below any useful similarity
-    floor). One symmetrize + two per-part joins (NO broadcast hints —
-    the per-part support relation is SF-scaling, the bounded-dims-only
-    convention; AQE decides) + one part-partitioned top-k window.
-    Jaccard is rounded to 9 dp BEFORE ranking and ties break on
-    neighbor id, so the rank order is bit-stable across engines.
-    Output: (part, neighbor, jaccard, rank ≤ SIMILAR_TOPK)."""
-    from pyspark.sql import Window
+    floor). Output: (part, neighbor, jaccard, rank ≤ SIMILAR_TOPK).
 
-    from .queries_r8 import _r9
+    Kernel = operators/graph.topk_similar (symmetrize + two per-part
+    joins — no broadcast hints, the per-part support relation is
+    SF-scaling, the bounded-dims-only convention; AQE decides — + one
+    part-partitioned top-k window, 9-dp round BEFORE the rank, id
+    tiebreak = bit-stable rank order across engines) — SHARED with the
+    standing-edge-index probe ``topk_similar_from_index`` (which reads
+    the index's persisted ``sup`` sidecar column instead of
+    re-deriving support here), so live/probe parity is structural
+    (pinned in tests/test_scale_patterns.py)."""
+    from .operators.graph import topk_similar
 
     baskets, pairs = _basket_pair_counts(spark, sf_dir)
-    sup = (
+    return topk_similar(pairs, basket_support(baskets), SIMILAR_TOPK)
+
+
+def basket_support(baskets: DataFrame) -> DataFrame:
+    """(pk, sup) — per-part basket support (#baskets containing the
+    part) from the per-order distinct item sets: one explode + one
+    aggregate. The relation the item-item Jaccard denominators need
+    and the edge index persists as its ``sup`` sidecar column
+    (write_edge_index ``sup=`` — support counts baskets, not surviving
+    pairs, so it is NOT derivable from the degree relation)."""
+    return (
         baskets.select(F.explode("parts").alias("pk"))
         .groupBy("pk")
-        .agg(F.count(F.lit(1)).alias("sup"))
-    )
-    sym = pairs.select(
-        F.col("part_a").alias("part"),
-        F.col("part_b").alias("neighbor"),
-        "pair_cnt",
-    ).unionAll(
-        pairs.select(
-            F.col("part_b").alias("part"),
-            F.col("part_a").alias("neighbor"),
-            "pair_cnt",
-        )
-    )
-    j = (
-        sym.join(
-            sup.select(F.col("pk").alias("part"), F.col("sup").alias("sup_a")),
-            "part",
-        )
-        .join(
-            sup.select(
-                F.col("pk").alias("neighbor"), F.col("sup").alias("sup_b")
-            ),
-            "neighbor",
-        )
-        .select(
-            "part",
-            "neighbor",
-            _r9(
-                F.col("pair_cnt")
-                / (F.col("sup_a") + F.col("sup_b") - F.col("pair_cnt"))
-            ).alias("jaccard"),
-        )
-    )
-    w = Window.partitionBy("part").orderBy(
-        F.desc("jaccard"), F.asc("neighbor")
-    )
-    return (
-        j.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= SIMILAR_TOPK)
-        .select(
-            F.col("part").cast("long").alias("part"),
-            F.col("neighbor").cast("long").alias("neighbor"),
-            "jaccard",
-            "rank",
-        )
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
     )
 
 
