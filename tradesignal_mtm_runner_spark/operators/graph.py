@@ -45,6 +45,46 @@ from pyspark.sql import functions as F
 from ..queries_r8 import _r9
 from ..sinks import ensure_table_absent, write_bucketed
 
+#: session conf key selecting the lineage-cut mechanism for the
+#: iterative graph kernels (see :func:`cut_lineage`)
+RELIABLE_CUTS_CONF = "spark.tradesignal.graph.reliableLineageCuts"
+
+
+def cut_lineage(df: DataFrame) -> DataFrame:
+    """Per-round LINEAGE CUT for the iterative kernels (k-core peeling,
+    LPA, the contracted mini-CC in queries_r10): each round references
+    its input relation twice, so the logical plan DOUBLES per round —
+    2^rounds copies of the upstream chain OOMs the OPTIMIZER, which
+    persist() does not prevent (it caches data, not lineage).
+
+    Default: ``localCheckpoint(eager=True)`` — truncates lineage into
+    EXECUTOR-LOCAL block storage. Right at local[32] (one JVM, nothing
+    to lose), and cheapest on a healthy cluster, but on a real cluster
+    an executor loss MID-ITERATION makes those blocks unrecoverable
+    and fails the job: localCheckpoint deletes the recompute path.
+
+    At 100 TB set ``spark.tradesignal.graph.reliableLineageCuts=true``
+    (plus ``sparkContext.setCheckpointDir`` to a durable FS path):
+    rounds then cut through a RELIABLE ``checkpoint(eager=True)``,
+    whose blocks live in the checkpoint dir and survive executor loss
+    — the documented trade-off is one HDFS/object-store write per
+    round of a graph-sized (not data-sized) relation. Fails loud if
+    the flag is set without a checkpoint dir: silently falling back to
+    the non-recoverable cut would defeat the flag's purpose."""
+    spark = df.sparkSession
+    if (
+        spark.conf.get(RELIABLE_CUTS_CONF, "false") or "false"
+    ).lower() != "true":
+        return df.localCheckpoint(eager=True)
+    if spark.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            f"{RELIABLE_CUTS_CONF}=true but no checkpoint dir is set — "
+            "call spark.sparkContext.setCheckpointDir(<durable path>) "
+            "first; reliable lineage cuts write their round snapshots "
+            "there"
+        )
+    return df.checkpoint(eager=True)
+
 
 def pairs_from_baskets(baskets: DataFrame, min_sup: int | None = None) -> DataFrame:
     """(part_a, part_b, pair_cnt) from the per-order distinct item
@@ -229,19 +269,64 @@ def kcore_members(edges: DataFrame, k: int, peels: int) -> DataFrame:
             f"kcore_members: peels must be >= 1 (got {peels}) — the "
             "survivor relation only carries core_deg after a round"
         )
-    sym = (
-        edges.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
-        .unionAll(
+    sym = cut_lineage(
+        edges.select(
+            F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+        ).unionAll(
             edges.select(
                 F.col("part_b").alias("src"), F.col("part_a").alias("dst")
             )
         )
-        .localCheckpoint(eager=True)
     )
     cur = sym.select("src").distinct()
     for _ in range(peels):
-        cur = kcore_round(sym, cur, k).localCheckpoint(eager=True)
+        cur = cut_lineage(kcore_round(sym, cur, k))
     return cur.select(F.col("src").cast("long").alias("part"), "core_deg")
+
+
+def kcore_members_converged(
+    edges: DataFrame, k: int, max_peels: int = 64
+) -> DataFrame:
+    """Production iterate-to-FIXPOINT form of :func:`kcore_members`
+    (VERDICT r14 item 3): the fixed-unroll entry exists so the SQL
+    oracle can mirror the exact round count, but peel DEPTH grows with
+    graph density — at 100× a fixed unroll can silently ship a
+    not-yet-converged (too large) "core". This form peels until a
+    round drops NO node, then returns. Survivor sets are MONOTONE
+    decreasing, so an unchanged survivor COUNT is an unchanged
+    survivor SET is the fixpoint — one bounded driver-side count per
+    round is the convergence probe (rounds = peel depth, the same
+    small number that bounds the fixed unroll; the count is the price
+    of not knowing the depth up front). ``max_peels`` bounds the loop
+    and FAILS LOUD on exhaustion — returning the mid-peel state would
+    be exactly the silent under-convergence this entry exists to
+    prevent. Converged == fixed-unroll at the test SFs is pinned in
+    tests/test_r15.py, alongside a planted deeper-than-KCORE_PEELS
+    graph that the fixed unroll provably under-peels."""
+    sym = cut_lineage(
+        edges.select(
+            F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+        ).unionAll(
+            edges.select(
+                F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+            )
+        )
+    )
+    cur = sym.select("src").distinct()
+    prev_n = cur.count()  # bounded scalar: |V| of the support-cut graph
+    for _ in range(max_peels):
+        cur = cut_lineage(kcore_round(sym, cur, k))
+        n = cur.count()
+        if n == prev_n:
+            return cur.select(
+                F.col("src").cast("long").alias("part"), "core_deg"
+            )
+        prev_n = n
+    raise RuntimeError(
+        f"kcore_members_converged: no fixpoint within max_peels="
+        f"{max_peels} (still {prev_n} survivors) — raise max_peels; "
+        "refusing to return a not-yet-converged core"
+    )
 
 
 def kcore_round(sym: DataFrame, survivors: DataFrame, k: int) -> DataFrame:
@@ -294,14 +379,14 @@ def community_labels(edges: DataFrame, rounds: int) -> DataFrame:
         raise ValueError(
             f"community_labels: rounds must be >= 1 (got {rounds})"
         )
-    sym = (
-        edges.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
-        .unionAll(
+    sym = cut_lineage(
+        edges.select(
+            F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+        ).unionAll(
             edges.select(
                 F.col("part_b").alias("src"), F.col("part_a").alias("dst")
             )
         )
-        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select("src").distinct().select(
@@ -309,10 +394,66 @@ def community_labels(edges: DataFrame, rounds: int) -> DataFrame:
         )
     )
     for _ in range(rounds):
-        labels = lpa_round(sym, labels).localCheckpoint(eager=True)
+        labels = cut_lineage(lpa_round(sym, labels))
     return labels.select(
         F.col("node").cast("long").alias("part"),
         F.col("label").cast("long").alias("community"),
+    )
+
+
+def community_labels_converged(
+    edges: DataFrame, max_rounds: int = 64
+) -> DataFrame:
+    """Production iterate-to-FIXPOINT form of :func:`community_labels`
+    (VERDICT r14 item 3): LPA convergence depth grows with graph
+    density, so a fixed unroll can silently ship a mid-propagation
+    labeling at 100×. This form runs :func:`lpa_round` until a round
+    flips NO label. Labels are not monotone (unlike the peel's
+    survivor sets), so the convergence probe is an explicit
+    changed-count: one graph-sized prev-vs-new join + count per round
+    — same asymptotic shape as the round itself. The self-vote makes
+    every observed graph converge (plain synchronous LPA two-cycles;
+    see :func:`community_labels`), but no theorem guarantees it on
+    adversarial inputs, so ``max_rounds`` bounds the loop and FAILS
+    LOUD on exhaustion rather than returning an oscillating state.
+    Converged == fixed-unroll at the test SFs is pinned in
+    tests/test_r15.py."""
+    sym = cut_lineage(
+        edges.select(
+            F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+        ).unionAll(
+            edges.select(
+                F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+            )
+        )
+    )
+    labels = cut_lineage(
+        sym.select("src").distinct().select(
+            F.col("src").alias("node"), F.col("src").alias("label")
+        )
+    )
+    for _ in range(max_rounds):
+        new = cut_lineage(lpa_round(sym, labels))
+        changed = (
+            new.join(
+                labels.select(
+                    "node", F.col("label").alias("prev_label")
+                ),
+                "node",
+            )
+            .filter(F.col("label") != F.col("prev_label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(
+                F.col("node").cast("long").alias("part"),
+                F.col("label").cast("long").alias("community"),
+            )
+    raise RuntimeError(
+        f"community_labels_converged: labels still flipping after "
+        f"max_rounds={max_rounds} — raise max_rounds (or the graph "
+        "oscillates); refusing to return a mid-propagation labeling"
     )
 
 

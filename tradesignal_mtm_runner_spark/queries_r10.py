@@ -543,13 +543,17 @@ def cc_refresh_frame(d: DataFrame) -> DataFrame:
     # cross-probe/labels lineage that compounding OOMs the OPTIMIZER
     # (not the data) even at toy scale. The contracted graph is
     # batch-sized by construction (|new docs| + |touched canonicals|
-    # nodes), so an eager localCheckpoint materializes kilobytes and
-    # gives the 2^iters plan a tiny base. The base-side CC never needs
-    # this because its chain starts from a bare scan.
-    nodes = (
+    # nodes), so an eager cut materializes kilobytes and gives the
+    # 2^iters plan a tiny base. The base-side CC never needs this
+    # because its chain starts from a bare scan. cut_lineage =
+    # localCheckpoint by default; at cluster scale the reliable-
+    # checkpoint conf applies here too (operators/graph.cut_lineage).
+    from .operators.graph import cut_lineage
+
+    nodes = cut_lineage(
         new_sig.select("doc_id").unionByName(touched).distinct()
-    ).localCheckpoint(eager=True)
-    edges = to_canon.unionByName(in_batch).localCheckpoint(eager=True)
+    )
+    edges = cut_lineage(to_canon.unionByName(in_batch))
     mini = connected_canonical(
         nodes, edges, iters=REFRESH_CC_ITERS
     ).select("doc_id", F.col("canonical_id").alias("new_component"))
