@@ -266,9 +266,16 @@ def copurchase_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes",
         F.expr("_sum_deg div 2").cast("long").alias("n_edges"),
         "max_degree",
-        _r9(F.col("_sum_deg").cast("double") / F.col("n_nodes")).alias(
-            "avg_degree"
-        ),
+        # guarded like transitivity (ADVICE r14): on an empty edge
+        # relation n_nodes=0 / sum_deg NULL, and Spark's NULL-division
+        # vs DuckDB's divide-by-zero behavior would split the engines
+        # on the one edge case the otherwise-total parity misses
+        _r9(
+            F.when(
+                F.col("n_nodes") > 0,
+                F.col("_sum_deg").cast("double") / F.col("n_nodes"),
+            ).otherwise(F.lit(0.0))
+        ).alias("avg_degree"),
         "n_wedges",
         "n_triangles",
         _r9(
@@ -305,7 +312,8 @@ t AS (SELECT count(*) AS n_tri FROM tri)
 SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
        CAST(sum_deg // 2 AS BIGINT) AS n_edges,
        CAST(max_degree AS BIGINT) AS max_degree,
-       round(sum_deg * 1.0 / n_nodes, 9) + 0.0 AS avg_degree,
+       round(CASE WHEN n_nodes > 0 THEN sum_deg * 1.0 / n_nodes
+                  ELSE 0.0 END, 9) + 0.0 AS avg_degree,
        CAST(n_wedges AS BIGINT) AS n_wedges,
        CAST(n_tri AS BIGINT) AS n_triangles,
        round(CASE WHEN n_wedges > 0 THEN 3.0 * n_tri / n_wedges
@@ -325,8 +333,11 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch to audit itself. Cost shape: the estimate is a
     row-local comparison of two K-column signatures on the candidate
     relation (already LSH-bounded and hot-bucket-capped); the exact
-    side is C3's candidate-bounded intersection — no new corpus-sized
-    work beyond the signature build both pipelines already share.
+    side is C3's kernel — one more corpus-LINEAR shingling pass
+    (pair_jaccard re-shingles; it does not reuse the signature
+    build's shingle relation) whose expensive part, the pairwise
+    intersection, stays candidate-bounded. Nothing here is ever
+    all-pairs.
     Output: (id_a, id_b, est_jaccard, exact_jaccard, abs_err), floats
     rounded to 9 dp; est is a multiple of 1/K by construction (both
     engines compute it as an exact small rational in doubles)."""
@@ -614,9 +625,17 @@ def _dedup_cluster_stats_sql() -> str:
     # diverge if DEDUP_CONNECTED_SQL's chain ever changes)
     from .queries_pipeline import DEDUP_CC_ITERS, DEDUP_CONNECTED_SQL
 
-    chain = DEDUP_CONNECTED_SQL.rsplit(
-        "SELECT doc_id, lab AS canonical_id", 1
-    )[0].rstrip()
+    anchor = "SELECT doc_id, lab AS canonical_id"
+    parts = DEDUP_CONNECTED_SQL.rsplit(anchor, 1)
+    # ADVICE r14: if the C17 final SELECT is ever reworded, rsplit
+    # returns the whole string unchanged and the composed oracle is
+    # silently malformed — fail HERE, at import, not at parity time
+    assert len(parts) == 2, (
+        "dedup_cluster_stats oracle: DEDUP_CONNECTED_SQL no longer "
+        f"contains the final-SELECT anchor {anchor!r}; update the "
+        "anchor alongside the C17 oracle"
+    )
+    chain = parts[0].rstrip()
     return f"""{chain},
 cc AS (
   SELECT doc_id, lab AS canonical_id, doc_id = lab AS keep
