@@ -86,6 +86,23 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # SIM_KEYS=<comma-separated keys>: pre-verify SPECIFIC registry
+    # keys (window or pytest-extra) under this vanilla-session harness
+    # — the rotation de-risking discipline: every key headed for a
+    # future window crosses this harness at sf0.01 BEFORE it rotates in
+    sim_keys = os.environ.get("SIM_KEYS")
+    if sim_keys:
+        from tradesignal_mtm_runner_spark import queries as qreg
+
+        want_keys = [k.strip() for k in sim_keys.split(",") if k.strip()]
+        unknown = [k for k in want_keys if k not in qreg.ALL_QUERIES]
+        if unknown:
+            print(f"SIM_KEYS unknown: {unknown}")
+            return 1
+        qs = {k: qreg.ALL_QUERIES[k] for k in want_keys}
+        oracles = {
+            k: qreg.ALL_ORACLES[k] for k in want_keys if k in qreg.ALL_ORACLES
+        }
     print(f"n_queries={len(qs)}")
     n_pass = n_rows_only = 0
     fails: list[str] = []

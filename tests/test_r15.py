@@ -129,6 +129,111 @@ def test_lpa_converged_fails_loud_on_exhaustion(spark):
         community_labels_converged(path, max_rounds=2)
 
 
+def test_components_converged_at_fixed_iters(spark):
+    """COMP_ITERS min-label rounds must be ENOUGH on the real graph:
+    one more round may not change any label (the kcore/LPA convergence
+    pin applied to B62), and the iterate-to-fixpoint twin must return
+    the identical labeling."""
+    from tests.conftest import assert_frames_match
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        component_labels,
+        component_labels_converged,
+    )
+    from tradesignal_mtm_runner_spark.queries_r10b import _basket_pair_counts
+    from tradesignal_mtm_runner_spark.queries_r15 import COMP_ITERS
+
+    _, pairs = _basket_pair_counts(spark, SF_SMOKE)
+    edges = pairs.select("part_a", "part_b")
+    a = component_labels(edges, COMP_ITERS).toPandas()
+    b = component_labels(edges, COMP_ITERS + 1).toPandas()
+    assert len(a) > 0
+    assert_frames_match(a, b, "components_fixed_plus_one")
+    assert_frames_match(
+        component_labels_converged(edges).toPandas(),
+        a,
+        "components_converged_vs_fixed",
+    )
+
+
+def test_components_planted_and_deeper_than_fixed(spark):
+    """Semantics on a planted graph: two disjoint pieces label to
+    their min node; a path LONGER than COMP_ITERS hops under-labels at
+    the fixed unroll (labels still split mid-path) while the converged
+    form reaches the true single component — the 100×-diameter gap the
+    fixpoint twin closes."""
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        component_labels,
+        component_labels_converged,
+    )
+    from tradesignal_mtm_runner_spark.queries_r15 import COMP_ITERS
+
+    two = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "part_a long, part_b long"
+    )
+    got = {
+        r["part"]: r["component"]
+        for r in component_labels_converged(two).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    # a 40-node path: min-label needs 39 rounds to reach the far end
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "part_a long, part_b long"
+    )
+    fixed = component_labels(path, COMP_ITERS).select("component").distinct()
+    conv = component_labels_converged(path).select("component").distinct()
+    assert conv.count() == 1
+    assert fixed.count() > 1  # the fixed unroll provably under-labels here
+
+
+def test_communities_stream_equals_batch(spark):
+    """B58b: the staged whole-order replay must fold to the SAME
+    support-cut graph and therefore the SAME LPA labeling as the batch
+    B58 (the oracle equality is also enforced via the registry; this
+    pins it Spark-vs-Spark without DuckDB in the loop)."""
+    from tests.conftest import assert_frames_match
+    from tradesignal_mtm_runner_spark.queries_r14b import (
+        copurchase_communities,
+    )
+    from tradesignal_mtm_runner_spark.queries_r15 import (
+        copurchase_communities_stream,
+    )
+
+    assert_frames_match(
+        copurchase_communities_stream(spark, SF_SMOKE).toPandas(),
+        copurchase_communities(spark, SF_SMOKE).toPandas(),
+        "communities_stream_vs_batch",
+    )
+
+
+def test_degree_histogram_planted(spark, tmp_path):
+    """B63 semantics on planted degrees: a star with hub degree 5 and
+    5 leaves of degree 1 buckets to {0: five deg-1 leaves, 2: the
+    deg-5 hub} — bucket = length(bin(deg)) − 1, integer-exact."""
+    from tradesignal_mtm_runner_spark.queries_r15 import (
+        copurchase_degree_histogram,
+    )
+
+    rows = []
+    oid = 0
+    for leaf in (2, 3, 4, 5, 6):  # star around part 1, each pair 2 orders
+        for _ in range(2):
+            oid += 1
+            rows += [(oid, 1), (oid, leaf)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        r["bucket"]: (r["min_deg"], r["max_deg"], r["n_nodes"], r["node_share"])
+        for r in copurchase_degree_histogram(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (1, 1, 5, round(5 / 6, 9)),
+        2: (5, 5, 1, round(1 / 6, 9)),
+    }
+
+
 def test_reliable_lineage_cuts_option(spark, tmp_path):
     """VERDICT r14 item 4: the reliable-checkpoint lineage-cut option.
     (1) Default unchanged: conf unset → localCheckpoint path, results

@@ -1074,6 +1074,7 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
     from tradesignal_mtm_runner_spark.operators.graph import (
         clustering_from_index,
         communities_from_index,
+        components_from_index,
         kcore_from_index,
         linkpred_from_index,
         pagerank_from_index,
@@ -1123,6 +1124,13 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
         assert "lineitem" not in plan.lower(), plan
     co_probe = communities_from_index(spark, t, LPA_ROUNDS)
     assert "lineitem" not in P.explain_str(co_probe).lower()
+    from tradesignal_mtm_runner_spark.queries_r15 import (
+        COMP_ITERS,
+        copurchase_components,
+    )
+
+    cc_probe = components_from_index(spark, t, COMP_ITERS)
+    assert "lineitem" not in P.explain_str(cc_probe).lower()
 
     assert_frames_match(
         tri_probe.toPandas(),
@@ -1158,6 +1166,11 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
         ts_probe.toPandas(),
         copurchase_topk_similar(spark, SF_SMOKE).toPandas(),
         "edge_index_topk_similar",
+    )
+    assert_frames_match(
+        cc_probe.toPandas(),
+        copurchase_components(spark, SF_SMOKE).toPandas(),
+        "edge_index_components",
     )
     # the sup sidecar is opt-in: an index written WITHOUT it must fail
     # loud on the similarity probe (never silently rescan lineitem)

@@ -479,6 +479,114 @@ def lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def component_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round: every node takes the minimum
+    of its own label and its neighbors' labels. ``sym`` = directed
+    symmetrized edges (src, dst); ``labels`` = (node, label). Exposed
+    separately (the kcore_round/lpa_round convention) so the per-round
+    plan can be pinned and the converged form can loop it."""
+    nbr = (
+        sym.join(labels.select(F.col("node").alias("src"), "label"), "src")
+        .groupBy("dst")
+        .agg(F.min("label").alias("nbr_label"))
+    )
+    return labels.join(
+        nbr.select(F.col("dst").alias("node"), "nbr_label"), "node", "left"
+    ).select(
+        "node",
+        F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        ).alias("label"),
+    )
+
+
+def component_labels(edges: DataFrame, iters: int) -> DataFrame:
+    """CONNECTED COMPONENTS of the undirected graph via min-label
+    propagation — the graph family's own CC entry (the dedup stack's
+    connected_canonical is the same algorithm specialized to shallow
+    near-dup clusters; co-purchase components are DEEPER — label must
+    travel the component's min-node eccentricity, measured 4/11/8
+    rounds at sf0.001/0.01/0.1 — so this form takes its round count
+    explicitly and the converged twin below iterates to fixpoint).
+    Each round: one graph-sized join + one min-aggregate (map-side
+    partials) + one left join; labels are referenced twice per round,
+    so lineage cuts per round (the family convention,
+    :func:`cut_lineage`). A fixed ``iters`` is mirrored exactly by the
+    SQL oracle; convergence is the separately pinned claim. Returns
+    (part, component) where component = the component's minimum node
+    id (stable, interpretable)."""
+    if iters < 1:
+        raise ValueError(f"component_labels: iters must be >= 1 (got {iters})")
+    sym = cut_lineage(
+        edges.select(
+            F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+        ).unionAll(
+            edges.select(
+                F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+            )
+        )
+    )
+    labels = sym.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    for _ in range(iters):
+        labels = cut_lineage(component_round(sym, labels))
+    return labels.select(
+        F.col("node").cast("long").alias("part"),
+        F.col("label").cast("long").alias("component"),
+    )
+
+
+def component_labels_converged(
+    edges: DataFrame, max_iters: int = 64
+) -> DataFrame:
+    """Iterate-to-fixpoint form of :func:`component_labels` (the
+    production entry — component depth grows with graph diameter, so
+    a fixed unroll under-labels at 100× exactly like the peel/LPA
+    cases, VERDICT r14 item 3). Labels are MONOTONE non-increasing
+    under min-propagation, so the convergence probe is a changed-count
+    (one graph-sized join + count per round); a fixpoint is the exact
+    component labeling — unlike LPA there is no oscillation mode, but
+    ``max_iters`` still bounds the loop and FAILS LOUD on exhaustion
+    (a too-small bound must not silently ship split components)."""
+    sym = cut_lineage(
+        edges.select(
+            F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+        ).unionAll(
+            edges.select(
+                F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+            )
+        )
+    )
+    labels = cut_lineage(
+        sym.select("src").distinct().select(
+            F.col("src").alias("node"), F.col("src").alias("label")
+        )
+    )
+    for _ in range(max_iters):
+        new = cut_lineage(component_round(sym, labels))
+        changed = (
+            new.join(
+                labels.select("node", F.col("label").alias("prev_label")),
+                "node",
+            )
+            .filter(F.col("label") != F.col("prev_label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(
+                F.col("node").cast("long").alias("part"),
+                F.col("label").cast("long").alias("component"),
+            )
+    raise RuntimeError(
+        f"component_labels_converged: labels still shrinking after "
+        f"max_iters={max_iters} — the graph's min-node eccentricity "
+        "exceeds the bound; raise max_iters rather than shipping "
+        "split components"
+    )
+
+
 def clustering_coefficients(edges: DataFrame, deg: DataFrame) -> DataFrame:
     """Per-node LOCAL CLUSTERING COEFFICIENT — the per-node density
     measure triangle counting exists to feed: c(v) = 2·T(v) /
@@ -772,6 +880,15 @@ def linkpred_from_index(
         max_deg,
         topk,
     )
+
+
+def components_from_index(
+    spark: SparkSession, table: str, iters: int
+) -> DataFrame:
+    """Connected components from the standing index: same min-label
+    kernel, zero lineitem bytes — only the persisted edge table is
+    read."""
+    return component_labels(spark.table(table), iters)
 
 
 def topk_similar_from_index(

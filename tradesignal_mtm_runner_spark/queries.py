@@ -836,6 +836,13 @@ from .queries_r14b import R14B_ORACLES, R14B_QUERIES  # noqa: E402
 EXTRA_QUERIES.update(R14B_QUERIES)
 EXTRA_ORACLES.update(R14B_ORACLES)
 
+# round-15 batch: co-purchase connected components, the LPA-communities
+# stream twin, and the degree-distribution rollup
+from .queries_r15 import R15_ORACLES, R15_QUERIES  # noqa: E402
+
+EXTRA_QUERIES.update(R15_QUERIES)
+EXTRA_ORACLES.update(R15_ORACLES)
+
 # --- round-5 driver-window rotation (VERDICT r4, next-round item 1) ---------
 # The driver CORRECTNESS harness only ever sees the first 50 queries();
 # everything else is verified by the identical DuckDB harness in pytest.

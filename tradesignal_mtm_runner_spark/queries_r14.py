@@ -147,15 +147,22 @@ def kcore_stream_batch(parts_root: str):
     return _fn
 
 
-def copurchase_kcore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B56b: ``copurchase_kcore`` under ``readStream`` — continual
-    order ingest maintains the co-purchase graph WITHOUT re-scanning
-    history. Each micro-batch of whole orders appends its raw
-    pair-count partials (additive across batches — the
-    write_edge_partials property); the fold applies the support cut
-    over all generations and feeds the SAME peeling kernel, so the
-    stream replay equals the batch B56 oracle exactly, including
-    pairs whose count only crosses the cut across batch boundaries."""
+def streamed_support_cut_edges(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> DataFrame | None:
+    """Shared stream-twin front half (B56b, and the r15 communities
+    twin): replay lineitem as a staged WHOLE-ORDER stream, append each
+    micro-batch's raw pair-count partials via the foreachBatch handler
+    (additive across batches — the write_edge_partials property; a
+    retried batch overwrites its batch_id-derived path byte-identical,
+    the C67 exactly-once convention), then FOLD: sum the partials and
+    apply the support cut over all generations — so pairs whose count
+    only crosses the cut across batch boundaries are correctly edges.
+    Returns the folded (part_a, part_b, pair_cnt) support-cut relation,
+    or None when the staging produced no files (empty input). Any
+    graph kernel downstream of this sees the IDENTICAL edge relation
+    the batch queries build, which is why each stream twin shares its
+    batch oracle."""
     from .sources import load_table
     from .streaming import await_or_raise
 
@@ -163,11 +170,11 @@ def copurchase_kcore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").cast("long").alias("l_orderkey"),
         F.col("l_partkey").cast("long").alias("l_partkey"),
     )
-    stream, n_files = _staged_order_stream(spark, items, "kcore_stream_")
+    stream, n_files = _staged_order_stream(spark, items, f"{prefix}_")
     if stream is None:
-        return spark.createDataFrame([], "part long, core_deg long")
+        return None
 
-    base = tracked_mkdtemp("kcore_stream_out_")
+    base = tracked_mkdtemp(f"{prefix}_out_")
     parts_root = _os.path.join(base, "pair_partials")
     _os.makedirs(parts_root)
     q = (
@@ -177,7 +184,7 @@ def copurchase_kcore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     await_or_raise(q)
-    edges = (
+    return (
         spark.read.schema("part_a long, part_b long, pair_cnt long")
         .option("recursiveFileLookup", "true")
         .parquet(parts_root)
@@ -185,6 +192,18 @@ def copurchase_kcore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("pair_cnt").cast("long").alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= BASKET_MIN_SUP)
     )
+
+
+def copurchase_kcore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B56b: ``copurchase_kcore`` under ``readStream`` — continual
+    order ingest maintains the co-purchase graph WITHOUT re-scanning
+    history. Front half = :func:`streamed_support_cut_edges` (staged
+    whole-order replay → additive pair partials → support-cut fold);
+    the folded edges feed the SAME peeling kernel, so the stream
+    replay equals the batch B56 oracle exactly."""
+    edges = streamed_support_cut_edges(spark, sf_dir, "kcore_stream")
+    if edges is None:
+        return spark.createDataFrame([], "part long, core_deg long")
     return kcore_members(edges, KCORE_K, KCORE_PEELS)
 
 
