@@ -218,6 +218,13 @@ HEADLINERS = [
     # confusion metrics and the per-cluster dedup report
     "lang_id_confusion",
     "dedup_cluster_stats",
+    # round-15 graph surface: min-label connected components (14
+    # lineage-cut rounds), the LPA-communities stream twin (whole-order
+    # micro-batches + support-cut fold + the shared LPA kernel, timed
+    # whole), and the log2-bucket degree-distribution rollup
+    "copurchase_components",
+    "copurchase_communities_stream",
+    "copurchase_degree_histogram",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput
@@ -598,6 +605,18 @@ def main() -> None:
         lambda: None,
         lambda: topk_similar_from_index(
             spark, "bench_idx.edge_idx", SIMILAR_TOPK
+        ),
+    )
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        components_from_index,
+    )
+    from tradesignal_mtm_runner_spark.queries_r15 import COMP_ITERS
+
+    _time_probe(
+        "index_probe_components",
+        lambda: None,
+        lambda: components_from_index(
+            spark, "bench_idx.edge_idx", COMP_ITERS
         ),
     )
 
