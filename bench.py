@@ -225,6 +225,11 @@ HEADLINERS = [
     "copurchase_components",
     "copurchase_communities_stream",
     "copurchase_degree_histogram",
+    # round-15 second batch: per-edge embeddedness/overlap (shared
+    # oriented-triangle enumeration, edge credits) and the per-doc
+    # n-gram novelty curve (distinct-gram + first-seen aggregates)
+    "copurchase_edge_embeddedness",
+    "ngram_novelty",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput
@@ -609,6 +614,7 @@ def main() -> None:
     )
     from tradesignal_mtm_runner_spark.operators.graph import (
         components_from_index,
+        embeddedness_from_index,
     )
     from tradesignal_mtm_runner_spark.queries_r15 import COMP_ITERS
 
@@ -618,6 +624,11 @@ def main() -> None:
         lambda: components_from_index(
             spark, "bench_idx.edge_idx", COMP_ITERS
         ),
+    )
+    _time_probe(
+        "index_probe_embeddedness",
+        lambda: None,
+        lambda: embeddedness_from_index(spark, "bench_idx.edge_idx"),
     )
 
     total = round(sum(timings.values()), 3)

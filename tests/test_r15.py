@@ -234,6 +234,69 @@ def test_degree_histogram_planted(spark, tmp_path):
     }
 
 
+def test_edge_embeddedness_planted(spark):
+    """B64 kernel semantics on the triangle-plus-pendant graph
+    (deg: 1→2, 2→2, 3→3, 4→1): edge (1,2) has common neighbor {3} and
+    full overlap 1/(2+2−2−1)=1.0; edge (1,3) overlaps 1/(2+3−2−1)=0.5;
+    the pendant edge (3,4) is a local bridge — n_common 0, overlap 0.0
+    (and NOT dropped: the LEFT join keeps triangle-free edges)."""
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        edge_embeddedness,
+        node_degrees,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (1, 3, 2), (2, 3, 2), (3, 4, 2)],
+        "part_a long, part_b long, pair_cnt long",
+    )
+    got = {
+        (r["part_a"], r["part_b"]): (r["n_common"], r["overlap"])
+        for r in edge_embeddedness(edges, node_degrees(edges)).collect()
+    }
+    assert got == {
+        (1, 2): (1, 1.0),
+        (1, 3): (1, 0.5),
+        (2, 3): (1, 0.5),
+        (3, 4): (0, 0.0),
+    }
+    # isolated-edge zero denominator: both endpoints degree 1
+    iso = spark.createDataFrame(
+        [(7, 8, 2)], "part_a long, part_b long, pair_cnt long"
+    )
+    row = edge_embeddedness(iso, node_degrees(iso)).collect()[0]
+    assert (row["n_common"], row["overlap"]) == (0, 0.0)
+
+
+def test_ngram_novelty_planted(spark, tmp_path):
+    """C72 semantics on planted docs: doc 1 introduces its 2 distinct
+    3-grams (novelty 1.0); doc 2 repeats doc 1's text verbatim
+    (novelty 0.0 — the near-dup signature); doc 3 shares one 3-gram
+    with doc 1 and introduces one of its own (novelty 0.5); doc 4 is
+    too short for any 3-gram and keeps (0, 0, 0.0) via the LEFT
+    join."""
+    from tradesignal_mtm_runner_spark.queries_r15 import ngram_novelty
+
+    docs = [
+        (1, "a b c d"),        # grams: "a b c", "b c d"
+        (2, "a b c d"),        # same grams, later doc_id -> 0 novel
+        (3, "a b c x"),        # "a b c" seen, "b c x" novel
+        (4, "a b"),            # too short: zero grams
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r["doc_id"]: (r["n_distinct"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (2, 2, 1.0),
+        2: (2, 0, 0.0),
+        3: (2, 1, 0.5),
+        4: (0, 0, 0.0),
+    }
+
+
 def test_reliable_lineage_cuts_option(spark, tmp_path):
     """VERDICT r14 item 4: the reliable-checkpoint lineage-cut option.
     (1) Default unchanged: conf unset → localCheckpoint path, results

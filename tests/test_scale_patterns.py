@@ -1075,6 +1075,7 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
         clustering_from_index,
         communities_from_index,
         components_from_index,
+        embeddedness_from_index,
         kcore_from_index,
         linkpred_from_index,
         pagerank_from_index,
@@ -1116,10 +1117,13 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
     cl_probe = clustering_from_index(spark, t)
     lp_probe = linkpred_from_index(spark, t, LINK_MAX_DEG, LINK_TOPK)
     ts_probe = topk_similar_from_index(spark, t, SIMILAR_TOPK)
+    em_probe = embeddedness_from_index(spark, t)
     # graph-proportional: no lineitem (or any base-table) scan in the
     # probe plans — only the persisted index tables. (The LPA probe's
     # plan is checked the same way below, after its lineage cuts run.)
-    for probe in (tri_probe, pr_probe, kc_probe, cl_probe, lp_probe, ts_probe):
+    for probe in (
+        tri_probe, pr_probe, kc_probe, cl_probe, lp_probe, ts_probe, em_probe
+    ):
         plan = P.explain_str(probe)
         assert "lineitem" not in plan.lower(), plan
     co_probe = communities_from_index(spark, t, LPA_ROUNDS)
@@ -1171,6 +1175,15 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
         cc_probe.toPandas(),
         copurchase_components(spark, SF_SMOKE).toPandas(),
         "edge_index_components",
+    )
+    from tradesignal_mtm_runner_spark.queries_r15 import (
+        copurchase_edge_embeddedness,
+    )
+
+    assert_frames_match(
+        em_probe.toPandas(),
+        copurchase_edge_embeddedness(spark, SF_SMOKE).toPandas(),
+        "edge_index_embeddedness",
     )
     # the sup sidecar is opt-in: an index written WITHOUT it must fail
     # loud on the similarity probe (never silently rescan lineitem)

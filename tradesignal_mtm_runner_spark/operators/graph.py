@@ -120,15 +120,18 @@ def node_degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts(edges: DataFrame, deg: DataFrame) -> DataFrame:
-    """Per-node triangle participation via DEGREE-ORDERED ORIENTATION
-    (the B55 kernel — see copurchase_triangles for the full scale
-    argument): orient low→high in the (deg, id) total order, wedges
-    enumerate only at each edge's source (out-degree ≤ O(√E) by the
-    arboricity bound), the closing join hits the oriented edge. Each
-    triangle is counted once at its ≺-minimal corner and credits all
-    three corners. ``edges`` = (part_a, part_b [, ...]) with
-    part_a < part_b; ``deg`` = (pk, deg)."""
+def oriented_closed_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Every triangle of the undirected graph, ENUMERATED EXACTLY ONCE
+    via degree-ordered orientation (the B55 scale pattern): orient
+    low→high in the (deg, id) total order, wedges enumerate only at
+    each edge's source (out-degree ≤ O(√E) by the arboricity bound),
+    the closing join hits the oriented edge. Returns one row (src, v,
+    w) per triangle — src is the ≺-minimal corner. Shared by the
+    node-credit kernel (:func:`triangle_counts`) and the edge-credit
+    kernel (:func:`edge_embeddedness`); factoring the enumeration out
+    means both sides of any node-vs-edge rollup agree on the exact
+    triangle set by construction. ``edges`` = (part_a, part_b [, ...])
+    with part_a < part_b; ``deg`` = (pk, deg)."""
     e = edges.join(
         deg.select(F.col("pk").alias("part_a"), F.col("deg").alias("deg_a")),
         "part_a",
@@ -154,10 +157,19 @@ def triangle_counts(edges: DataFrame, deg: DataFrame) -> DataFrame:
         (F.col("deg_v") < F.col("deg_w"))
         | ((F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
     )
-    closed = wedges.join(
+    return wedges.join(
         oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
         ["v", "w"],
-    )
+    ).select("src", "v", "w")
+
+
+def triangle_counts(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Per-node triangle participation (the B55 kernel — see
+    copurchase_triangles for the full scale argument): each triangle
+    from :func:`oriented_closed_triangles` credits all three corners.
+    ``edges`` = (part_a, part_b [, ...]) with part_a < part_b;
+    ``deg`` = (pk, deg)."""
+    closed = oriented_closed_triangles(edges, deg)
     return (
         closed.select(
             F.explode(F.array(F.col("src"), F.col("v"), F.col("w"))).alias("pk")
@@ -165,6 +177,77 @@ def triangle_counts(edges: DataFrame, deg: DataFrame) -> DataFrame:
         .groupBy("pk")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
         .select(F.col("pk").cast("long").alias("part"), "n_triangles")
+    )
+
+
+def edge_embeddedness(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Per-EDGE embeddedness and neighborhood overlap — the edge-level
+    measure beside the family's node-level (triangles, clustering,
+    core degrees) and global (profile) ones, and the classic backbone
+    / tie-strength primitive (Granovetter weak ties, Onnela et al.
+    overlap): for every support-cut edge (a, b), n_common =
+    |N(a) ∩ N(b)| (its triangle support) and overlap =
+    n_common / (deg_a + deg_b − 2 − n_common) — the Jaccard of the
+    endpoint neighborhoods excluding the endpoints themselves. Edges
+    with overlap 0 are local bridges (no alternative 2-path);
+    high-overlap edges are Simmelian ties a backbone filter keeps.
+
+    Scale shape: triangles come from the SHARED oriented enumeration
+    (:func:`oriented_closed_triangles`, O(√E) wedge bound — never the
+    Σdeg² naive wedge join), each triangle credits its three edges
+    canonicalized back to (min, max) form (row-local explode), one
+    edge-keyed count aggregate, one LEFT join onto the edge relation
+    (triangle-free edges keep 0 / 0.0 — pinned), two degree joins.
+    Overlap rounds to 9 dp; the zero-denominator case (two degree-1
+    endpoints — an isolated edge) is guarded to 0.0 in both engines.
+    Returns (part_a, part_b, pair_cnt, n_common, overlap)."""
+    closed = oriented_closed_triangles(edges, deg.select("pk", "deg"))
+    lo = F.least  # triangle corners back to canonical a < b edge form
+    hi = F.greatest
+    tri_edges = closed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    lo("src", "v").alias("part_a"), hi("src", "v").alias("part_b")
+                ),
+                F.struct(
+                    lo("src", "w").alias("part_a"), hi("src", "w").alias("part_b")
+                ),
+                F.struct(
+                    lo("v", "w").alias("part_a"), hi("v", "w").alias("part_b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.part_a", "e.part_b")
+    support = tri_edges.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    nc = F.coalesce(F.col("n_common"), F.lit(0)).cast("long")
+    denom = (
+        F.col("deg_a") + F.col("deg_b") - F.lit(2) - nc
+    ).cast("double")
+    return (
+        edges.select("part_a", "part_b", "pair_cnt")
+        .join(support, ["part_a", "part_b"], "left")
+        .join(
+            deg.select(F.col("pk").alias("part_a"), F.col("deg").alias("deg_a")),
+            "part_a",
+        )
+        .join(
+            deg.select(F.col("pk").alias("part_b"), F.col("deg").alias("deg_b")),
+            "part_b",
+        )
+        .select(
+            F.col("part_a").cast("long").alias("part_a"),
+            F.col("part_b").cast("long").alias("part_b"),
+            F.col("pair_cnt").cast("long").alias("pair_cnt"),
+            nc.alias("n_common"),
+            _r9(
+                F.when(denom > 0, nc.cast("double") / denom).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("overlap"),
+        )
     )
 
 
@@ -879,6 +962,14 @@ def linkpred_from_index(
         spark.table(f"{table}_deg").select("pk", "deg"),
         max_deg,
         topk,
+    )
+
+
+def embeddedness_from_index(spark: SparkSession, table: str) -> DataFrame:
+    """B64 from the standing index: same edge-credit kernel over the
+    persisted edges + degree relation — zero lineitem bytes."""
+    return edge_embeddedness(
+        spark.table(table), spark.table(f"{table}_deg").select("pk", "deg")
     )
 
 

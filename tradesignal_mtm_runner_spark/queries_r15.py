@@ -169,10 +169,169 @@ FROM hist, t
 """
 
 
+def copurchase_edge_embeddedness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """B64: per-edge EMBEDDEDNESS + neighborhood overlap over the
+    co-purchase graph — the edge-level measure the family lacked
+    (nodes have triangles/clustering/core degrees, the graph has its
+    profile; EDGES get their triangle support and the Onnela-style
+    overlap, the classic tie-strength / backbone-filter primitive:
+    overlap-0 edges are local bridges, high-overlap edges are the
+    Simmelian ties a backbone keeps). Kernel =
+    operators/graph.edge_embeddedness — triangles from the SHARED
+    oriented enumeration (O(√E) wedge bound), three row-local edge
+    credits per triangle, one edge-keyed aggregate, LEFT join so
+    triangle-free edges keep (0, 0.0) — shared with the standing-index
+    probe ``embeddedness_from_index`` (parity pinned in
+    tests/test_scale_patterns.py). Overlap rounds to 9 dp; the
+    isolated-edge zero denominator is guarded in both engines.
+    Output: (part_a, part_b, pair_cnt, n_common, overlap)."""
+    from .operators.graph import edge_embeddedness
+
+    _, pairs = _basket_pair_counts(spark, sf_dir)
+    edges = persist_tracked(pairs.select("part_a", "part_b", "pair_cnt"))
+    return edge_embeddedness(edges, node_degrees(edges))
+
+
+# The oracle closes wedges DIRECTLY (for each edge (a,b), count z with
+# (a,z) and (b,z) edges) — algorithm-diverse from the Spark side's
+# oriented enumeration (the B55 oracle convention), same triangle set.
+# Self-closures are impossible: z = b would need edge (b,b), z = a
+# edge (a,a), and the support-cut relation has no self edges.
+EDGE_EMBEDDEDNESS_SQL = f"""
+WITH {_BASKET_CTES},
+e AS MATERIALIZED (
+  SELECT part_a AS src, part_b AS dst FROM pairs
+  UNION ALL
+  SELECT part_b AS src, part_a AS dst FROM pairs
+),
+deg AS (SELECT src AS pk, count(*) AS deg FROM e GROUP BY src),
+cn AS (
+  SELECT p.part_a, p.part_b, count(*) AS n_common
+  FROM pairs p
+  JOIN e ea ON ea.src = p.part_a
+  JOIN e eb ON eb.src = p.part_b AND eb.dst = ea.dst
+  GROUP BY 1, 2
+)
+SELECT CAST(p.part_a AS BIGINT) AS part_a,
+       CAST(p.part_b AS BIGINT) AS part_b,
+       CAST(p.pair_cnt AS BIGINT) AS pair_cnt,
+       CAST(coalesce(cn.n_common, 0) AS BIGINT) AS n_common,
+       round(CASE WHEN da.deg + db.deg - 2 - coalesce(cn.n_common, 0) > 0
+                  THEN coalesce(cn.n_common, 0) * 1.0
+                       / (da.deg + db.deg - 2 - coalesce(cn.n_common, 0))
+                  ELSE 0.0 END, 9) + 0.0 AS overlap
+FROM pairs p
+LEFT JOIN cn ON cn.part_a = p.part_a AND cn.part_b = p.part_b
+JOIN deg da ON da.pk = p.part_a
+JOIN deg db ON db.pk = p.part_b
+"""
+
+
+#: word n-gram order for the novelty curve (the corpus LM convention,
+#: queries_pipeline_extras NGRAM_MAX_N's top order)
+NOVELTY_N = 3
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C72: per-document N-GRAM NOVELTY — the curation curve beside
+    the dedup stack: for each doc, how many of its distinct word
+    3-grams appear in NO earlier document (doc_id order = ingest
+    order), i.e. the doc's marginal contribution to corpus n-gram
+    diversity. Boilerplate, templated and near-duplicate docs score
+    near 0 even when they dodge the hash/MinHash dedups; a data mix
+    that stops adding novel n-grams has saturated — the question a
+    training-data pipeline asks per source before adding more of it.
+
+    Scale shape: one row-local shingle explode + a distinct (doc,
+    gram) aggregate, one gram-keyed min(doc_id) aggregate (the
+    "first seen" relation — map-side partials, never a window over
+    the corpus), one gram-keyed join back, one per-doc aggregate, one
+    LEFT join from documents so short docs (< NOVELTY_N tokens, zero
+    grams) keep (0, 0, 0.0) rather than dropping. All shuffles key on
+    gram or doc_id — no all-pairs, no collect. Novelty rounds to
+    9 dp; the zero-gram denominator is guarded in both engines.
+    Output: (doc_id, n_distinct, n_novel, novelty)."""
+    from .functions import text as TX
+    from .queries_pipeline import _docs
+    from .queries_r8 import _r9
+
+    d = _docs(spark, sf_dir)
+    toks = TX.tokens(F.col("text"))
+    dg = (
+        d.select(
+            "doc_id", F.explode(TX.shingles(toks, NOVELTY_N)).alias("ngram")
+        )
+        .distinct()
+    )
+    first = dg.groupBy("ngram").agg(F.min("doc_id").alias("first_seen"))
+    per_doc = (
+        dg.join(first, "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(
+                F.when(F.col("first_seen") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    nd = F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long")
+    nn = F.coalesce(F.col("n_novel"), F.lit(0)).cast("long")
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            nd.alias("n_distinct"),
+            nn.alias("n_novel"),
+            _r9(
+                F.when(
+                    nd > 0, nn.cast("double") / nd.cast("double")
+                ).otherwise(F.lit(0.0))
+            ).alias("novelty"),
+        )
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, u.g AS ngram
+  FROM toks, UNNEST(
+    CASE WHEN len(t) >= {NOVELTY_N}
+         THEN list_transform(range(1, len(t) - {NOVELTY_N} + 2),
+                             i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+         ELSE [] END) AS u(g)
+),
+dg AS (SELECT DISTINCT doc_id, ngram FROM grams),
+first AS (SELECT ngram, min(doc_id) AS first_seen FROM dg GROUP BY 1),
+per AS (
+  SELECT dg.doc_id, count(*) AS n_distinct,
+         sum(CASE WHEN f.first_seen = dg.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM dg JOIN first f USING (ngram)
+  GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(p.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+       round(CASE WHEN coalesce(p.n_distinct, 0) > 0
+                  THEN coalesce(p.n_novel, 0) * 1.0 / p.n_distinct
+                  ELSE 0.0 END, 9) + 0.0 AS novelty
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+
 R15_QUERIES: dict = {
     "copurchase_components": copurchase_components,
     "copurchase_communities_stream": copurchase_communities_stream,
     "copurchase_degree_histogram": copurchase_degree_histogram,
+    "copurchase_edge_embeddedness": copurchase_edge_embeddedness,
+    "ngram_novelty": ngram_novelty,
 }
 
 R15_ORACLES: dict = {
@@ -181,4 +340,6 @@ R15_ORACLES: dict = {
     # the identical support-cut graph, so the B58 oracle applies
     "copurchase_communities_stream": _communities_sql(),
     "copurchase_degree_histogram": DEGREE_HISTOGRAM_SQL,
+    "copurchase_edge_embeddedness": EDGE_EMBEDDEDNESS_SQL,
+    "ngram_novelty": NGRAM_NOVELTY_SQL,
 }
