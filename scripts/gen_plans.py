@@ -99,6 +99,10 @@ SNAPSHOT = [
     ("copurchase_clustering", "oriented-triangle kernel + degree LEFT join: triangle-free nodes kept"),
     ("copurchase_link_predict", "hub-capped wedge join + anti-join existing edges + per-part top-k"),
     ("copurchase_graph_profile", "two bounded aggregates: degree-arithmetic wedges + oriented triangle total"),
+    ("copurchase_components", "min-label propagation: per-round join + min-aggregate, lineage cut per round"),
+    ("copurchase_degree_histogram", "integer-exact log2 buckets over the degree relation, 1-row total cross-join"),
+    ("copurchase_edge_embeddedness", "shared oriented enumeration, edge credits, LEFT join keeps bridges"),
+    ("ngram_novelty", "distinct (doc, gram) + gram-keyed first-seen min: no corpus window, no all-pairs"),
     ("minhash_calibration", "shared signature persist: row-local K-column compare + candidate-bounded exact Jaccard"),
     ("lang_id_confusion", "one corpus pass -> three lang-bounded aggregates of the confusion matrix"),
     ("dedup_cluster_stats", "the C17 CC chain + one doc-keyed join + one output-sized cluster aggregate"),
