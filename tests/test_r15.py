@@ -234,6 +234,49 @@ def test_degree_histogram_planted(spark, tmp_path):
     }
 
 
+def test_pagerank_converged(spark):
+    """The converged PageRank twin: (1) on a symmetric ring the
+    stationary distribution IS uniform, so the uniform start is the
+    fixpoint and the loop exits on its first delta check with exactly
+    1/n everywhere; (2) on the real co-purchase graph the converged
+    form agrees with a LONG fixed unroll to within the tolerance;
+    (3) max_iters exhaustion FAILS LOUD."""
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        node_degrees,
+        pagerank_scores,
+        pagerank_scores_converged,
+    )
+    from tradesignal_mtm_runner_spark.queries_r10b import (
+        PR_DAMP,
+        _basket_pair_counts,
+    )
+
+    ring = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 1)],
+        "part_a long, part_b long, pair_cnt long",
+    )
+    wdeg = node_degrees(ring).select("pk", "wdeg")
+    got = {
+        r["p_partkey"]: r["pagerank"]
+        for r in pagerank_scores_converged(ring, wdeg, PR_DAMP).collect()
+    }
+    assert got == {1: 0.25, 2: 0.25, 3: 0.25, 4: 0.25}
+
+    _, pairs = _basket_pair_counts(spark, SF_SMOKE)
+    wdeg = node_degrees(pairs).select("pk", "wdeg")
+    tol = 1e-7
+    conv = pagerank_scores_converged(pairs, wdeg, PR_DAMP, tol=tol).toPandas()
+    long_fixed = pagerank_scores(pairs, wdeg, PR_DAMP, 60).toPandas()
+    merged = conv.merge(long_fixed, on="p_partkey", suffixes=("_c", "_f"))
+    assert len(merged) == len(conv) > 0
+    assert (merged["pagerank_c"] - merged["pagerank_f"]).abs().max() < 1e-5
+
+    with pytest.raises(RuntimeError, match="still >="):
+        pagerank_scores_converged(
+            pairs, wdeg, PR_DAMP, tol=1e-12, max_iters=2
+        )
+
+
 def test_edge_embeddedness_planted(spark):
     """B64 kernel semantics on the triangle-plus-pendant graph
     (deg: 1→2, 2→2, 3→3, 4→1): edge (1,2) has common neighbor {3} and

@@ -306,6 +306,89 @@ def pagerank_scores(
     return ranks.select(F.col("node").alias("p_partkey"), "pagerank")
 
 
+def pagerank_scores_converged(
+    edges: DataFrame,
+    wdeg: DataFrame,
+    damp: float,
+    tol: float = 1e-7,
+    max_iters: int = 100,
+) -> DataFrame:
+    """Production iterate-to-CONVERGENCE form of :func:`pagerank_scores`
+    (completing the VERDICT r14 item 3 set: every iterative kernel —
+    peel, LPA, CC, and now PageRank — has a fixpoint twin beside its
+    oracle-mirrored fixed unroll). PageRank converges geometrically at
+    rate ``damp``, so a fixed iteration count tuned at test scale can
+    be far from the fixpoint on a larger or more hub-concentrated
+    graph. This form iterates until the L1 delta Σ|r_new − r_old|
+    drops below ``tol`` — one graph-sized join + aggregate for the
+    step and one node-keyed join + sum for the delta per iteration
+    (same asymptotic shape as the step itself), ranks rounded to 9 dp
+    per iteration exactly like the fixed kernel so the two forms walk
+    the same chain. Lineage cuts per iteration (:func:`cut_lineage`):
+    unlike the fixed unroll, the rank relation here is referenced
+    twice per round (step + delta), the plan-doubling shape. FAILS
+    LOUD on ``max_iters`` exhaustion rather than returning a
+    not-yet-converged ranking."""
+    from ..cache_registry import persist_tracked
+
+    sym = edges.select(
+        F.col("part_a").alias("src"),
+        F.col("part_b").alias("dst"),
+        F.col("pair_cnt").alias("w"),
+    ).unionAll(
+        edges.select(
+            F.col("part_b").alias("src"),
+            F.col("part_a").alias("dst"),
+            F.col("pair_cnt").alias("w"),
+        )
+    )
+    trans = persist_tracked(
+        sym.join(wdeg.select(F.col("pk").alias("src"), "wdeg"), "src").select(
+            "src", "dst", (F.col("w") / F.col("wdeg")).alias("p")
+        )
+    )
+    nodes = persist_tracked(wdeg.select(F.col("pk").alias("node")))
+    n = nodes.count()  # bounded model scalar: |V| of the support-cut graph
+    ranks = cut_lineage(
+        nodes.select(
+            "node", _r9(F.lit(1.0) / F.lit(float(n))).alias("pagerank")
+        )
+    )
+    base = 1.0 - damp
+    for _ in range(max_iters):
+        incoming = (
+            trans.join(ranks, trans["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pagerank") * F.col("p")).alias("mass"))
+        )
+        new = cut_lineage(
+            nodes.join(
+                incoming, nodes["node"] == incoming["dst"], "left"
+            ).select(
+                "node",
+                _r9(
+                    F.lit(base) / F.lit(float(n))
+                    + F.lit(damp) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("pagerank"),
+            )
+        )
+        delta = (
+            new.join(
+                ranks.select("node", F.col("pagerank").alias("prev")), "node"
+            )
+            .agg(F.sum(F.abs(F.col("pagerank") - F.col("prev"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks = new
+        if delta is not None and delta < tol:
+            return ranks.select(F.col("node").alias("p_partkey"), "pagerank")
+    raise RuntimeError(
+        f"pagerank_scores_converged: L1 delta still >= {tol} after "
+        f"max_iters={max_iters} — raise max_iters or loosen tol; "
+        "refusing to return a not-yet-converged ranking"
+    )
+
+
 def kcore_members(edges: DataFrame, k: int, peels: int) -> DataFrame:
     """k-core membership via ITERATED SIMULTANEOUS PEELING — the
     fourth classic distributed graph computation beside CC label
