@@ -1191,6 +1191,14 @@ def test_edge_index_probe_matches_live_graph_queries(spark, bucket_db):
     write_edge_index(pairs, t2, num_buckets=4)
     with pytest.raises(ValueError, match="no 'sup' column"):
         topk_similar_from_index(spark, t2, SIMILAR_TOPK)
+    # and a sup relation that does not cover every edge endpoint
+    # surfaces as NULLs in the sidecar — the probe must refuse to rank
+    # over them (review r15), never emit NULL-jaccard top-k rows
+    t3 = f"{bucket_db}.edge_idx_gapsup"
+    narrow_sup = basket_support(baskets).limit(1)
+    write_edge_index(pairs, t3, num_buckets=4, sup=narrow_sup)
+    with pytest.raises(ValueError, match="NULL sup"):
+        topk_similar_from_index(spark, t3, SIMILAR_TOPK)
 
 
 def test_edge_partials_append_equals_full_build(spark, bucket_db):

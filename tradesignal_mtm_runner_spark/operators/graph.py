@@ -349,6 +349,16 @@ def pagerank_scores_converged(
     )
     nodes = persist_tracked(wdeg.select(F.col("pk").alias("node")))
     n = nodes.count()  # bounded model scalar: |V| of the support-cut graph
+    if n == 0:
+        # empty graph: the fixpoint is the empty ranking — exit like
+        # the fixed kernel and the other *_converged twins instead of
+        # burning max_iters empty delta checks (review r15: the L1
+        # aggregate over zero rows is NULL, which reads as
+        # not-converged)
+        return nodes.select(
+            F.col("node").alias("p_partkey"),
+            F.lit(0.0).alias("pagerank"),
+        )
     ranks = cut_lineage(
         nodes.select(
             "node", _r9(F.lit(1.0) / F.lit(float(n))).alias("pagerank")
@@ -952,8 +962,9 @@ def write_edge_index(
     third column (left join: every edge endpoint has support ≥ the
     cut by construction, but nodes are kept even if the caller's sup
     relation is narrower, surfacing the gap as NULLs rather than
-    dropped nodes). When omitted the column is absent and
-    :func:`topk_similar_from_index` fails loud."""
+    dropped nodes — and :func:`topk_similar_from_index` refuses to
+    rank over NULLs). When omitted the column is absent and the
+    similarity probe fails loud."""
     spark = pairs.sparkSession
     for t in (table, f"{table}_deg"):
         ensure_table_absent(spark, t)
@@ -1083,6 +1094,20 @@ def topk_similar_from_index(
             "rebuild the index with write_edge_index(..., sup=<(pk, sup) "
             "basket-support relation>); basket support is not derivable "
             "from degrees"
+        )
+    # a NARROWER-than-edges sup relation surfaces as NULLs in the
+    # sidecar (write_edge_index's left join keeps the node rather than
+    # dropping it) — those would flow through the Jaccard as NULL and
+    # rank as top-k rows; fail loud instead (review r15 — the
+    # validate_edge_batch bounded-guard convention)
+    bad = deg.filter(F.col("sup").isNull()).limit(5).collect()
+    if bad:
+        ids = sorted(int(r["pk"]) for r in bad)
+        raise ValueError(
+            f"topk_similar_from_index: {table}_deg has NULL sup for some "
+            f"nodes (sample: {ids}) — the sup relation passed to "
+            "write_edge_index did not cover every edge endpoint; rebuild "
+            "with the full basket-support relation"
         )
     return topk_similar(spark.table(table), deg.select("pk", "sup"), topk)
 

@@ -629,12 +629,15 @@ def _dedup_cluster_stats_sql() -> str:
     parts = DEDUP_CONNECTED_SQL.rsplit(anchor, 1)
     # ADVICE r14: if the C17 final SELECT is ever reworded, rsplit
     # returns the whole string unchanged and the composed oracle is
-    # silently malformed — fail HERE, at import, not at parity time
-    assert len(parts) == 2, (
-        "dedup_cluster_stats oracle: DEDUP_CONNECTED_SQL no longer "
-        f"contains the final-SELECT anchor {anchor!r}; update the "
-        "anchor alongside the C17 oracle"
-    )
+    # silently malformed — fail HERE, at import, not at parity time.
+    # A raise, not an assert: asserts strip under python -O, which
+    # would restore the exact silent failure this guard exists for.
+    if len(parts) != 2:
+        raise ValueError(
+            "dedup_cluster_stats oracle: DEDUP_CONNECTED_SQL no longer "
+            f"contains the final-SELECT anchor {anchor!r}; update the "
+            "anchor alongside the C17 oracle"
+        )
     chain = parts[0].rstrip()
     return f"""{chain},
 cc AS (

@@ -116,10 +116,14 @@ def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucket arithmetic is INTEGER-exact in both engines:
     length(bin(deg)) − 1 == floor(log2(deg)) for deg ≥ 1, computed on
     the bit string — float log2 would disagree between engines at
-    exact powers of two. One aggregate over the graph-sized degree
-    relation, one 1-row total cross-joined back (bounded scalar);
-    share rounds to 9 dp. Output: (bucket, min_deg, max_deg, n_nodes,
+    exact powers of two. ONE aggregate over the graph-sized degree
+    relation; the node total comes from an unpartitioned window SUM
+    over the BUCKET-sized histogram itself (≤ ~60 rows at any scale —
+    never a second pass over the degree relation, review r15); share
+    rounds to 9 dp. Output: (bucket, min_deg, max_deg, n_nodes,
     node_share) ordered implicitly by the driver's sorted compare."""
+    from pyspark.sql import Window
+
     from .queries_r8 import _r9
 
     _, pairs = _basket_pair_counts(spark, sf_dir)
@@ -133,15 +137,13 @@ def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("deg").cast("long").alias("max_deg"),
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
     )
-    total = deg.agg(F.count(F.lit(1)).cast("long").alias("_total"))
-    return hist.crossJoin(total).select(
+    total = F.sum("n_nodes").over(Window.partitionBy())
+    return hist.select(
         "bucket",
         "min_deg",
         "max_deg",
         "n_nodes",
-        _r9(F.col("n_nodes").cast("double") / F.col("_total")).alias(
-            "node_share"
-        ),
+        _r9(F.col("n_nodes").cast("double") / total).alias("node_share"),
     )
 
 
