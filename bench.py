@@ -230,6 +230,10 @@ HEADLINERS = [
     # n-gram novelty curve (distinct-gram + first-seen aggregates)
     "copurchase_edge_embeddedness",
     "ngram_novelty",
+    # incremental novelty admission (the dedup_cc_probe shape applied
+    # to C72: base first-seen relation + shared kernel; the persisted
+    # form is timed as index_probe_novelty)
+    "ngram_novelty_probe",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput
@@ -630,6 +634,37 @@ def main() -> None:
         lambda: None,
         lambda: embeddedness_from_index(spark, "bench_idx.edge_idx"),
     )
+
+    from tradesignal_mtm_runner_spark.operators.novelty import (
+        probe_novelty_index,
+        write_novelty_index,
+    )
+    from tradesignal_mtm_runner_spark.queries_r15 import NOVELTY_N
+
+    def _build_novelty() -> None:
+        # once-per-refresh half: one corpus shingling pass persisted as
+        # the first-seen partials; the probe scores the top third of
+        # doc_ids (the live query's batch) at batch-proportional cost
+        d = load_table(spark, sf_dir, "documents")
+        max_id = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        write_novelty_index(
+            d.filter(F.col("doc_id") <= (int(max_id) * 2) // 3),
+            "bench_idx.novelty_idx",
+            NOVELTY_N,
+        )
+        release_caches()
+
+    def _probe_novelty():
+        d = load_table(spark, sf_dir, "documents")
+        max_id = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        return probe_novelty_index(
+            spark,
+            d.filter(F.col("doc_id") > (int(max_id) * 2) // 3),
+            "bench_idx.novelty_idx",
+            NOVELTY_N,
+        )
+
+    _time_probe("index_probe_novelty", _build_novelty, _probe_novelty)
 
     total = round(sum(timings.values()), 3)
     out = {

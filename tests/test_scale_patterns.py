@@ -1300,3 +1300,72 @@ def test_edge_partials_append_equals_full_build(spark, bucket_db):
         )
     validate_edge_batch(half_a.limit(0), inc_t)  # empty batch: no raise
     assert spark.table(f"{inc_t}_orders").count() == n_orders
+
+
+def test_novelty_index_probe_matches_live_and_is_idempotent(spark, bucket_db):
+    """The standing n-gram first-seen index (operators/novelty.py):
+    (1) probe == the live split query value-for-value (shared kernel);
+    (2) the probe plan reads ZERO documents bytes — only the persisted
+    gram partials and the batch relation; (3) build(A) + append(B)
+    folds identically to build(A ∪ B) for an ARBITRARY split (min is
+    commutative — no whole-order / ingest-order contract); (4) the
+    index is IDEMPOTENT: re-appending the same batch changes nothing
+    in the fold — the family's only standing index where a retried
+    append needs no identity guard at all."""
+    from tradesignal_mtm_runner_spark.operators.novelty import (
+        append_to_novelty_index,
+        folded_first_seen,
+        probe_novelty_index,
+        write_novelty_index,
+    )
+    from tradesignal_mtm_runner_spark.queries_pipeline import _docs
+    from tradesignal_mtm_runner_spark.queries_r15 import (
+        NOVELTY_N,
+        ngram_novelty_probe,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    max_id = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    t = (int(max_id) * 2) // 3
+    base = d.filter(F.col("doc_id") <= t)
+    batch = d.filter(F.col("doc_id") > t)
+
+    idx = f"{bucket_db}.novelty_idx"
+    write_novelty_index(base, idx, NOVELTY_N, num_buckets=4)
+
+    probe = probe_novelty_index(spark, batch, idx, NOVELTY_N)
+    live = ngram_novelty_probe(spark, SF_SMOKE)
+    assert_frames_match(
+        probe.toPandas(), live.toPandas(), "novelty_index_probe"
+    )
+
+    # zero corpus bytes: the probe plan scans the index + the batch
+    # relation only (the batch here is a planted in-memory frame)
+    planted = spark.createDataFrame(
+        [(10_000_000, "zq zq zq zq")], "doc_id long, text string"
+    )
+    plan = P.explain_str(probe_novelty_index(spark, planted, idx, NOVELTY_N))
+    assert "documents" not in plan.lower(), plan
+
+    # arbitrary-split additivity: even/odd halves, NOT an ordered cut
+    inc = f"{bucket_db}.novelty_idx_inc"
+    write_novelty_index(d.filter(F.col("doc_id") % 2 == 0), inc, NOVELTY_N,
+                        num_buckets=4)
+    append_to_novelty_index(d.filter(F.col("doc_id") % 2 == 1), inc,
+                            NOVELTY_N, num_buckets=4)
+    full = f"{bucket_db}.novelty_idx_full"
+    write_novelty_index(d, full, NOVELTY_N, num_buckets=4)
+    assert_frames_match(
+        folded_first_seen(spark, inc).toPandas(),
+        folded_first_seen(spark, full).toPandas(),
+        "novelty_append_equals_build",
+    )
+
+    # idempotence: re-append the SAME odd half — the fold is unchanged
+    append_to_novelty_index(d.filter(F.col("doc_id") % 2 == 1), inc,
+                            NOVELTY_N, num_buckets=4)
+    assert_frames_match(
+        folded_first_seen(spark, inc).toPandas(),
+        folded_first_seen(spark, full).toPandas(),
+        "novelty_reappend_idempotent",
+    )

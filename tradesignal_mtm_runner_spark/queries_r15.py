@@ -328,12 +328,76 @@ FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
 """
 
 
+def ngram_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C72b: incremental novelty ADMISSION — C72 made continual-ingest:
+    score a NEW batch's n-gram novelty against the already-ingested
+    corpus WITHOUT recomputing the corpus curve (the dedup_cc_probe
+    shape applied to novelty; per-source saturation is checked per
+    crawl drop in production, not per rebuild). Base corpus = docs
+    with doc_id ≤ t (t = 2/3 of max doc_id — one bounded scalar agg,
+    integer arithmetic in both engines); the base's (ngram,
+    first_seen) relation is built once (the write_novelty_index
+    payload) and the batch runs the SHARED kernel
+    operators/novelty.novelty_against — novel ⇔ the doc is the
+    earliest carrier across base ∪ batch, which for an ordered split
+    equals the GLOBAL C72 novelty restricted to batch docs (that
+    equivalence IS the oracle). In production the base half is the
+    persisted bucketed index and the probe is probe_novelty_index —
+    identical output at batch-proportional cost (parity pinned in
+    tests/test_scale_patterns.py; timed as index_probe_novelty in
+    bench.py). The index's min aggregate makes it the family's first
+    fully IDEMPOTENT standing index — see operators/novelty.py."""
+    from .operators.novelty import first_seen_partial, novelty_against
+    from .queries_pipeline import _docs
+
+    d = _docs(spark, sf_dir)
+    max_id = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    t = (int(max_id) * 2) // 3
+    base = d.filter(F.col("doc_id") <= t)
+    batch = d.filter(F.col("doc_id") > t)
+    return novelty_against(batch, first_seen_partial(base, NOVELTY_N), NOVELTY_N)
+
+
+NGRAM_NOVELTY_PROBE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, u.g AS ngram
+  FROM toks, UNNEST(
+    CASE WHEN len(t) >= {NOVELTY_N}
+         THEN list_transform(range(1, len(t) - {NOVELTY_N} + 2),
+                             i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+         ELSE [] END) AS u(g)
+),
+dg AS (SELECT DISTINCT doc_id, ngram FROM grams),
+first AS (SELECT ngram, min(doc_id) AS first_seen FROM dg GROUP BY 1),
+per AS (
+  SELECT dg.doc_id, count(*) AS n_distinct,
+         sum(CASE WHEN f.first_seen = dg.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM dg JOIN first f USING (ngram)
+  GROUP BY 1
+),
+thr AS (SELECT (max(doc_id) * 2) // 3 AS t FROM documents)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(p.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+       round(CASE WHEN coalesce(p.n_distinct, 0) > 0
+                  THEN coalesce(p.n_novel, 0) * 1.0 / p.n_distinct
+                  ELSE 0.0 END, 9) + 0.0 AS novelty
+FROM documents d
+JOIN thr ON d.doc_id > thr.t
+LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+
 R15_QUERIES: dict = {
     "copurchase_components": copurchase_components,
     "copurchase_communities_stream": copurchase_communities_stream,
     "copurchase_degree_histogram": copurchase_degree_histogram,
     "copurchase_edge_embeddedness": copurchase_edge_embeddedness,
     "ngram_novelty": ngram_novelty,
+    "ngram_novelty_probe": ngram_novelty_probe,
 }
 
 R15_ORACLES: dict = {
@@ -344,4 +408,7 @@ R15_ORACLES: dict = {
     "copurchase_degree_histogram": DEGREE_HISTOGRAM_SQL,
     "copurchase_edge_embeddedness": EDGE_EMBEDDEDNESS_SQL,
     "ngram_novelty": NGRAM_NOVELTY_SQL,
+    # ordered-split equivalence: probe novelty over base(≤t) == the
+    # GLOBAL C72 novelty restricted to batch docs (>t)
+    "ngram_novelty_probe": NGRAM_NOVELTY_PROBE_SQL,
 }
