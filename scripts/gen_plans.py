@@ -106,6 +106,9 @@ SNAPSHOT = [
     ("minhash_calibration", "shared signature persist: row-local K-column compare + candidate-bounded exact Jaccard"),
     ("lang_id_confusion", "one corpus pass -> three lang-bounded aggregates of the confusion matrix"),
     ("dedup_cluster_stats", "the C17 CC chain + one doc-keyed join + one output-sized cluster aggregate"),
+    # round-16 additions
+    ("copurchase_components_refresh", "partials fold + delta anti-join + contraction mini-CC: cost follows the batch"),
+    ("novelty_saturation", "one shared shingle pass -> two bucket aggregates + a 10-row cumulative window"),
 ]
 
 

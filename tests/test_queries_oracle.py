@@ -65,6 +65,7 @@ def test_rotation_invariants():
         (q.ROTATED_OUT_R13, q.ROTATED_IN_R13),
         (q.ROTATED_OUT_R14, q.ROTATED_IN_R14),
         (q.ROTATED_OUT_R15, q.ROTATED_IN_R15),
+        (q.ROTATED_OUT_R16, q.ROTATED_IN_R16),
     ]
     # replay the rotations generation by generation: a key's FINAL
     # side is decided by the last round that touched it

@@ -1369,3 +1369,61 @@ def test_novelty_index_probe_matches_live_and_is_idempotent(spark, bucket_db):
         folded_first_seen(spark, full).toPandas(),
         "novelty_reappend_idempotent",
     )
+
+
+def test_compact_novelty_index(spark, bucket_db):
+    """compact_novelty_index (VERDICT r15 item 4): fold the partial
+    generations into one WITHOUT a corpus rebuild. Pins: (1) probe
+    results are byte-identical before and after compaction (min of
+    min-partials == min of the folded relation); (2) the physical
+    footprint shrinks — fewer files AND fewer rows (the retried-append
+    duplicates fold away); (3) the swapped-in table keeps the bucketed
+    layout; (4) re-compacting an already-compact index is a no-op
+    fold."""
+    from tradesignal_mtm_runner_spark.operators.novelty import (
+        append_to_novelty_index,
+        compact_novelty_index,
+        probe_novelty_index,
+        write_novelty_index,
+    )
+    from tradesignal_mtm_runner_spark.queries_r15 import NOVELTY_N
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    idx = f"{bucket_db}.novelty_idx_cpt"
+    write_novelty_index(d.filter(F.col("doc_id") % 3 == 0), idx,
+                        NOVELTY_N, num_buckets=4)
+    append_to_novelty_index(d.filter(F.col("doc_id") % 3 == 1), idx,
+                            NOVELTY_N, num_buckets=4)
+    append_to_novelty_index(d.filter(F.col("doc_id") % 3 == 2), idx,
+                            NOVELTY_N, num_buckets=4)
+    # a RETRIED batch: harmless for the fold, pure space until compaction
+    append_to_novelty_index(d.filter(F.col("doc_id") % 3 == 2), idx,
+                            NOVELTY_N, num_buckets=4)
+
+    batch = d.filter(F.col("doc_id") % 7 == 3)
+    before = probe_novelty_index(spark, batch, idx, NOVELTY_N).toPandas()
+    files_before = len(spark.table(idx).inputFiles())
+    rows_before = spark.table(idx).count()
+
+    compact_novelty_index(spark, idx, num_buckets=4)
+
+    after = probe_novelty_index(spark, batch, idx, NOVELTY_N).toPandas()
+    assert_frames_match(before, after, "novelty_probe_before_vs_after")
+    assert len(spark.table(idx).inputFiles()) < files_before
+    assert spark.table(idx).count() < rows_before  # duplicates folded away
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {idx}").collect()
+    }
+    assert desc.get("Num Buckets") == "4"
+    assert "ngram" in desc.get("Bucket Columns", "")
+
+    # idempotent: compacting the already-compact index changes nothing
+    rows_compact = spark.table(idx).count()
+    compact_novelty_index(spark, idx, num_buckets=4)
+    assert spark.table(idx).count() == rows_compact
+    assert_frames_match(
+        probe_novelty_index(spark, batch, idx, NOVELTY_N).toPandas(),
+        after,
+        "novelty_probe_recompact",
+    )

@@ -68,7 +68,14 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     rounds then cut through a RELIABLE ``checkpoint(eager=True)``,
     whose blocks live in the checkpoint dir and survive executor loss
     — the documented trade-off is one HDFS/object-store write per
-    round of a graph-sized (not data-sized) relation. Fails loud if
+    round of a graph-sized (not data-sized) relation. Spark does NOT
+    reclaim those snapshots by default
+    (``spark.cleaner.referenceTracking.cleanCheckpoints`` defaults to
+    false), so a converged run at max_iters=100 leaves up to ~100
+    graph-sized snapshots per query in the checkpoint dir: set that
+    conf to ``true`` alongside this flag (snapshots are then GC'd when
+    their RDD is collected), or schedule periodic checkpoint-dir
+    cleanup (ADVICE r15). Fails loud if
     the flag is set without a checkpoint dir: silently falling back to
     the non-recoverable cut would defeat the flag's purpose."""
     spark = df.sparkSession
@@ -324,7 +331,12 @@ def pagerank_scores_converged(
     step and one node-keyed join + sum for the delta per iteration
     (same asymptotic shape as the step itself), ranks rounded to 9 dp
     per iteration exactly like the fixed kernel so the two forms walk
-    the same chain. Lineage cuts per iteration (:func:`cut_lineage`):
+    the same chain. Because iterates are 9 dp-QUANTIZED, an L1 delta
+    below n*5e-10 would effectively demand an exact fixpoint of the
+    rounded map — which can 2-cycle and exhaust ``max_iters`` on very
+    large or hub-concentrated graphs (ADVICE r15) — so the effective
+    tolerance is clamped to ``max(tol, n * 1e-9)``: one quantum of
+    rounding slack per node. Lineage cuts per iteration (:func:`cut_lineage`):
     unlike the fixed unroll, the rank relation here is referenced
     twice per round (step + delta), the plan-doubling shape. FAILS
     LOUD on ``max_iters`` exhaustion rather than returning a
@@ -364,6 +376,10 @@ def pagerank_scores_converged(
             "node", _r9(F.lit(1.0) / F.lit(float(n))).alias("pagerank")
         )
     )
+    # quantization clamp (see docstring): below one 1e-9 rounding
+    # quantum per node the rounded map need not have a reachable
+    # fixpoint at all
+    tol = max(tol, float(n) * 1e-9)
     base = 1.0 - damp
     for _ in range(max_iters):
         incoming = (
@@ -763,6 +779,189 @@ def component_labels_converged(
     )
 
 
+def components_refresh(
+    labels: DataFrame, new_edges: DataFrame, max_iters: int = 64
+) -> DataFrame:
+    """Incremental CONNECTED-COMPONENTS maintenance by component
+    CONTRACTION — the dedup cc_refresh pattern (queries_r10) applied
+    to the co-purchase graph (VERDICT r15 item 6): a full recompute
+    pays the graph's propagation depth (14 rounds at test SFs) per
+    refresh even when the batch touches almost nothing; this form's
+    cost follows the BATCH, not the graph diameter.
+
+    ``labels`` = a transitively-closed (part, component) labeling of
+    the BASE edge set, component = min member id (what
+    :func:`component_labels_converged` returns / the persisted
+    ``{table}_comp`` sidecar holds). ``new_edges`` = (part_a, part_b)
+    edges ADDED since — for the support-cut co-purchase graph that is
+    fold(base ∪ batch partials) ≥ cut MINUS the base edge set: counts
+    only grow under whole-order ingest, so the base edges are a
+    SUBSET of the refreshed graph and edge ADDITION is the only delta
+    (the non-monotone case — edge removal — stays rebuild-on-schedule,
+    module docstring).
+
+    1. each new edge's endpoints CONTRACT to their base canonical
+       (left join against labels; unmatched endpoints are new nodes,
+       canonical = self) — base-internal structure is already
+       transitive and adds nothing;
+    2. min-label propagation to FIXPOINT over that contracted graph
+       (batch-sized by construction: |batch edges| + |touched
+       components| nodes), which is exact because canonical ids are
+       base-component MINIMA — the contracted component's min IS the
+       merged component's global min;
+    3. base labels re-map through the touched-canonical relabeling
+       (left join + coalesce: untouched components pass through), new
+       nodes take their contracted label.
+
+    Value-parity with the full recompute over base ∪ delta is pinned
+    in tests/test_r16.py (planted bridge + random graphs) and the
+    live form is B65 ``copurchase_components_refresh``."""
+    lab_a = labels.select(
+        F.col("part").alias("part_a"), F.col("component").alias("_ca")
+    )
+    lab_b = labels.select(
+        F.col("part").alias("part_b"), F.col("component").alias("_cb")
+    )
+    canon = (
+        new_edges.select("part_a", "part_b")
+        .join(lab_a, "part_a", "left")
+        .join(lab_b, "part_b", "left")
+        .select(
+            F.coalesce(F.col("_ca"), F.col("part_a")).alias("ca"),
+            F.coalesce(F.col("_cb"), F.col("part_b")).alias("cb"),
+        )
+    )
+    contracted = cut_lineage(
+        canon.filter(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("part_a"),
+            F.greatest("ca", "cb").alias("part_b"),
+        )
+        .distinct()
+    )
+    # (canonical -> merged label) for TOUCHED components only
+    remap = component_labels_converged(contracted, max_iters).select(
+        F.col("part").alias("_c"), F.col("component").alias("_new")
+    )
+    upd = labels.join(
+        remap, labels["component"] == remap["_c"], "left"
+    ).select(
+        F.col("part").cast("long").alias("part"),
+        F.coalesce(F.col("_new"), F.col("component"))
+        .cast("long")
+        .alias("component"),
+    )
+    new_nodes = (
+        new_edges.select(F.col("part_a").alias("part"))
+        .unionByName(new_edges.select(F.col("part_b").alias("part")))
+        .distinct()
+        .join(labels.select("part"), "part", "left_anti")
+    )
+    fresh = new_nodes.join(
+        remap, new_nodes["part"] == remap["_c"], "left"
+    ).select(
+        F.col("part").cast("long").alias("part"),
+        F.coalesce(F.col("_new"), F.col("part")).cast("long").alias("component"),
+    )
+    return upd.unionByName(fresh)
+
+
+def _star_round(pairs: DataFrame, phase: str) -> DataFrame:
+    """One large-star or small-star transform over an undirected
+    distinct pair set (part_a < part_b). Per center node u with
+    neighborhood N(u) and m = min(N(u) ∪ {u}): large-star rewires
+    every STRICTLY LARGER neighbor to m; small-star rewires every
+    smaller-or-equal neighbor AND u itself to m. Both preserve the
+    component partition (each rewired node stays connected to m
+    through u's old edge set); output re-canonicalized to undirected
+    distinct pairs, self-loops dropped."""
+    sym = pairs.select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    ).unionAll(
+        pairs.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    j = sym.join(mins, "u").select(
+        "u", "v", F.least(F.col("_mn"), F.col("u")).alias("m")
+    )
+    if phase == "large":
+        out = j.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("x"), F.col("m").alias("y")
+        )
+    else:
+        out = (
+            j.filter(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .unionAll(j.select(F.col("u").alias("x"), F.col("m").alias("y")))
+        )
+    return (
+        out.filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("part_a"),
+            F.greatest("x", "y").alias("part_b"),
+        )
+        .distinct()
+    )
+
+
+def component_labels_bigstar(
+    edges: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Alternating LARGE-STAR / SMALL-STAR connected components — the
+    O(log n)-round alternative to min-label propagation (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14;
+    VERDICT r15 item 7). Min-label propagation needs DIAMETER-many
+    rounds: a 100× long-chain component (supply chains, citation
+    paths) turns the round count into the bottleneck. The alternating
+    algorithm instead REWIRES the edge set itself — each round halves
+    tree heights, converging to depth-1 stars rooted at each
+    component's MINIMUM node in O(log n) rounds regardless of
+    diameter, at the cost of materializing a same-sized edge relation
+    per round (one groupBy-min + join per phase, two phases per
+    round; lineage cut per phase). Same signature and output as
+    :func:`component_labels` / :func:`component_labels_converged` —
+    (part, component), component = min member id — value-parity
+    pinned on planted path + random graphs in tests/test_r16.py.
+    Convergence = the pair set reaches a fixpoint (stars are stable
+    under both phases); fails loud on ``max_iters`` exhaustion."""
+    pairs = cut_lineage(
+        edges.select(
+            F.least("part_a", "part_b").alias("part_a"),
+            F.greatest("part_a", "part_b").alias("part_b"),
+        )
+        .filter(F.col("part_a") != F.col("part_b"))
+        .distinct()
+    )
+    for _ in range(max_iters):
+        new = cut_lineage(_star_round(_star_round(pairs, "large"), "small"))
+        changed = (
+            new.count() != pairs.count()
+            or new.subtract(pairs).limit(1).count() > 0
+        )
+        pairs = new
+        if not changed:
+            roots = pairs.select(F.col("part_a").alias("part")).distinct()
+            return (
+                pairs.select(
+                    F.col("part_b").alias("part"),
+                    F.col("part_a").alias("component"),
+                )
+                .unionByName(
+                    roots.select("part", F.col("part").alias("component"))
+                )
+                .distinct()
+                .select(
+                    F.col("part").cast("long").alias("part"),
+                    F.col("component").cast("long").alias("component"),
+                )
+            )
+    raise RuntimeError(
+        f"component_labels_bigstar: edge set still rewiring after "
+        f"max_iters={max_iters} rounds — raise max_iters rather than "
+        "shipping a non-star (under-contracted) labeling"
+    )
+
+
 def clustering_coefficients(edges: DataFrame, deg: DataFrame) -> DataFrame:
     """Per-node LOCAL CLUSTERING COEFFICIENT — the per-node density
     measure triangle counting exists to feed: c(v) = 2·T(v) /
@@ -959,7 +1158,8 @@ def write_edge_index(
     surviving pairs), and it is exactly what the item-item Jaccard
     needs — without it the B57 probe would have to re-scan lineitem
     (VERDICT r14 item 2). When given, it rides ``{table}_deg`` as a
-    third column (left join: every edge endpoint has support ≥ the
+    fourth column appended after (pk, deg, wdeg) (left join: every
+    edge endpoint has support ≥ the
     cut by construction, but nodes are kept even if the caller's sup
     relation is narrower, surfacing the gap as NULLs rather than
     dropped nodes — and :func:`topk_similar_from_index` refuses to
@@ -1072,8 +1272,50 @@ def components_from_index(
 ) -> DataFrame:
     """Connected components from the standing index: same min-label
     kernel, zero lineitem bytes — only the persisted edge table is
-    read."""
+    read. NOTE this form still pays the full propagation depth per
+    probe (it buys scan-avoidance, not iteration-avoidance — VERDICT
+    r15); the per-batch production path is the persisted-labels
+    :func:`components_refresh_from_index`."""
     return component_labels(spark.table(table), iters)
+
+
+def write_component_labels(
+    labels: DataFrame, table: str, num_buckets: int = 32
+) -> None:
+    """Persist a transitively-closed component labeling — (part,
+    component), component = min member id — as the standing
+    ``{edge_table}_comp`` sidecar, bucketed (and sorted) on part. The
+    once-per-rebuild half of the incremental-components story: with
+    labels standing, a batch refresh (:func:`components_refresh`)
+    costs the BATCH's contraction + mini-CC, never the full graph's
+    propagation depth. Rebuild together with the edge index (the
+    labels are a pure function of the edge set)."""
+    spark = labels.sparkSession
+    ensure_table_absent(spark, table)
+    write_bucketed(
+        labels.select("part", "component"),
+        table,
+        bucket_cols=["part"],
+        num_buckets=num_buckets,
+        sort_cols=["part"],
+        mode="overwrite",
+    )
+
+
+def components_refresh_from_index(
+    spark: SparkSession,
+    table: str,
+    new_edges: DataFrame,
+    max_iters: int = 64,
+) -> DataFrame:
+    """The per-batch production form of B62: refresh the persisted
+    component labels (``write_component_labels``) with a batch's new
+    edges by contraction — cost follows the batch (contracted graph =
+    |batch edges| + touched canonicals), zero lineitem bytes, zero
+    full-depth propagation. Timed as ``index_probe_components`` in
+    bench.py; value-parity with the full recompute pinned in
+    tests/test_r16.py."""
+    return components_refresh(spark.table(table), new_edges, max_iters)
 
 
 def topk_similar_from_index(
@@ -1086,7 +1328,10 @@ def topk_similar_from_index(
     lineitem scan per run before the index grew the ``sup`` sidecar
     column (VERDICT r14 item 2). Fails loud if the index was written
     without ``sup=`` — a probe that silently fell back to a lineitem
-    scan would defeat the index's whole cost model."""
+    scan would defeat the index's whole cost model. Note the NULL-sup
+    guard below runs one eager bounded job (a limit-5 scan of the
+    graph-sized ``_deg`` table) per probe construction — a validation
+    cost the other ``*_from_index`` probes don't pay (ADVICE r15)."""
     deg = spark.table(f"{table}_deg")
     if "sup" not in deg.columns:
         raise ValueError(

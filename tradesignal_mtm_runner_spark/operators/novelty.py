@@ -18,7 +18,8 @@ ones (BM25 df/stats, edge pair partials) have:
   validate_* guard to run — the torn-write crash-consistency class
   the edge index needed a sidecar ordering for simply does not exist
   here. (The only cost of a replay is duplicate partial ROWS, i.e.
-  space until the next rebuild compaction.)
+  space until the next :func:`compact_novelty_index` — an index-sized
+  fold-and-swap, never a corpus pass.)
 
 The SEMANTIC order is carried by doc_id itself (C72's contract:
 doc_id = ingest order), not by append arrival order.
@@ -151,7 +152,7 @@ def append_to_novelty_index(
     index there is NO re-append hazard and no identity guard: a
     retried batch folds to the identical index (pinned in
     tests/test_scale_patterns.py), merely costing duplicate partial
-    rows until the next rebuild."""
+    rows until the next :func:`compact_novelty_index`."""
     write_bucketed(
         first_seen_partial(docs, n),
         table,
@@ -160,6 +161,41 @@ def append_to_novelty_index(
         sort_cols=["ngram"],
         mode="append",
     )
+
+
+def compact_novelty_index(
+    spark: SparkSession, table: str, num_buckets: int = 32
+) -> None:
+    """Fold the accumulated partial generations into ONE — the
+    "rebuild compaction" the append docstring promises, WITHOUT the
+    full corpus rebuild it used to require (VERDICT r15 item 4):
+    min-idempotence makes fold-and-overwrite safe, so compaction is
+    one index-sized min aggregate riding the bucket layout (never a
+    corpus pass; corpus bytes are untouched).
+
+    Stage-and-swap for crash consistency: the folded relation writes
+    to ``{table}__compacting`` first, then the swap is two metadata
+    operations (DROP + RENAME — the managed-table directory moves,
+    data is written once). A crash before the DROP leaves the live
+    index untouched (plus a stale staging table the next compaction
+    overwrites); a crash between DROP and RENAME leaves the complete
+    folded state in the staging table — recover with ``ALTER TABLE
+    {table}__compacting RENAME TO {table}``. Probes fold min-of-mins,
+    so probe-before == probe-after exactly (pinned in
+    tests/test_scale_patterns.py) and re-running compaction is a
+    no-op fold of an already-folded relation."""
+    staging = f"{table}__compacting"
+    ensure_table_absent(spark, staging)
+    write_bucketed(
+        folded_first_seen(spark, table),
+        staging,
+        bucket_cols=["ngram"],
+        num_buckets=num_buckets,
+        sort_cols=["ngram"],
+        mode="overwrite",
+    )
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
 
 
 def folded_first_seen(spark: SparkSession, table: str) -> DataFrame:

@@ -843,6 +843,13 @@ from .queries_r15 import R15_ORACLES, R15_QUERIES  # noqa: E402
 EXTRA_QUERIES.update(R15_QUERIES)
 EXTRA_ORACLES.update(R15_ORACLES)
 
+# round-16 batch: incremental components maintenance (contraction
+# refresh) + the corpus novelty-saturation curve
+from .queries_r16 import R16_ORACLES, R16_QUERIES  # noqa: E402
+
+EXTRA_QUERIES.update(R16_QUERIES)
+EXTRA_ORACLES.update(R16_ORACLES)
+
 # --- round-5 driver-window rotation (VERDICT r4, next-round item 1) ---------
 # The driver CORRECTNESS harness only ever sees the first 50 queries();
 # everything else is verified by the identical DuckDB harness in pytest.
@@ -1310,6 +1317,85 @@ ROTATED_IN_R15 = (
     "pii_scrub",
     "embedding_quantize",
 )
+ROTATED_OUT_R16 = (
+    # two-round-green r14-rotation cohort (driver-green r14 + r15),
+    # per the SURVEY §7 round-16 plan: the r9 second-pass refresh
+    # block plus r14's own registrant. Every rotated-out shape keeps
+    # an in-window or pytest twin: the TPC-H heads keep q1/q3-style
+    # siblings plus their own pytest oracles, the media pair keeps
+    # image_dedup_connected (in-window, same dhash band chain), the
+    # kcore batch form keeps copurchase_kcore_stream (in-window, same
+    # peel kernel) plus its own pytest oracle.
+    "upsert_latest",
+    "q7_volume_shipping",
+    "q9_profit_by_nation",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_pushdown",
+    "q22_idle_customers",
+    "multimodal_stream_decode",
+    "image_dhash",
+    "image_dhash_pairs",
+    "copurchase_kcore",
+    # four longest-exposed window keys (driver-green since round 1,
+    # 14 consecutive green rounds — the longest exposure of any
+    # non-flagship key) making slots for the 17-key rotate-in; each
+    # keeps family coverage: dedup_minhash_lsh → dedup_incremental_near
+    # + minhash_calibration (in-window, same band chain) + its pytest
+    # oracle, dedup_embedding → dedup_connected (in-window) + pytest,
+    # ann_ivf_topk/trained → ann_pq_rerank + hybrid_bm25_pq_rrf
+    # (in-window, same centroid/ADC machinery) + their pytest oracles.
+    # The six flagship MTM/stream anchors (mtm_* / events_stream_window
+    # / drawdown_stats) stay pinned — they are the reference-surface
+    # heads the driver smoke-checks through entry().
+    "dedup_minhash_lsh",
+    "dedup_embedding",
+    "ann_ivf_topk",
+    "ann_ivf_trained",
+    # two more slots for the r16 registrants below. dedup_cluster_stats
+    # follows the SURVEY §7 budget note verbatim: with dedup_keep_best
+    # rotating in, only ONE live simhash+CC chain should sit in-window
+    # at a time (both ride the same ~20-40 s chain; cluster_stats is
+    # driver-green r15 and keeps its pytest oracle + the in-window
+    # dedup_keep_best twin on the same kernel). audio_fingerprint is
+    # the next-longest-exposed key (driver-green r10-r15, 6 rounds);
+    # the audio family keeps audio_fp_pairs' pytest oracle and the
+    # in-window image_dedup_connected on the same banded-media chain.
+    "dedup_cluster_stats",
+    "audio_fingerprint",
+)
+ROTATED_IN_R16 = (
+    # r16's own registrants take their exposure the same round (the
+    # standing pattern; BIGINT + round(x,9)+0.0 outputs only —
+    # hash-safe by construction)
+    "copurchase_components_refresh",
+    "novelty_saturation",
+    # the six r15 registrants take their first driver exposure — all
+    # pre-verified hash-green at sf0.001 AND sf0.01 under the
+    # vanilla-session harness at the r15 close (SURVEY §7 item 21)
+    "copurchase_components",
+    "copurchase_communities_stream",
+    "copurchase_degree_histogram",
+    "copurchase_edge_embeddedness",
+    "ngram_novelty",
+    "ngram_novelty_probe",
+    # second-pass refresh, stale r11 cohort: last driver exposure r12,
+    # ≥4 rounds old at r16; ALL pre-verified hash-green at sf0.01 via
+    # SIM_KEYS at the r15 close (pass=11 fail=0)
+    "embedding_pca_topk",
+    "copurchase_pagerank",
+    "dedup_keep_best",
+    "basket_pairs",
+    "token_zipf_fit",
+    "doc_char_entropy",
+    "boilerplate_segments",
+    "retention_cohort",
+    "user_transition_matrix",
+    "events_anomaly_mad",
+    "dq_audit",
+)
 for _out, _in in (
     (ROTATED_OUT_R5, ROTATED_IN_R5),
     (ROTATED_OUT_R6, ROTATED_IN_R6),
@@ -1322,6 +1408,7 @@ for _out, _in in (
     (ROTATED_OUT_R13, ROTATED_IN_R13),
     (ROTATED_OUT_R14, ROTATED_IN_R14),
     (ROTATED_OUT_R15, ROTATED_IN_R15),
+    (ROTATED_OUT_R16, ROTATED_IN_R16),
 ):
     for _k in _out:
         EXTRA_QUERIES[_k] = QUERIES.pop(_k)

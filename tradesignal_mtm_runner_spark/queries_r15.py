@@ -261,7 +261,11 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     toks = TX.tokens(F.col("text"))
-    dg = (
+    # the distinct (doc, gram) relation feeds BOTH the first-seen
+    # aggregate and the join-back below — without the persist the
+    # corpus is scanned + shingled twice (VERDICT r15 item 3; the
+    # dedup_keep_best precedent, queries_r9.py)
+    dg = persist_tracked(
         d.select(
             "doc_id", F.explode(TX.shingles(toks, NOVELTY_N)).alias("ngram")
         )

@@ -244,7 +244,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _keep_best_sql() -> str:
     """Oracle: the dedup_connected chain's CTEs verbatim (simhash
     core, banded candidates, hamming filter, unrolled CC iterations)
-    + token lengths + the two-step per-component argmax."""
+    + token lengths + the two-step per-component argmax. ``cl`` is
+    MATERIALIZED: it is referenced three times (mx, best, final
+    SELECT) and without the hint DuckDB re-inlines — and re-runs —
+    the whole simhash+CC chain per reference (measured ~287 s -> 29 s
+    at sf0.01; the r16 sim-budget fix)."""
     from .queries_pipeline import DEDUP_CONNECTED_SQL, DEDUP_CC_ITERS
 
     chain = DEDUP_CONNECTED_SQL.rsplit(
@@ -256,7 +260,7 @@ lens AS (
   FROM documents
 ),
 comp AS (SELECT doc_id, lab AS canonical_id FROM l{DEDUP_CC_ITERS}),
-cl AS (SELECT c.doc_id, c.canonical_id, l.n_toks FROM comp c JOIN lens l USING (doc_id)),
+cl AS MATERIALIZED (SELECT c.doc_id, c.canonical_id, l.n_toks FROM comp c JOIN lens l USING (doc_id)),
 mx AS (SELECT canonical_id, max(n_toks) AS _mx FROM cl GROUP BY canonical_id),
 best AS (
   SELECT cl.canonical_id, min(cl.doc_id) AS best_id
