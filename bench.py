@@ -241,6 +241,11 @@ HEADLINERS = [
     # bucket aggregates)
     "copurchase_components_refresh",
     "novelty_saturation",
+    # round-16 second batch: containment classification over the C2
+    # band candidates (row-local set intersections) and the per-decile
+    # lang mix-drift monitor (one aggregate + grid-bounded windows)
+    "dedup_containment",
+    "corpus_mix_drift",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput
@@ -626,29 +631,41 @@ def main() -> None:
     from tradesignal_mtm_runner_spark.operators.graph import (
         append_to_edge_partials,
         component_labels_converged,
-        components_refresh_from_index,
+        components_refresh_probe,
         edges_from_partials,
         embeddedness_from_index,
         write_component_labels,
         write_edge_partials,
     )
     from tradesignal_mtm_runner_spark.queries_r10b import BASKET_MIN_SUP
-    from tradesignal_mtm_runner_spark.queries_r16 import REFRESH_MOD
     from tradesignal_mtm_runner_spark.sinks import write_bucketed
+
+    # probe batch = 1/16 of orders — a crawl-drop-sized ingest unit,
+    # NOT the live B65 query's 1/3 oracle split: the probe times the
+    # per-batch PRODUCTION cost, and the contraction's whole point is
+    # that this cost follows the batch (a 1/3-of-corpus "batch" made
+    # the mini-CC graph a third of the full graph and the probe read
+    # slower than the live recompute at sf1 — measured r16). The batch
+    # items are STAGED as their own table (a batch arrives as its own
+    # files in production — the hash_batch convention), so the probe
+    # never filters the full lineitem.
+    PROBE_BATCH_MOD = 16
 
     def _build_components() -> None:
         # once-per-rebuild half: base-order pair partials + the folded
         # base edge set + its CONVERGED component labels, all persisted;
-        # the batch's partials appended (ingest). The probe is then the
-        # per-batch production cost: fold, delta, contraction refresh —
-        # zero lineitem bytes, zero full-depth propagation (the r15
+        # the batch's partials appended (ingest) and its items staged.
+        # The probe is then the per-batch production cost: batch pair
+        # gen, semi-join-restricted fold, delta, contraction refresh —
+        # zero full-corpus bytes, zero full-depth propagation (the r15
         # index_probe_components re-ran all propagation rounds and cost
         # MORE than the live query; VERDICT r15 item 6).
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"
         )
+        batch_li = li.filter(F.col("l_orderkey") % PROBE_BATCH_MOD == 0)
         write_edge_partials(
-            li.filter(F.col("l_orderkey") % REFRESH_MOD != 0),
+            li.filter(F.col("l_orderkey") % PROBE_BATCH_MOD != 0),
             "bench_idx.comp_partials",
         )
         base_edges = edges_from_partials(
@@ -669,27 +686,24 @@ def main() -> None:
             ),
             "bench_idx.comp_labels",
         )
-        append_to_edge_partials(
-            li.filter(F.col("l_orderkey") % REFRESH_MOD == 0),
-            "bench_idx.comp_partials",
+        append_to_edge_partials(batch_li, "bench_idx.comp_partials")
+        spark.sql("DROP TABLE IF EXISTS bench_idx.comp_batch_items")
+        batch_li.write.mode("overwrite").saveAsTable(
+            "bench_idx.comp_batch_items"
         )
         release_caches()
 
-    def _probe_components():
-        folded = edges_from_partials(
-            spark, "bench_idx.comp_partials", BASKET_MIN_SUP
-        ).select("part_a", "part_b")
-        delta = folded.join(
-            spark.table("bench_idx.comp_base_edges"),
-            ["part_a", "part_b"],
-            "left_anti",
-        )
-        return components_refresh_from_index(
-            spark, "bench_idx.comp_labels", delta
-        )
-
     _time_probe(
-        "index_probe_components", _build_components, _probe_components
+        "index_probe_components",
+        _build_components,
+        lambda: components_refresh_probe(
+            spark,
+            "bench_idx.comp_partials",
+            "bench_idx.comp_base_edges",
+            "bench_idx.comp_labels",
+            spark.table("bench_idx.comp_batch_items"),
+            BASKET_MIN_SUP,
+        ),
     )
     _time_probe(
         "index_probe_embeddedness",

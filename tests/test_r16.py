@@ -157,6 +157,77 @@ def test_components_refresh_from_index(spark, tmp_path):
         spark.sql("DROP DATABASE r16idx CASCADE")
 
 
+def test_components_refresh_probe_from_standing_tables(spark, tmp_path):
+    """The full per-batch admission from standing tables (bench's
+    index_probe_components): the SEMI-JOIN-RESTRICTED fold must
+    reconstruct the exact full folded cut set — a pair untouched by
+    the batch is ≥ cut iff already a base edge — so the probe equals
+    the full recompute over the folded graph value-for-value, and the
+    probe plan reads no full-corpus relation (only the standing
+    tables + the staged batch)."""
+    from pyspark.sql import functions as F
+
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        append_to_edge_partials,
+        component_labels_converged,
+        components_refresh_probe,
+        edges_from_partials,
+        write_component_labels,
+        write_edge_partials,
+    )
+    from tradesignal_mtm_runner_spark.queries_r10b import BASKET_MIN_SUP
+    from tradesignal_mtm_runner_spark.sinks import write_bucketed
+    from tradesignal_mtm_runner_spark.sources import load_table
+
+    spark.sql(f"CREATE DATABASE r16cp LOCATION '{tmp_path / 'r16cp'}'")
+    try:
+        li = load_table(spark, SF_SMOKE, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        batch = li.filter(F.col("l_orderkey") % 16 == 0)
+        write_edge_partials(
+            li.filter(F.col("l_orderkey") % 16 != 0),
+            "r16cp.partials",
+            num_buckets=4,
+        )
+        base_edges = edges_from_partials(
+            spark, "r16cp.partials", BASKET_MIN_SUP
+        ).select("part_a", "part_b")
+        write_bucketed(
+            base_edges,
+            "r16cp.base_edges",
+            bucket_cols=["part_a"],
+            num_buckets=4,
+            sort_cols=["part_a", "part_b"],
+            mode="overwrite",
+        )
+        write_component_labels(
+            component_labels_converged(spark.table("r16cp.base_edges")),
+            "r16cp.labels",
+            num_buckets=4,
+        )
+        append_to_edge_partials(batch, "r16cp.partials", num_buckets=4)
+
+        probe = components_refresh_probe(
+            spark,
+            "r16cp.partials",
+            "r16cp.base_edges",
+            "r16cp.labels",
+            batch,
+            BASKET_MIN_SUP,
+        )
+        full = component_labels_converged(
+            edges_from_partials(
+                spark, "r16cp.partials", BASKET_MIN_SUP
+            ).select("part_a", "part_b")
+        )
+        assert_frames_match(
+            probe.toPandas(), full.toPandas(), "refresh_probe_vs_full"
+        )
+    finally:
+        spark.sql("DROP DATABASE r16cp CASCADE")
+
+
 # --- alternating large-star / small-star CC ----------------------------------
 
 
@@ -360,3 +431,112 @@ def test_novelty_saturation_planted(spark, tmp_path):
     assert by_bucket.loc[5, "n_first_seen"] == 0  # pure repeat
     assert by_bucket.loc[7, "n_first_seen"] == 2  # "p q r", "q r s"
     assert by_bucket["cum_share"].iloc[-1] == 1.0
+
+
+# --- second batch: containment dedup + mix drift -------------------------------
+
+
+def _planted_parquet(tmp_path, docs: "pd.DataFrame"):
+    import pandas as pd  # noqa: F401 - typing only
+
+    p = tmp_path / "planted"
+    p.mkdir(exist_ok=True)
+    docs.to_parquet(p / "documents.parquet", index=False)
+    return str(p)
+
+
+def test_dedup_containment_planted(spark, tmp_path):
+    """C74 semantics on planted docs: an (almost-)prefix doc is named
+    as the contained side with containment 1.0; exact duplicates tie
+    and break to the min id; a half-overlap candidate pair clears
+    neither direction and is excluded — all pinned value-for-value
+    against the oracle SQL on the same parquet."""
+    import duckdb
+    import pandas as pd
+
+    from tradesignal_mtm_runner_spark.queries_r16 import (
+        _containment_sql,
+        dedup_containment,
+    )
+
+    words = [f"w{i}" for i in range(20)]
+    long_doc = " ".join(words)                 # 18 shingles
+    prefix_doc = " ".join(words[:19])          # 17 shingles, all in long
+    half = " ".join(words[:10] + [f"z{i}" for i in range(10)])
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [long_doc, prefix_doc, long_doc, half, long_doc],
+        }
+    )
+    sf = _planted_parquet(tmp_path, docs)
+    got = dedup_containment(spark, sf).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(_containment_sql()).df()
+    con.close()
+    assert_frames_match(got, want, "dedup_containment_planted")
+
+    rows = {
+        (r.id_a, r.id_b): r for r in got.itertuples(index=False)
+    }
+    # prefix containment: doc 2's 17 shingles all inside doc 1's 18
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r.n_inter == 17 and r.n_a == 18 and r.n_b == 17
+    assert r.containment_b == 1.0 and r.contained_id == 2
+    # exact duplicates tie -> min id is the contained side
+    assert rows[(1, 3)].contained_id == 1
+    assert rows[(1, 3)].containment_a == 1.0
+    # the half-overlap pair must NOT appear even if banding paired it
+    assert (1, 4) not in rows and (4, 5) not in rows
+
+
+def test_corpus_mix_drift_planted(spark, tmp_path):
+    """C75 semantics on planted docs: the (bucket × lang) grid is
+    COMPLETE (a lang absent from a bucket appears with n_docs=0 and
+    contributes |0 − corpus_share| to the distance), shares and the
+    per-bucket total-variation distance are exact — pinned against
+    the oracle SQL on the same parquet."""
+    import duckdb
+    import pandas as pd
+
+    from tradesignal_mtm_runner_spark.queries_r16 import (
+        MIX_DRIFT_SQL,
+        corpus_mix_drift,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a"] * 4,
+            "lang": ["en", "fr", "en", "en"],
+        }
+    )
+    sf = _planted_parquet(tmp_path, docs)
+    got = corpus_mix_drift(spark, sf).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(MIX_DRIFT_SQL).df()
+    con.close()
+    assert_frames_match(got, want, "corpus_mix_drift_planted")
+
+    # grid completeness: 4 occupied buckets x 2 langs = 8 rows,
+    # including zero rows for the langs absent from a bucket
+    assert len(got) == 8
+    by = got.set_index(["bucket", "lang"])
+    assert by.loc[(0, "fr"), "n_docs"] == 0
+    # bucket 0 is all-en: tv = 0.5 * (|1 - 0.75| + |0 - 0.25|) = 0.25
+    assert by.loc[(0, "en"), "tv_dist"] == 0.25
+    # the all-fr bucket (doc 1 -> bucket 2) drifts hardest: 0.75
+    assert by.loc[(2, "fr"), "tv_dist"] == 0.75
+    # corpus shares are global: en 0.75 everywhere, fr 0.25
+    assert (got.loc[got["lang"] == "en", "corpus_share"] == 0.75).all()

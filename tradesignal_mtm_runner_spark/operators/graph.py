@@ -1318,6 +1318,48 @@ def components_refresh_from_index(
     return components_refresh(spark.table(table), new_edges, max_iters)
 
 
+def components_refresh_probe(
+    spark: SparkSession,
+    partials_table: str,
+    base_edges_table: str,
+    labels_table: str,
+    batch_items: DataFrame,
+    min_sup: int,
+    max_iters: int = 64,
+) -> DataFrame:
+    """The full per-batch components ADMISSION from standing tables —
+    fold, delta, contraction in one batch-bounded plan. The fold is
+    SEMI-JOIN-RESTRICTED to the batch's own pairs BEFORE aggregating
+    (the probe_novelty_index shape applied to pair counts): a pair the
+    batch did not touch has an unchanged count, so it is ≥ the support
+    cut iff it is already in the base edge set — only batch-touched
+    pairs can newly cross. The restricted fold therefore reconstructs
+    the full folded cut set as base_edges ∪ (touched fold ≥ cut)
+    EXACTLY (pinned in tests/test_r16.py), at cost ∝ batch pairs ×
+    matched partial generations (bucket-aligned semi-join), never the
+    whole raw pair relation — the unrestricted fold made the r16
+    first-cut probe read slower than the live recompute at sf0.1.
+    ``batch_items`` = the batch's (l_orderkey, l_partkey) rows (whole
+    orders — the partials-family additivity contract); its pair set is
+    recomputed batch-locally (batch-input-proportional, the
+    cc_probe_from_index convention of simhashing the batch)."""
+    bp = pairs_from_baskets(baskets_from_items(batch_items)).select(
+        "part_a", "part_b"
+    )
+    touched = (
+        spark.table(partials_table)
+        .join(bp, ["part_a", "part_b"], "left_semi")
+        .groupBy("part_a", "part_b")
+        .agg(F.sum("pair_cnt").cast("long").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_sup)
+        .select("part_a", "part_b")
+    )
+    delta = touched.join(
+        spark.table(base_edges_table), ["part_a", "part_b"], "left_anti"
+    )
+    return components_refresh(spark.table(labels_table), delta, max_iters)
+
+
 def topk_similar_from_index(
     spark: SparkSession, table: str, topk: int
 ) -> DataFrame:

@@ -161,6 +161,234 @@ def novelty_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- second batch (registered post-anchor; driver exposure r17) --------------
+
+#: a candidate pair is a containment hit when the smaller shingle set
+#: is ≥ this fraction inside the larger (quote inclusion, boilerplate
+#: wrapping, version-of relationships — the asymmetric near-dup class
+#: symmetric Jaccard under-scores)
+CONTAIN_MIN = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C74: CONTAINMENT classification of near-dup candidates — the
+    asymmetric complement of C3's symmetric Jaccard: per LSH candidate
+    pair, containment(a in b) = |A∩B| / |A| and vice versa (Broder's
+    containment measure). A short doc quoted inside a long one scores
+    Jaccard ≈ |A|/|B| (small) but containment ≈ 1 — the version-of /
+    quote-inclusion / boilerplate-wrapper class a pure-Jaccard dedup
+    under-merges. Keeps pairs where either direction clears
+    CONTAIN_MIN and names ``contained_id`` (the higher-containment,
+    i.e. smaller-set, side; exact ties — near-identical sets — break
+    to the smaller doc_id). Candidates come from the SHARED C2 band
+    chain, so this adds ZERO new corpus-sized work: shingle sets are
+    row-local arrays, the intersection is a row-local array_intersect
+    on the candidate relation (the pair_jaccard plan shape — never a
+    shingle self-join). RECALL caveat, documented not hidden:
+    MinHash banding recalls RESEMBLANCE, so a low-Jaccard containment
+    pair can miss candidacy — full containment recall is C28
+    `dedup_substring`'s suffix-automaton territory; this operator
+    CLASSIFIES the banded candidates. Output: (id_a, id_b, n_inter,
+    n_a, n_b, containment_a, containment_b, contained_id)."""
+    from .operators.dedup import (
+        doc_shingle_sets,
+        lsh_bands_from_wide,
+        lsh_candidate_pairs,
+        minhash_signatures_wide,
+    )
+    from .queries_pipeline import (
+        BANDS,
+        LSH_MAX_BUCKET,
+        MINHASH_K,
+        SHINGLE_K,
+        _docs,
+    )
+
+    d = _docs(spark, sf_dir)
+    sig = minhash_signatures_wide(d, num_hashes=MINHASH_K, shingle_k=SHINGLE_K)
+    pairs = lsh_candidate_pairs(
+        lsh_bands_from_wide(sig, num_bands=BANDS, num_hashes=MINHASH_K),
+        max_bucket=LSH_MAX_BUCKET,
+    )
+    sh = doc_shingle_sets(d, k=SHINGLE_K)
+    joined = pairs.select("id_a", "id_b").join(
+        sh.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("_sa")),
+        "id_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("_sb")),
+        "id_b",
+    )
+    n_inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
+    n_a = F.size("_sa").cast("long")
+    n_b = F.size("_sb").cast("long")
+    ca = n_inter.cast("double") / n_a.cast("double")
+    cb = n_inter.cast("double") / n_b.cast("double")
+    return (
+        joined.select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            n_inter.alias("n_inter"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+            ca.alias("_ca"),
+            cb.alias("_cb"),
+        )
+        .filter(F.greatest(F.col("_ca"), F.col("_cb")) >= CONTAIN_MIN)
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            _r9(F.col("_ca")).alias("containment_a"),
+            _r9(F.col("_cb")).alias("containment_b"),
+            F.when(F.col("_ca") > F.col("_cb"), F.col("id_a"))
+            .when(F.col("_cb") > F.col("_ca"), F.col("id_b"))
+            .otherwise(F.least("id_a", "id_b"))
+            .cast("long")
+            .alias("contained_id"),
+        )
+    )
+
+
+#: ingest-order buckets for the mix-drift monitor (shared decile math
+#: with C73)
+MIX_BUCKETS = SAT_BUCKETS
+
+
+def corpus_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C75: corpus MIX-DRIFT monitor — per ingest-order decile, the
+    language composition vs the whole-corpus mix, and the bucket's
+    total-variation distance from it. The per-crawl-drop question a
+    training-data pipeline asks BEFORE the mix silently shifts (a lang
+    or source creeping over its target share): drift shows up as
+    tv_dist rising across buckets. The (bucket × lang) GRID is built
+    by an explicit cross join of the two bounded distinct relations
+    and LEFT-joined with the counts — a lang absent from a bucket
+    contributes |0 − corpus_share| to the distance rather than
+    silently dropping (the exact-TV requirement). ONE corpus-sized
+    aggregate (bucket, lang counts); every share/distance is a window
+    over the ≤ MIX_BUCKETS×|langs| grid (the events_seasonality
+    grid-bounded-window convention). Output: (bucket, lang, n_docs,
+    bucket_share, corpus_share, share_delta, tv_dist)."""
+    from .queries_pipeline import _docs
+
+    d = _docs(spark, sf_dir)
+    max_id = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    span = int(max_id) + 1
+    bucket = F.expr(
+        f"CAST((CAST(doc_id AS BIGINT) * {MIX_BUCKETS}) DIV {span} AS BIGINT)"
+    )
+    counts = (
+        d.select(bucket.alias("bucket"), "lang")
+        .groupBy("bucket", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    grid = (
+        counts.select("bucket").distinct()
+        .crossJoin(counts.select("lang").distinct())
+        .join(counts, ["bucket", "lang"], "left")
+        .select(
+            "bucket",
+            "lang",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )
+    wb = Window.partitionBy("bucket")
+    wl = Window.partitionBy("lang")
+    wall = Window.partitionBy()
+    bshare = F.col("n_docs").cast("double") / F.sum("n_docs").over(wb)
+    cshare = (
+        F.sum("n_docs").over(wl).cast("double") / F.sum("n_docs").over(wall)
+    )
+    delta = F.abs(bshare - cshare)
+    return grid.select(
+        "bucket",
+        "lang",
+        "n_docs",
+        _r9(bshare).alias("bucket_share"),
+        _r9(cshare).alias("corpus_share"),
+        _r9(delta).alias("share_delta"),
+        _r9(
+            F.lit(0.5) * F.sum(delta).over(wb)
+        ).alias("tv_dist"),
+    )
+
+
+def _containment_sql() -> str:
+    """Oracle: the C2/C3 band-chain CTEs verbatim + per-pair
+    intersection counts + the two directed containments."""
+    from .queries_pipeline import _BANDS_CAPPED_SQL, _BANDS_SQL
+
+    return f"""
+WITH {_BANDS_SQL},
+{_BANDS_CAPPED_SQL},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands_c a
+  JOIN bands_c b ON a.band = b.band AND a.band_sig = b.band_sig
+                AND a.doc_id < b.doc_id
+),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b AND a.shingle = b.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT CAST(i.id_a AS BIGINT) AS id_a,
+       CAST(i.id_b AS BIGINT) AS id_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n_sh AS BIGINT) AS n_a,
+       CAST(sb.n_sh AS BIGINT) AS n_b,
+       round(n_inter * 1.0 / sa.n_sh, 9) + 0.0 AS containment_a,
+       round(n_inter * 1.0 / sb.n_sh, 9) + 0.0 AS containment_b,
+       CAST(CASE WHEN n_inter * 1.0 / sa.n_sh > n_inter * 1.0 / sb.n_sh
+                 THEN i.id_a
+                 WHEN n_inter * 1.0 / sb.n_sh > n_inter * 1.0 / sa.n_sh
+                 THEN i.id_b
+                 ELSE least(i.id_a, i.id_b) END AS BIGINT) AS contained_id
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE greatest(n_inter * 1.0 / sa.n_sh, n_inter * 1.0 / sb.n_sh)
+      >= {CONTAIN_MIN}
+"""
+
+
+MIX_DRIFT_SQL = f"""
+WITH mx AS (SELECT max(doc_id) + 1 AS span FROM documents),
+counts AS (
+  SELECT (doc_id * {MIX_BUCKETS}) // span AS bucket, lang,
+         count(*) AS n_docs
+  FROM documents, mx GROUP BY 1, 2
+),
+grid AS (
+  SELECT b.bucket, l.lang, coalesce(c.n_docs, 0) AS n_docs
+  FROM (SELECT DISTINCT bucket FROM counts) b
+  CROSS JOIN (SELECT DISTINCT lang FROM counts) l
+  LEFT JOIN counts c ON c.bucket = b.bucket AND c.lang = l.lang
+),
+shares AS (
+  SELECT bucket, lang, n_docs,
+         n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY bucket)
+           AS bucket_share,
+         sum(n_docs) OVER (PARTITION BY lang) * 1.0
+           / sum(n_docs) OVER () AS corpus_share
+  FROM grid
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(bucket_share, 9) + 0.0 AS bucket_share,
+       round(corpus_share, 9) + 0.0 AS corpus_share,
+       round(abs(bucket_share - corpus_share), 9) + 0.0 AS share_delta,
+       round(0.5 * sum(abs(bucket_share - corpus_share))
+               OVER (PARTITION BY bucket), 9) + 0.0 AS tv_dist
+FROM shares
+"""
+
+
 COMPONENTS_REFRESH_SQL = _components_sql()
 
 NOVELTY_SATURATION_SQL = f"""
@@ -204,6 +432,10 @@ FROM db LEFT JOIN fb ON fb.bucket = db.bucket
 R16_QUERIES: dict = {
     "copurchase_components_refresh": copurchase_components_refresh,
     "novelty_saturation": novelty_saturation,
+    # second batch — registered post-anchor (the r14b/r15 precedent):
+    # pytest-side this round, first driver exposure in the r17 rotation
+    "dedup_containment": dedup_containment,
+    "corpus_mix_drift": corpus_mix_drift,
 }
 
 R16_ORACLES: dict = {
@@ -211,4 +443,6 @@ R16_ORACLES: dict = {
     # verbatim (same COMP_ITERS unroll, converged at every test SF)
     "copurchase_components_refresh": COMPONENTS_REFRESH_SQL,
     "novelty_saturation": NOVELTY_SATURATION_SQL,
+    "dedup_containment": _containment_sql(),
+    "corpus_mix_drift": MIX_DRIFT_SQL,
 }
