@@ -816,6 +816,13 @@ def components_refresh(
     Value-parity with the full recompute over base ∪ delta is pinned
     in tests/test_r16.py (planted bridge + random graphs) and the
     live form is B65 ``copurchase_components_refresh``."""
+    # the delta relation feeds THREE consumers (the contraction join,
+    # the new-node anti-join, and the fresh-label join) — without an
+    # eager cut its upstream chain (in the probe: batch pair gen +
+    # semi-restricted fold + anti-join) re-executes per consumer,
+    # measured ~3× the probe's data cost at sf1; the relation is
+    # batch-sized, so the materialization is cheap by construction
+    new_edges = cut_lineage(new_edges.select("part_a", "part_b"))
     lab_a = labels.select(
         F.col("part").alias("part_a"), F.col("component").alias("_ca")
     )
