@@ -246,6 +246,14 @@ HEADLINERS = [
     # lang mix-drift monitor (one aggregate + grid-bounded windows)
     "dedup_containment",
     "corpus_mix_drift",
+    # round-17 surface: k-truss backbone (edge peeling over the shared
+    # oriented-triangle kernel; the persisted form is timed as
+    # index_probe_ktruss), the ANN recall eval (exact + IVF sides and
+    # the per-query hit join), and the two-window mean-shift
+    # changepoint screen (one corpus aggregate + grid windows)
+    "copurchase_ktruss",
+    "ann_recall_eval",
+    "events_changepoint",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput
@@ -709,6 +717,19 @@ def main() -> None:
         "index_probe_embeddedness",
         lambda: None,
         lambda: embeddedness_from_index(spark, "bench_idx.edge_idx"),
+    )
+    from tradesignal_mtm_runner_spark.operators.graph import ktruss_from_index
+    from tradesignal_mtm_runner_spark.queries_r17 import (
+        KTRUSS_K,
+        KTRUSS_PEELS,
+    )
+
+    _time_probe(
+        "index_probe_ktruss",
+        lambda: None,
+        lambda: ktruss_from_index(
+            spark, "bench_idx.edge_idx", KTRUSS_K, KTRUSS_PEELS
+        ),
     )
 
     from tradesignal_mtm_runner_spark.operators.novelty import (

@@ -1,0 +1,281 @@
+"""Round-17 pins: (a) k-truss edge peeling — planted triangle/K4/
+pendant values, k=3 one-round convergence at the fixed unroll,
+converged == fixed-unroll at test SF, a planted triangle-strip the
+fixed unroll provably UNDER-PEELS at k=4 (cascade deeper than the
+unroll), and the fail-loud guards; (b) ann_recall_eval cross-checked
+against an independent join of the family's own exact/IVF query
+paths; (c) events_changepoint — a planted step series parquet where
+the diff-median noise scale flags the step a level-MAD scale would
+mute (the semantics the detector exists for)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(sorted(rows), "part_a long, part_b long")
+
+
+# --- k-truss (operators/graph.ktruss_edges) ---------------------------------
+
+
+def test_ktruss_planted_triangle_and_pendant(spark):
+    """3-truss of a triangle with a pendant chain = the triangle,
+    every edge with support 1; the pendant edges peel (no triangle)."""
+    from tradesignal_mtm_runner_spark.operators.graph import ktruss_edges
+
+    g = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)])
+    got = {
+        (r["part_a"], r["part_b"]): r["truss_sup"]
+        for r in ktruss_edges(g, 3, 2).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+def test_ktruss_planted_k4(spark):
+    """K4 is a 4-truss: all six edges survive k=4 with support 2."""
+    from tradesignal_mtm_runner_spark.operators.graph import ktruss_edges
+
+    k4 = _edges(
+        spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    )
+    got = {
+        (r["part_a"], r["part_b"]): r["truss_sup"]
+        for r in ktruss_edges(k4, 4, 2).collect()
+    }
+    assert got == {
+        (1, 2): 2, (1, 3): 2, (1, 4): 2, (2, 3): 2, (2, 4): 2, (3, 4): 2
+    }
+
+
+def test_ktruss_live_fixed_unroll_is_converged(spark):
+    """One more round than KTRUSS_PEELS changes nothing on the live
+    support-cut graph (the convergence claim the oracle's fixed
+    unroll rests on), and the fixpoint twin agrees exactly."""
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        ktruss_edges,
+        ktruss_edges_converged,
+    )
+    from tradesignal_mtm_runner_spark.queries_r10b import _basket_pair_counts
+    from tradesignal_mtm_runner_spark.queries_r17 import (
+        KTRUSS_K,
+        KTRUSS_PEELS,
+    )
+
+    _, pairs = _basket_pair_counts(spark, SF_SMOKE)
+    edges = pairs.select("part_a", "part_b").localCheckpoint(eager=True)
+
+    def key(df):
+        return {
+            (r["part_a"], r["part_b"]): r["truss_sup"] for r in df.collect()
+        }
+
+    fixed = key(ktruss_edges(edges, KTRUSS_K, KTRUSS_PEELS))
+    assert fixed  # discriminating at the smoke SF (2244 edges survive)
+    assert fixed == key(ktruss_edges(edges, KTRUSS_K, KTRUSS_PEELS + 1))
+    assert fixed == key(ktruss_edges_converged(edges, KTRUSS_K))
+
+
+def test_ktruss_k4_cascade_deeper_than_unroll(spark):
+    """k=4 on the LIVE sf0.001 support-cut graph peels for 5 rounds
+    (2324 → 2048 → 1997 → 1973 → 1968 → 1966, measured) — deeper
+    than the k=3 unroll KTRUSS_PEELS=4. The fixed form at 4 rounds
+    provably UNDER-PEELS (ships 1968 edges, 2 of them not in the
+    true truss); the converged twin reaches the real fixpoint — the
+    silent-under-convergence case the fixpoint form exists for, on
+    real data rather than a planted toy."""
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        ktruss_edges,
+        ktruss_edges_converged,
+    )
+    from tradesignal_mtm_runner_spark.queries_r10b import _basket_pair_counts
+    from tradesignal_mtm_runner_spark.queries_r17 import KTRUSS_PEELS
+
+    _, pairs = _basket_pair_counts(spark, SF_SMOKE)
+    edges = pairs.select("part_a", "part_b").localCheckpoint(eager=True)
+    under = ktruss_edges(edges, 4, KTRUSS_PEELS).count()
+    conv = ktruss_edges_converged(edges, 4).count()
+    assert conv == 1966
+    assert under > conv  # the fixed unroll stops mid-cascade
+
+
+def test_ktruss_fail_loud_guards(spark):
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        ktruss_edges,
+        ktruss_edges_converged,
+    )
+
+    g = _edges(spark, [(1, 2), (1, 3), (2, 3)])
+    with pytest.raises(ValueError, match="k must be >= 3"):
+        ktruss_edges(g, 2, 1)
+    with pytest.raises(ValueError, match="peels must be >= 1"):
+        ktruss_edges(g, 3, 0)
+    n = 24
+    strip = _edges(
+        spark,
+        [(i, i + 1) for i in range(1, n)] + [(i, i + 2) for i in range(1, n - 1)],
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint within"):
+        ktruss_edges_converged(strip, 4, max_peels=2)
+
+
+def test_ktruss_from_index_matches_live(spark):
+    """Standing-index probe parity: same kernel over the persisted
+    edge table equals the live query's truss exactly."""
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        ktruss_from_index,
+        write_edge_index,
+    )
+    from tradesignal_mtm_runner_spark.queries_r10b import _basket_pair_counts
+    from tradesignal_mtm_runner_spark.queries_r17 import (
+        KTRUSS_K,
+        KTRUSS_PEELS,
+        copurchase_ktruss,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t17")
+    spark.sql("DROP TABLE IF EXISTS t17.edges")
+    spark.sql("DROP TABLE IF EXISTS t17.edges_deg")
+    _, pairs = _basket_pair_counts(spark, SF_SMOKE)
+    write_edge_index(pairs, "t17.edges")
+    live = {
+        (r["part_a"], r["part_b"]): r["truss_sup"]
+        for r in copurchase_ktruss(spark, SF_SMOKE).collect()
+    }
+    probe = {
+        (r["part_a"], r["part_b"]): r["truss_sup"]
+        for r in ktruss_from_index(
+            spark, "t17.edges", KTRUSS_K, KTRUSS_PEELS
+        ).collect()
+    }
+    assert live == probe
+
+
+# --- ann_recall_eval ---------------------------------------------------------
+
+
+def test_ann_recall_eval_cross_check(spark):
+    """The eval relation must agree with an INDEPENDENT join of the
+    family's own exact and IVF query paths (same constants), and its
+    per-query recalls must be consistent: 0 ≤ recall = n_hits /
+    n_exact ≤ 1 with one row per probe query."""
+    from tradesignal_mtm_runner_spark.queries_pipeline import (
+        ANN_QUERIES,
+        ANN_TOPK,
+        ann_cosine_topk,
+        ann_ivf_topk,
+    )
+    from tradesignal_mtm_runner_spark.queries_r17 import ann_recall_eval
+
+    rows = ann_recall_eval(spark, SF_SMOKE).collect()
+    assert len(rows) == ANN_QUERIES
+    for r in rows:
+        assert r["n_exact"] == ANN_TOPK
+        assert 0 <= r["n_hits"] <= ANN_TOPK
+        assert abs(r["recall"] - r["n_hits"] / ANN_TOPK) < 1e-9
+
+    exact = {
+        (r["query_id"], r["corpus_id"])
+        for r in ann_cosine_topk(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r["query_id"], r["corpus_id"])
+        for r in ann_ivf_topk(spark, SF_SMOKE).collect()
+    }
+    want = {}
+    for q, c in exact:
+        want[q] = want.get(q, 0) + ((q, c) in approx)
+    got = {r["query_id"]: r["n_hits"] for r in rows}
+    assert got == {q: want.get(q, 0) for q in got}
+
+
+# --- events_changepoint ------------------------------------------------------
+
+
+def _write_events(tmp_path, rows):
+    import pandas as pd
+
+    df = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    df.to_parquet(os.path.join(str(tmp_path), "events.parquet"), index=False)
+    return str(tmp_path)
+
+
+def test_events_changepoint_planted_step(spark, tmp_path):
+    """A clean balanced step (15 days at 5 events, 15 at 20) must be
+    flagged: the diff-median noise scale is 0 → floored to 1.0, so
+    the step day scores |20 − 5| / 1 = 15. The level-MAD scale would
+    read 7.5 and score 2.0 — BELOW threshold — which is exactly the
+    muting the diff-median design avoids; the pinned values prove
+    the discriminating case."""
+    from tradesignal_mtm_runner_spark.queries_r17 import (
+        CP_THRESH,
+        events_changepoint,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(30):
+        n = 5 if d < 15 else 20
+        for j in range(n):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 1, 1 + d, 8, 0, j),
+                    j,
+                    "step",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    sf_dir = _write_events(tmp_path, rows)
+    got = {
+        r["day"].day: r for r in events_changepoint(spark, sf_dir).collect()
+    }
+    # full two-sided windows exist for days 8..24 (1-indexed days)
+    assert sorted(got) == list(range(8, 25))
+    step = got[16]  # left = days 9..15 (all 5), right = days 16..22 (all 20)
+    assert step["left_mean"] == 5.0
+    assert step["right_mean"] == 20.0
+    assert step["score"] == 15.0
+    assert bool(step["is_changepoint"])
+    quiet = got[8]  # both windows fully pre-step
+    assert quiet["score"] == 0.0
+    assert not quiet["is_changepoint"]
+    assert CP_THRESH < 15.0
+
+
+def test_events_changepoint_flat_series_never_flags(spark, tmp_path):
+    """A constant series scores 0 everywhere (and the diff-median
+    floor never manufactures a flag)."""
+    from tradesignal_mtm_runner_spark.queries_r17 import events_changepoint
+
+    rows = []
+    eid = 0
+    for d in range(20):
+        for j in range(7):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 2, 1 + d, 9, 0, j),
+                    j,
+                    "flat",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    sf_dir = _write_events(tmp_path, rows)
+    out = events_changepoint(spark, sf_dir).collect()
+    assert out  # full windows exist
+    assert all(r["score"] == 0.0 for r in out)
+    assert not any(r["is_changepoint"] for r in out)

@@ -187,6 +187,40 @@ def triangle_counts(edges: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
+def edge_triangle_support(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Per canonical EDGE, its triangle count (support) — the shared
+    edge-credit step of B64 embeddedness and the k-truss peel: every
+    triangle from :func:`oriented_closed_triangles` (O(√E) wedge
+    bound, each triangle exactly once) credits its THREE edges,
+    canonicalized back to (min, max) form row-locally, then one
+    edge-keyed count aggregate. Triangle-free edges are ABSENT from
+    the result (the aggregate never sees them) — callers that must
+    keep them LEFT-join back onto the edge relation (B64 does; the
+    truss peel drops them by definition for k ≥ 3). Returns
+    (part_a, part_b, tri_sup)."""
+    closed = oriented_closed_triangles(edges, deg.select("pk", "deg"))
+    lo = F.least  # triangle corners back to canonical a < b edge form
+    hi = F.greatest
+    tri_edges = closed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    lo("src", "v").alias("part_a"), hi("src", "v").alias("part_b")
+                ),
+                F.struct(
+                    lo("src", "w").alias("part_a"), hi("src", "w").alias("part_b")
+                ),
+                F.struct(
+                    lo("v", "w").alias("part_a"), hi("v", "w").alias("part_b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.part_a", "e.part_b")
+    return tri_edges.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).cast("long").alias("tri_sup")
+    )
+
+
 def edge_embeddedness(edges: DataFrame, deg: DataFrame) -> DataFrame:
     """Per-EDGE embeddedness and neighborhood overlap — the edge-level
     measure beside the family's node-level (triangles, clustering,
@@ -208,26 +242,8 @@ def edge_embeddedness(edges: DataFrame, deg: DataFrame) -> DataFrame:
     Overlap rounds to 9 dp; the zero-denominator case (two degree-1
     endpoints — an isolated edge) is guarded to 0.0 in both engines.
     Returns (part_a, part_b, pair_cnt, n_common, overlap)."""
-    closed = oriented_closed_triangles(edges, deg.select("pk", "deg"))
-    lo = F.least  # triangle corners back to canonical a < b edge form
-    hi = F.greatest
-    tri_edges = closed.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    lo("src", "v").alias("part_a"), hi("src", "v").alias("part_b")
-                ),
-                F.struct(
-                    lo("src", "w").alias("part_a"), hi("src", "w").alias("part_b")
-                ),
-                F.struct(
-                    lo("v", "w").alias("part_a"), hi("v", "w").alias("part_b")
-                ),
-            )
-        ).alias("e")
-    ).select("e.part_a", "e.part_b")
-    support = tri_edges.groupBy("part_a", "part_b").agg(
-        F.count(F.lit(1)).cast("long").alias("n_common")
+    support = edge_triangle_support(edges, deg).withColumnRenamed(
+        "tri_sup", "n_common"
     )
     nc = F.coalesce(F.col("n_common"), F.lit(0)).cast("long")
     denom = (
@@ -534,6 +550,118 @@ def kcore_round(sym: DataFrame, survivors: DataFrame, k: int) -> DataFrame:
         .groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
         .filter(F.col("core_deg") >= k)
+    )
+
+
+def ktruss_round(cur: DataFrame, k: int) -> DataFrame:
+    """One simultaneous k-truss peel round: per-edge triangle support
+    within the SURVIVING edge set (the shared oriented edge-credit
+    kernel — degrees recomputed from the survivors so the orientation
+    keeps its O(√E) wedge bound as the graph thins), then drop every
+    edge with support < k−2. Edges in no triangle are absent from the
+    support aggregate and drop implicitly — exactly the k ≥ 3
+    semantics (an edge needs ≥ 1 triangle to be in any 3-truss).
+    ``cur`` = canonical (part_a, part_b [, ...]); returns
+    (part_a, part_b, truss_sup)."""
+    d = (
+        cur.select(F.col("part_a").alias("pk"))
+        .unionAll(cur.select(F.col("part_b").alias("pk")))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return (
+        edge_triangle_support(cur.select("part_a", "part_b"), d)
+        .withColumnRenamed("tri_sup", "truss_sup")
+        .filter(F.col("truss_sup") >= k - 2)
+    )
+
+
+def ktruss_edges(edges: DataFrame, k: int, peels: int) -> DataFrame:
+    """k-truss decomposition via ITERATED SIMULTANEOUS EDGE PEELING —
+    the cohesive-subgraph classic BESIDE k-core (Cohen 2008): the
+    maximal subgraph where every EDGE closes ≥ k−2 triangles within
+    the subgraph. Where k-core certifies degree-cohesion (each node
+    keeps ≥ k in-core neighbors), k-truss certifies TRIANGLE-cohesion
+    — a star survives any k-core at high enough hub degree but no
+    3-truss, which is why truss filtering is the standard community
+    pre-screen one notch stronger than core filtering.
+
+    Round structure mirrors :func:`kcore_members`: each round
+    recomputes per-edge triangle support over the survivors (the
+    SHARED oriented enumeration — O(√E) wedges, each triangle once,
+    three row-local edge credits, one edge-keyed count) and drops
+    every edge below k−2 SIMULTANEOUSLY; rounds needed = the truss
+    peel depth (≤ 2 across the test SFs — the support cut already
+    prunes most low-support edges). A fixed ``peels`` is mirrored
+    EXACTLY by the SQL oracle (engine/oracle equality even
+    mid-convergence, the house convention); convergence is the
+    separate pinned claim (one more round changes nothing,
+    tests/test_r17.py). Per-round lineage cuts per the k-core
+    argument (each round references the survivor set three times —
+    the plan would triple per round).
+
+    ``edges`` = canonical undirected (part_a, part_b [, ...]),
+    part_a < part_b, no duplicates. Returns (part_a, part_b,
+    truss_sup) — survivors with their in-truss support. Requires
+    k ≥ 3 (a 2-truss is every edge — the peel's implicit
+    zero-triangle drop would be wrong) and peels ≥ 1 (the survivor
+    relation only carries truss_sup after a round)."""
+    if k < 3:
+        raise ValueError(
+            f"ktruss_edges: k must be >= 3 (got {k}) — the 2-truss is "
+            "the whole graph and the peel's zero-triangle drop would "
+            "miscount it"
+        )
+    if peels < 1:
+        raise ValueError(
+            f"ktruss_edges: peels must be >= 1 (got {peels}) — the "
+            "survivor relation only carries truss_sup after a round"
+        )
+    cur = cut_lineage(edges.select("part_a", "part_b"))
+    for _ in range(peels):
+        cur = cut_lineage(ktruss_round(cur, k))
+    return cur.select(
+        F.col("part_a").cast("long").alias("part_a"),
+        F.col("part_b").cast("long").alias("part_b"),
+        F.col("truss_sup").cast("long").alias("truss_sup"),
+    )
+
+
+def ktruss_edges_converged(
+    edges: DataFrame, k: int, max_peels: int = 64
+) -> DataFrame:
+    """Production iterate-to-FIXPOINT form of :func:`ktruss_edges`
+    (the family convention — every iterative kernel ships both): the
+    fixed unroll exists so the SQL oracle can mirror the exact round
+    count, but truss peel depth grows with graph structure — at 100×
+    a fixed unroll can ship a not-yet-converged (too large) "truss".
+    Survivor edge sets are MONOTONE decreasing, so an unchanged edge
+    COUNT is an unchanged edge SET is the fixpoint — one bounded
+    driver-side count per round is the convergence probe. FAILS LOUD
+    on ``max_peels`` exhaustion (returning the mid-peel state would
+    be the silent under-convergence this entry prevents). Converged
+    == fixed-unroll at the test SFs for the live k, and the live
+    sf0.001 graph at k=4 (peel depth 5 > the k=3 unroll — the fixed
+    form provably ships 2 extra edges there) are pinned in
+    tests/test_r17.py."""
+    if k < 3:
+        raise ValueError(f"ktruss_edges_converged: k must be >= 3 (got {k})")
+    cur = cut_lineage(edges.select("part_a", "part_b"))
+    prev_n = cur.count()  # bounded scalar: |E| of the support-cut graph
+    for _ in range(max_peels):
+        cur = cut_lineage(ktruss_round(cur, k))
+        n = cur.count()
+        if n == prev_n:
+            return cur.select(
+                F.col("part_a").cast("long").alias("part_a"),
+                F.col("part_b").cast("long").alias("part_b"),
+                F.col("truss_sup").cast("long").alias("truss_sup"),
+            )
+        prev_n = n
+    raise RuntimeError(
+        f"ktruss_edges_converged: no fixpoint within max_peels="
+        f"{max_peels} (still {prev_n} edges) — raise max_peels; "
+        "refusing to return a not-yet-converged truss"
     )
 
 
@@ -1233,6 +1361,16 @@ def kcore_from_index(
     """B56 from the standing index: same peeling kernel, zero lineitem
     bytes — only the persisted edge table is read."""
     return kcore_members(spark.table(table), k, peels)
+
+
+def ktruss_from_index(
+    spark: SparkSession, table: str, k: int, peels: int
+) -> DataFrame:
+    """B66 from the standing index: same edge-peeling kernel, zero
+    lineitem bytes — only the persisted edge table is read (degrees
+    are recomputed per round from the THINNING survivor set, so the
+    persisted degree sidecar is deliberately not used)."""
+    return ktruss_edges(spark.table(table), k, peels)
 
 
 def communities_from_index(

@@ -850,6 +850,14 @@ from .queries_r16 import R16_ORACLES, R16_QUERIES  # noqa: E402
 EXTRA_QUERIES.update(R16_QUERIES)
 EXTRA_ORACLES.update(R16_ORACLES)
 
+# round-17 batch: k-truss backbone (the cohesive-subgraph family's
+# triangle-cohesion classic), first-class ANN recall eval, and the
+# two-window mean-shift changepoint screen
+from .queries_r17 import R17_ORACLES, R17_QUERIES  # noqa: E402
+
+EXTRA_QUERIES.update(R17_QUERIES)
+EXTRA_ORACLES.update(R17_ORACLES)
+
 # --- round-5 driver-window rotation (VERDICT r4, next-round item 1) ---------
 # The driver CORRECTNESS harness only ever sees the first 50 queries();
 # everything else is verified by the identical DuckDB harness in pytest.

@@ -1,0 +1,335 @@
+"""Round-17 batch: the cohesive-subgraph family completed with
+k-TRUSS edge peeling (the triangle-cohesion classic one notch
+stronger than B56's k-core degree-cohesion), a first-class ANN
+RECALL evaluation (the measure-don't-guess harness for the C8b IVF
+path — recall@k vs the exact C8 baseline as a queryable relation,
+not just a test-floor pin), and a two-window MEAN-SHIFT changepoint
+detector over the per-type daily event series (the B46 MAD screen
+flags level OUTLIERS; this flags level SHIFTS — the complementary
+regime-change question).
+
+House conventions: fixed-round unrolls mirrored EXACTLY by the
+DuckDB oracle (k-truss: same peel count both engines, convergence
+pinned separately), floats through ``round(x, 9) + 0.0``, and every
+changepoint statistic is built from INTEGER daily counts (window
+means = exact-integer sums / constant, robust scale = MAD of
+integers) so both engines compute bit-identical doubles before the
+round — no stddev/variance accumulation-order risk.
+
+No counterpart in the pandas reference (reference scope is the MTM
+loop, runner_mtm.py:71); this is the warehouse/graph/pipeline
+surface the build brief adds on top of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .cache_registry import persist_tracked
+from .operators.graph import ktruss_edges
+from .queries_pipeline import (
+    _IVF_CA_SQL,
+    _V_SQL,
+    ANN_QUERIES,
+    ANN_TOPK,
+    IVF_CENTROIDS,
+    IVF_NPROBE,
+    R,
+    _emb,
+)
+from .queries_r8 import _r9
+from .queries_r10b import _BASKET_CTES, _basket_pair_counts
+from .sources import load_table
+
+#: the truss order: k=3 (every surviving edge closes ≥ 1 triangle
+#: within the survivors) — discriminating at all test SFs (sf0.001:
+#: 2244 of 2324 support-cut edges survive; sf0.01: 181 of 3445;
+#: sf0.1: 3 of 3573 — the support-cut graph thins with SF, so the
+#: triangle-cohesive backbone shrinks fast); k=4 empties sf0.01+.
+KTRUSS_K = 3
+
+#: simultaneous-peel rounds. Measured truss peel DEPTH across the
+#: test SFs is 1 (round 2 changes nothing anywhere); 4 leaves spare
+#: rounds so the fixed unroll is converged everywhere — one extra
+#: round changing nothing is pinned in tests/test_r17.py. The oracle
+#: unrolls the SAME 4.
+KTRUSS_PEELS = 4
+
+
+def copurchase_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B66: k-truss backbone of the co-purchase graph (nodes = parts,
+    edges = B43's support-cut pairs), each surviving edge with its
+    in-truss triangle support. Kernel = operators/graph.ktruss_edges
+    (iterated simultaneous edge peeling over the SHARED oriented
+    triangle enumeration — O(√E) wedges, three row-local edge
+    credits, one edge-keyed aggregate per round, per-round lineage
+    cuts per the k-core convention) — shared with the standing-index
+    probe ``ktruss_from_index`` so live/probe parity is structural.
+    Scale: every round's work is GRAPH-sized and shrinks as edges
+    peel; rounds = truss peel depth (1 measured, 4 fixed); nothing is
+    collected driver-side."""
+    _, pairs = _basket_pair_counts(spark, sf_dir)
+    edges = persist_tracked(pairs.select("part_a", "part_b"))
+    return ktruss_edges(edges, KTRUSS_K, KTRUSS_PEELS)
+
+
+def _ktruss_round_sql(i: int) -> str:
+    prev = "e0" if i == 1 else f"e{i - 1}"
+    return f"""
+s{i} AS MATERIALIZED (
+  SELECT part_a AS u, part_b AS v FROM {prev}
+  UNION ALL
+  SELECT part_b AS u, part_a AS v FROM {prev}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.part_a, e.part_b, count(*) AS truss_sup
+  FROM {prev} e
+  JOIN s{i} x ON x.u = e.part_a
+  JOIN s{i} y ON y.u = e.part_b AND y.v = x.v
+  GROUP BY e.part_a, e.part_b
+  HAVING count(*) >= {KTRUSS_K - 2}
+)"""
+
+
+def _ktruss_sql() -> str:
+    rounds = ",".join(_ktruss_round_sql(i) for i in range(1, KTRUSS_PEELS + 1))
+    return f"""
+WITH {_BASKET_CTES},
+e0 AS MATERIALIZED (SELECT part_a, part_b FROM pairs),
+{rounds}
+SELECT CAST(part_a AS BIGINT) AS part_a, CAST(part_b AS BIGINT) AS part_b,
+       CAST(truss_sup AS BIGINT) AS truss_sup
+FROM e{KTRUSS_PEELS}
+"""
+
+
+KTRUSS_SQL = _ktruss_sql()
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C76: per-query RECALL@k of the C8b IVF path against the exact
+    C8 brute-force baseline — the ANN family's evaluation harness
+    made a first-class relation (the existing test pins only a recall
+    FLOOR; tuning nprobe/centroids needs the per-query curve — this
+    is how IVF_NPROBE 2→3 was retuned in round 5). Both sides run
+    with the family's shared constants and the same rounded-cosine
+    deterministic ranking, so the eval measures the INDEX's recall,
+    not tie-break noise. Scale: the exact side is the documented
+    brute-force baseline (ANN_QUERIES probe rows broadcast against
+    the corpus — the eval runs on a query SAMPLE by construction);
+    the join/aggregate run on two (queries × k)-sized relations.
+    Returns (query_id, n_exact, n_hits, recall)."""
+    from .operators.similarity import cosine_topk, ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    exact = cosine_topk(emb, queries, k=ANN_TOPK, round_digits=R).select(
+        "query_id", "corpus_id"
+    )
+    approx = ivf_topk(
+        emb,
+        queries,
+        k=ANN_TOPK,
+        num_centroids=IVF_CENTROIDS,
+        nprobe=IVF_NPROBE,
+        round_digits=R,
+    ).select("query_id", "corpus_id")
+    hits = (
+        exact.join(approx, ["query_id", "corpus_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    qs = queries.select(F.col("vec_id").cast("long").alias("query_id"))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.lit(ANN_TOPK).cast("long").alias("n_exact"),
+        n_hits.alias("n_hits"),
+        _r9(n_hits.cast("double") / F.lit(ANN_TOPK)).alias("recall"),
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH {_V_SQL},
+ex_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         round(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), {R}) AS cosine
+  FROM v c, (SELECT * FROM v WHERE vec_id < {ANN_QUERIES}) q
+  WHERE c.vec_id != q.vec_id
+),
+ex AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+    FROM ex_scored
+  ) WHERE rank <= {ANN_TOPK}
+),
+cent AS (SELECT vec_id AS cent_id, e AS w FROM v ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+{_IVF_CA_SQL},
+assign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM ca
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM ca WHERE vec_id < {ANN_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS corpus_id
+  FROM probe p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+),
+iv_scored AS (
+  SELECT query_id, corpus_id,
+         round(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), {R}) AS cosine
+  FROM cand JOIN v q ON q.vec_id = query_id JOIN v c ON c.vec_id = corpus_id
+),
+iv AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+    FROM iv_scored
+  ) WHERE rank <= {ANN_TOPK}
+),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM ex e JOIN iv i ON i.query_id = e.query_id AND i.corpus_id = e.corpus_id
+  GROUP BY e.query_id
+)
+SELECT q.vec_id AS query_id,
+       CAST({ANN_TOPK} AS BIGINT) AS n_exact,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) * 1.0 / {ANN_TOPK}, 9) + 0.0 AS recall
+FROM (SELECT vec_id FROM v WHERE vec_id < {ANN_QUERIES}) q
+LEFT JOIN hits h ON h.query_id = q.vec_id
+"""
+
+
+#: two-sided window width (days) for the mean-shift detector
+CP_W = 7
+
+#: MAD floor (a constant-count series has MAD 0) and the shift
+#: threshold in robust-scale units — the B46 convention
+CP_MAD_FLOOR = 1.0
+CP_THRESH = 3.0
+
+
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B67: two-window MEAN-SHIFT changepoint screen over per-type
+    daily event counts — the regime-change complement of B46's
+    outlier screen (a one-day spike is an anomaly; a sustained jump
+    in level is a changepoint; MAD z-scores flag the former and
+    smear the latter across the window). At each day t of a type's
+    daily series: left mean over the CP_W preceding days, right mean
+    over [t, t+CP_W), both windows required FULL (row-count frame
+    predicates — truncated edge windows would manufacture shifts),
+    score = |right − left| / max(noise, floor) where the robust
+    scale is the type's median |first difference| of the daily
+    series — the LOCAL-NOISE scale, deliberately NOT B46's MAD of
+    levels: a balanced regime shift inflates the level-MAD by half
+    the step itself and mutes the very shift being measured, while
+    day-over-day differences see only noise plus the one jump.
+
+    Engine-parity by construction: daily counts are integers, window
+    means are exact integer sums / constant, the scale is a median
+    of integer |diffs| — both engines produce bit-identical doubles
+    before the 9 dp round (no stddev accumulation-order risk; this
+    is WHY the scale is a diff-median, not a pooled variance). The
+    only corpus-sized shuffle is the (type, day) count; every window
+    runs over the |types| × |days| grid (the B46/B54 convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = persist_tracked(
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ord_w = Window.partitionBy("event_type").orderBy("day")
+    mad = (
+        daily.withColumn("prev", F.lag("cnt").over(ord_w))
+        .filter(F.col("prev").isNotNull())
+        .withColumn("adiff", F.abs(F.col("cnt") - F.col("prev")))
+        .groupBy("event_type")
+        .agg(F.percentile("adiff", F.lit(0.5)).alias("mad"))
+    )
+    wl = ord_w.rowsBetween(-CP_W, -1)
+    wr = ord_w.rowsBetween(0, CP_W - 1)
+    scored = (
+        daily.withColumn("left_mean", F.avg("cnt").over(wl))
+        .withColumn("n_left", F.count(F.lit(1)).over(wl))
+        .withColumn("right_mean", F.avg("cnt").over(wr))
+        .withColumn("n_right", F.count(F.lit(1)).over(wr))
+        .filter((F.col("n_left") == CP_W) & (F.col("n_right") == CP_W))
+        .join(F.broadcast(mad), "event_type")
+    )
+    score = _r9(
+        F.abs(F.col("right_mean") - F.col("left_mean"))
+        / F.greatest(F.col("mad"), F.lit(CP_MAD_FLOOR))
+    )
+    return scored.select(
+        "event_type",
+        "day",
+        "cnt",
+        _r9(F.col("left_mean")).alias("left_mean"),
+        _r9(F.col("right_mean")).alias("right_mean"),
+        score.alias("score"),
+        (score > CP_THRESH).alias("is_changepoint"),
+    )
+
+
+EVENTS_CHANGEPOINT_SQL = f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+diffs AS (
+  SELECT event_type,
+         abs(cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY day)) AS adiff
+  FROM daily
+),
+mad AS (
+  SELECT event_type, median(adiff) AS mad
+  FROM diffs WHERE adiff IS NOT NULL
+  GROUP BY event_type
+),
+win AS (
+  SELECT event_type, day, cnt,
+         avg(cnt) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN {CP_W} PRECEDING AND 1 PRECEDING) AS left_mean,
+         count(*) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN {CP_W} PRECEDING AND 1 PRECEDING) AS n_left,
+         avg(cnt) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND {CP_W - 1} FOLLOWING) AS right_mean,
+         count(*) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND {CP_W - 1} FOLLOWING) AS n_right
+  FROM daily
+)
+SELECT w.event_type, w.day, w.cnt,
+       round(w.left_mean, 9) + 0.0 AS left_mean,
+       round(w.right_mean, 9) + 0.0 AS right_mean,
+       round(abs(w.right_mean - w.left_mean)
+             / greatest(m.mad, {CP_MAD_FLOOR}), 9) + 0.0 AS score,
+       round(abs(w.right_mean - w.left_mean)
+             / greatest(m.mad, {CP_MAD_FLOOR}), 9) + 0.0 > {CP_THRESH}
+         AS is_changepoint
+FROM win w JOIN mad m ON w.event_type = m.event_type
+WHERE w.n_left = {CP_W} AND w.n_right = {CP_W}
+"""
+
+
+R17_QUERIES: dict = {
+    "copurchase_ktruss": copurchase_ktruss,
+    "ann_recall_eval": ann_recall_eval,
+    "events_changepoint": events_changepoint,
+}
+
+R17_ORACLES: dict = {
+    "copurchase_ktruss": KTRUSS_SQL,
+    "ann_recall_eval": ANN_RECALL_SQL,
+    "events_changepoint": EVENTS_CHANGEPOINT_SQL,
+}
