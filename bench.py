@@ -254,6 +254,12 @@ HEADLINERS = [
     "copurchase_ktruss",
     "ann_recall_eval",
     "events_changepoint",
+    # round-17 second wave: the exact hop-plot (iterated frontier
+    # expansion — the oracle-groundable O(n²) form) and its HyperBall
+    # sketch twin (O(n·64) rows/round — the 100× production path;
+    # benching BOTH keeps the exact-vs-sketch cost ratio visible)
+    "copurchase_hopplot",
+    "copurchase_hyperball",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput

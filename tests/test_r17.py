@@ -2,11 +2,15 @@
 pendant values, k=3 one-round convergence at the fixed unroll,
 converged == fixed-unroll at test SF, a planted triangle-strip the
 fixed unroll provably UNDER-PEELS at k=4 (cascade deeper than the
-unroll), and the fail-loud guards; (b) ann_recall_eval cross-checked
-against an independent join of the family's own exact/IVF query
-paths; (c) events_changepoint — a planted step series parquet where
-the diff-median noise scale flags the step a level-MAD scale would
-mute (the semantics the detector exists for)."""
+unroll), and the fail-loud guards; (b) the hop-plot pair —
+exact reach_counts against closed-form 5-path values, the HyperBall
+sketch twin within the m=64 HLL tolerance of the exact twin on the
+live smoke graph plus bit-exact determinism, and ball monotonicity;
+(c) ann_recall_eval cross-checked against an independent join of the
+family's own exact/IVF query paths; (d) events_changepoint — a
+planted step series parquet where the diff-median noise scale flags
+the step a level-MAD scale would mute (the semantics the detector
+exists for)."""
 
 from __future__ import annotations
 
@@ -155,6 +159,90 @@ def test_ktruss_from_index_matches_live(spark):
         ).collect()
     }
     assert live == probe
+
+
+# --- hop-plot / HyperBall ----------------------------------------------------
+
+
+def test_reach_counts_planted_path(spark):
+    """Exact neighborhood function of the 5-path: N(v, t) = the
+    interval [v−t, v+t] clipped to [1, 5]."""
+    from tradesignal_mtm_runner_spark.operators.graph import reach_counts
+
+    path = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = {
+        (r["part"], r["hop"]): r["n_reach"]
+        for r in reach_counts(path, 4).collect()
+    }
+    want = {
+        (v, t): sum(1 for u in range(1, 6) if abs(u - v) <= t)
+        for v in range(1, 6)
+        for t in range(5)
+    }
+    assert got == want
+
+
+def test_hyperball_tolerance_vs_exact(spark):
+    """The sketch twin tracks the exact neighborhood function within
+    the m=64 HLL error bound on the live smoke graph: hop-0 balls are
+    singletons (linear counting regime, tight), and overall the
+    median relative error stays near the 13 % standard error — the
+    B19/B21 approx-family convention, here pinned against the exact
+    B68 twin instead of a SQL oracle."""
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        hyperball_counts,
+        reach_counts,
+    )
+    from tradesignal_mtm_runner_spark.queries_r10b import _basket_pair_counts
+
+    _, pairs = _basket_pair_counts(spark, SF_SMOKE)
+    edges = pairs.select("part_a", "part_b").localCheckpoint(eager=True)
+    exact = {
+        (r["part"], r["hop"]): r["n_reach"]
+        for r in reach_counts(edges, 4).collect()
+    }
+    est = {
+        (r["part"], r["hop"]): r["est_reach"]
+        for r in hyperball_counts(edges, 4).collect()
+    }
+    assert set(est) == set(exact)
+    errs = sorted(abs(est[k] - exact[k]) / exact[k] for k in exact)
+    assert errs[len(errs) // 2] < 0.25  # measured 0.154 at sf0.001
+    assert errs[int(len(errs) * 0.9)] < 0.35  # measured 0.16
+    for (part, hop), n in exact.items():
+        if hop == 0:
+            assert n == 1
+            assert abs(est[(part, hop)] - 1.0) < 0.1  # linear counting
+
+
+def test_hyperball_deterministic(spark):
+    """Register placement rides xxhash64 — two runs agree exactly."""
+    from tradesignal_mtm_runner_spark.operators.graph import hyperball_counts
+
+    g = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    a = sorted(map(tuple, hyperball_counts(g, 2).collect()))
+    b = sorted(map(tuple, hyperball_counts(g, 2).collect()))
+    assert a == b
+
+
+def test_reach_counts_monotone_and_guarded(spark):
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        hyperball_counts,
+        reach_counts,
+    )
+
+    g = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    rows = {
+        (r["part"], r["hop"]): r["n_reach"]
+        for r in reach_counts(g, 3).collect()
+    }
+    for v in (1, 2, 3, 4):
+        for t in range(3):
+            assert rows[(v, t)] <= rows[(v, t + 1)]  # balls only grow
+    with pytest.raises(ValueError, match="hops must be >= 1"):
+        reach_counts(g, 0)
+    with pytest.raises(ValueError, match="hops must be >= 1"):
+        hyperball_counts(g, 0)
 
 
 # --- ann_recall_eval ---------------------------------------------------------

@@ -665,6 +665,172 @@ def ktruss_edges_converged(
     )
 
 
+def reach_counts(edges: DataFrame, hops: int) -> DataFrame:
+    """EXACT neighborhood function / hop-plot: N(v, t) = #{u :
+    dist(v, u) ≤ t} for t = 0..hops — the distance-structure classic
+    (effective diameter, hop-plot exponent) beside the family's
+    cohesion and centrality kernels. Iterated frontier expansion on
+    the materialized REACH relation: R_0 = identity, R_{t+1} = R_t ∪
+    (R_t ⋈ edges) distinct, one count aggregate per hop.
+
+    SCALE HONESTY (the reason this form exists): the reach relation
+    saturates at n per node of its component — O(n²) rows on a
+    connected graph. That is the hop-plot's DEFINING object, so the
+    exact form is inherently quadratic: it is the ORACLE-GROUNDABLE
+    twin (DuckDB mirrors the same unroll) and stays cheap on the
+    support-cut graphs (≤ 0.5 M reach rows at the bench SFs, hops
+    fixed); the 100× production path is :func:`hyperball_counts` —
+    the Boldi–Vigna HyperBall sketch propagation at O(n·m_registers)
+    rows per round — whose tolerance against THIS form is pinned in
+    tests/test_r17.py. Per-round lineage cuts per the family
+    convention (R_t feeds both the union and the expansion join).
+
+    ``edges`` = canonical undirected (part_a, part_b [, ...]);
+    returns (part, hop, n_reach), one row per node per hop 0..hops,
+    all BIGINT."""
+    if hops < 1:
+        raise ValueError(f"reach_counts: hops must be >= 1 (got {hops})")
+    sym = cut_lineage(
+        edges.select(
+            F.col("part_a").alias("u"), F.col("part_b").alias("v")
+        ).unionAll(
+            edges.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
+        )
+    )
+    reach = sym.select(F.col("u").alias("src")).distinct().select(
+        "src", F.col("src").alias("dst")
+    )
+    out = [
+        reach.groupBy("src").agg(
+            F.count(F.lit(1)).cast("long").alias("n_reach")
+        ).select("src", F.lit(0).cast("long").alias("hop"), "n_reach")
+    ]
+    hop_edges = sym.select(
+        F.col("u").alias("_mid"), F.col("v").alias("_nxt")
+    )
+    for t in range(1, hops + 1):
+        expanded = (
+            reach.select("src", F.col("dst").alias("_mid"))
+            .join(hop_edges, "_mid")
+            .select("src", F.col("_nxt").alias("dst"))
+        )
+        reach = cut_lineage(reach.unionAll(expanded).distinct())
+        out.append(
+            reach.groupBy("src").agg(
+                F.count(F.lit(1)).cast("long").alias("n_reach")
+            ).select("src", F.lit(t).cast("long").alias("hop"), "n_reach")
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionAll(df)
+    return res.select(
+        F.col("src").cast("long").alias("part"), "hop", "n_reach"
+    )
+
+
+#: HyperBall register count (m). 64 registers → HLL standard error
+#: ≈ 1.04/√64 ≈ 13 %; the register index rides the hash's low 6 bits
+_HB_M = 64
+
+#: α_64 = 0.7213 / (1 + 1.079/64) — the HLL bias constant for m=64
+_HB_ALPHA = 0.7213 / (1 + 1.079 / 64)
+
+
+def _hb_singletons(nodes: DataFrame) -> DataFrame:
+    """Each node's singleton HLL sketch in SPARSE LONG FORM
+    (node, j, v): xxhash64(node) → register j = low 6 bits, v = rho
+    of the remaining 58 bits (position of the least-significant set
+    bit — computed as log2(w & −w) + 1, EXACT because w & −w is a
+    power of two and powers of two are exact doubles; w = 0 caps at
+    59). Zero registers are implicit (the estimate reconstructs them
+    arithmetically) — a node's sketch is ONE row, not m."""
+    h = F.xxhash64(F.col("node"))
+    j = F.pmod(h, F.lit(_HB_M)).cast("int")
+    w = F.shiftrightunsigned(h, 6)
+    rho = (
+        F.when(w == 0, F.lit(59))
+        .otherwise(F.log2(w.bitwiseAND(-w)) + F.lit(1))
+        .cast("int")
+    )
+    return nodes.select("node", j.alias("j"), rho.alias("v"))
+
+
+def _hb_estimate(sketches: DataFrame, hop: int) -> DataFrame:
+    """HLL estimate from sparse long-form sketches: per node,
+    sum = Σ_present 2^−v + (m − n_present) (absent registers are
+    zeros contributing 2⁰ = 1 each), raw = α·m²/sum, with the
+    standard small-range (linear-counting) correction when
+    raw ≤ 2.5 m and zero registers remain."""
+    agg = sketches.groupBy("node").agg(
+        F.count(F.lit(1)).alias("_np"),
+        F.sum(F.pow(F.lit(2.0), -F.col("v"))).alias("_s"),
+    )
+    zeros = F.lit(_HB_M) - F.col("_np")
+    total = F.col("_s") + zeros.cast("double")
+    raw = F.lit(_HB_ALPHA * _HB_M * _HB_M) / total
+    est = F.when(
+        (raw <= 2.5 * _HB_M) & (zeros > 0),
+        F.lit(float(_HB_M)) * F.log(F.lit(float(_HB_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("node").cast("long").alias("part"),
+        F.lit(hop).cast("long").alias("hop"),
+        F.round(est, 9).alias("est_reach"),
+    )
+
+
+def hyperball_counts(edges: DataFrame, hops: int) -> DataFrame:
+    """HyperBall (Boldi–Vigna, WSDM 2011 / SoCC 2014 lineage): the
+    PRODUCTION neighborhood function — each node carries an m=64
+    register HLL sketch of its reach set; one round merges every
+    node's sketch with its neighbors' (elementwise register max) so
+    after t rounds node v's sketch summarizes {u : dist(v,u) ≤ t};
+    the per-hop estimate is the standard HLL formula with the
+    small-range correction. Everything is built-in column algebra on
+    the SPARSE long form (node, register, value): the merge round is
+    one edge join + one (node, register) MAX aggregate — map-side
+    combinable, O(n·m) rows per round bounded by min(m, |ball|)
+    registers per node, rounds = hops. No UDF, no driver data, no
+    quadratic reach relation — this is the form that runs at 100×,
+    where :func:`reach_counts` (the exact, oracle-checkable twin) is
+    inherently O(n²). DETERMINISTIC: register placement rides
+    xxhash64, so both runs and both twins of a tolerance pin agree
+    bit-for-bit. Per-round lineage cuts per the family convention.
+
+    Returns (part, hop, est_reach) for hop 0..hops — est_reach
+    DOUBLE (a sketch estimate; median relative error vs the exact
+    twin ≈ the 13 % HLL bound, pinned in tests/test_r17.py)."""
+    if hops < 1:
+        raise ValueError(f"hyperball_counts: hops must be >= 1 (got {hops})")
+    sym = cut_lineage(
+        edges.select(
+            F.col("part_a").alias("u"), F.col("part_b").alias("nbr")
+        ).unionAll(
+            edges.select(
+                F.col("part_b").alias("u"), F.col("part_a").alias("nbr")
+            )
+        )
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    sk = cut_lineage(_hb_singletons(nodes))
+    push = sym.select(F.col("u").alias("node"), F.col("nbr").alias("_to"))
+    out = [_hb_estimate(sk, 0)]
+    for t in range(1, hops + 1):
+        merged = sk.unionAll(
+            sk.join(push, "node").select(
+                F.col("_to").alias("node"), "j", "v"
+            )
+        )
+        sk = cut_lineage(
+            merged.groupBy("node", "j").agg(F.max("v").alias("v"))
+        )
+        out.append(_hb_estimate(sk, t))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionAll(df)
+    return res
+
+
 def community_labels(edges: DataFrame, rounds: int) -> DataFrame:
     """Community detection via SYNCHRONOUS LABEL PROPAGATION with a
     self-vote — the fifth classic distributed graph computation in the

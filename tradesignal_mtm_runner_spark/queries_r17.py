@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .cache_registry import persist_tracked
-from .operators.graph import ktruss_edges
+from .operators.graph import hyperball_counts, ktruss_edges, reach_counts
 from .queries_pipeline import (
     _IVF_CA_SQL,
     _V_SQL,
@@ -322,14 +322,100 @@ WHERE w.n_left = {CP_W} AND w.n_right = {CP_W}
 """
 
 
+#: hop-plot depth. 4 is where the test graphs' growth flattens
+#: (sf0.001 saturates its 200-node component by t=3; sf0.01 is still
+#: growing at t=4 — measured reach rows 456k) while keeping the exact
+#: relation bounded at every test SF.
+HOP_T = 4
+
+
+def copurchase_hopplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B68: EXACT neighborhood function / hop-plot of the co-purchase
+    graph — N(v, t) = #{u : dist(v, u) ≤ t} for t = 0..HOP_T, the
+    distance-structure classic (effective diameter, hop-plot) beside
+    the family's cohesion (k-core/k-truss) and centrality (PageRank)
+    kernels. Kernel = operators/graph.reach_counts (iterated frontier
+    expansion on the materialized reach relation, per-round lineage
+    cuts). SCALE HONESTY: the exact reach relation is inherently
+    O(n²) on a connected graph — this is the ORACLE-GROUNDABLE twin
+    (bounded on the support-cut graphs: ≤ 0.5 M rows at the bench
+    SFs); the 100× production path is B68b `copurchase_hyperball`
+    (HLL sketch propagation, O(n·64) rows per round), whose tolerance
+    against THIS query is pinned in tests/test_r17.py."""
+    _, pairs = _basket_pair_counts(spark, sf_dir)
+    edges = persist_tracked(pairs.select("part_a", "part_b"))
+    return reach_counts(edges, HOP_T)
+
+
+def _hopplot_round_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+r{i} AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM {prev}
+    UNION ALL
+    SELECT p.src, s.v AS dst FROM {prev} p JOIN sym s ON s.u = p.dst
+  )
+)"""
+
+
+def _hopplot_sql() -> str:
+    rounds = ",".join(_hopplot_round_sql(i) for i in range(1, HOP_T + 1))
+    hops = "\nUNION ALL\n".join(
+        f"SELECT src, {t} AS hop, count(*) AS n_reach FROM r{t} GROUP BY src"
+        for t in range(0, HOP_T + 1)
+    )
+    return f"""
+WITH {_BASKET_CTES},
+sym AS MATERIALIZED (
+  SELECT part_a AS u, part_b AS v FROM pairs
+  UNION ALL
+  SELECT part_b AS u, part_a AS v FROM pairs
+),
+r0 AS MATERIALIZED (SELECT DISTINCT u AS src, u AS dst FROM sym),
+{rounds}
+SELECT CAST(src AS BIGINT) AS part, CAST(hop AS BIGINT) AS hop,
+       CAST(n_reach AS BIGINT) AS n_reach
+FROM ({hops})
+"""
+
+
+HOPPLOT_SQL = _hopplot_sql()
+
+
+def copurchase_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B68b: HyperBall neighborhood function (Boldi–Vigna) — the
+    PRODUCTION form of B68: every node carries a 64-register HLL
+    sketch of its ball, one merge round per hop (edge join + a
+    (node, register) MAX aggregate, map-side combinable — O(n·64)
+    rows per round instead of B68's O(n²) reach relation), estimates
+    via the standard HLL formula with the small-range correction.
+    Everything is built-in column algebra on the sparse long form —
+    no UDF, no driver data, deterministic register placement
+    (xxhash64). NO SQL ORACLE BY DESIGN (a sketch estimate has no
+    engine-independent exact value; DuckDB's hash() is a different
+    function): the pytest substitute pins determinism and the
+    measured tolerance vs the exact B68 twin (median relative error
+    ≈ the 13 % HLL bound for m=64) in tests/test_r17.py — the
+    B19/B21 approx-family convention."""
+    _, pairs = _basket_pair_counts(spark, sf_dir)
+    edges = persist_tracked(pairs.select("part_a", "part_b"))
+    return hyperball_counts(edges, HOP_T)
+
+
 R17_QUERIES: dict = {
     "copurchase_ktruss": copurchase_ktruss,
     "ann_recall_eval": ann_recall_eval,
     "events_changepoint": events_changepoint,
+    "copurchase_hopplot": copurchase_hopplot,
+    # rows-only by design: sketch estimates have no engine-independent
+    # exact value (tolerance vs the exact B68 twin pinned in pytest)
+    "copurchase_hyperball": copurchase_hyperball,
 }
 
 R17_ORACLES: dict = {
     "copurchase_ktruss": KTRUSS_SQL,
     "ann_recall_eval": ANN_RECALL_SQL,
     "events_changepoint": EVENTS_CHANGEPOINT_SQL,
+    "copurchase_hopplot": HOPPLOT_SQL,
 }
