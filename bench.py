@@ -260,6 +260,9 @@ HEADLINERS = [
     # benching BOTH keeps the exact-vs-sketch cost ratio visible)
     "copurchase_hopplot",
     "copurchase_hyperball",
+    # the k-truss stream twin (whole-order micro-batches + support-cut
+    # fold + the shared peeling kernel, timed whole — the B56b shape)
+    "copurchase_ktruss_stream",
 ]
 
 #: benched best-of-TWO instead of best-of-3 (long-running throughput
@@ -736,6 +739,16 @@ def main() -> None:
         lambda: ktruss_from_index(
             spark, "bench_idx.edge_idx", KTRUSS_K, KTRUSS_PEELS
         ),
+    )
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        hyperball_from_index,
+    )
+    from tradesignal_mtm_runner_spark.queries_r17 import HOP_T
+
+    _time_probe(
+        "index_probe_hyperball",
+        lambda: None,
+        lambda: hyperball_from_index(spark, "bench_idx.edge_idx", HOP_T),
     )
 
     from tradesignal_mtm_runner_spark.operators.novelty import (

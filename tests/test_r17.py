@@ -161,7 +161,53 @@ def test_ktruss_from_index_matches_live(spark):
     assert live == probe
 
 
+def test_ktruss_stream_matches_live(spark):
+    """B66b replay parity: the staged whole-order stream folds to the
+    identical support-cut graph, so the stream twin's truss equals
+    the live batch query's exactly."""
+    from tradesignal_mtm_runner_spark.queries_r17 import (
+        copurchase_ktruss,
+        copurchase_ktruss_stream,
+    )
+
+    live = {
+        (r["part_a"], r["part_b"]): r["truss_sup"]
+        for r in copurchase_ktruss(spark, SF_SMOKE).collect()
+    }
+    streamed = {
+        (r["part_a"], r["part_b"]): r["truss_sup"]
+        for r in copurchase_ktruss_stream(spark, SF_SMOKE).collect()
+    }
+    assert live == streamed
+
+
 # --- hop-plot / HyperBall ----------------------------------------------------
+
+
+def test_hyperball_from_index_matches_live(spark):
+    """Standing-index probe parity: the sketch kernel over the
+    persisted edge table equals the live query bit-for-bit (the
+    deterministic-register property extended to the probe)."""
+    from tradesignal_mtm_runner_spark.operators.graph import (
+        hyperball_from_index,
+        write_edge_index,
+    )
+    from tradesignal_mtm_runner_spark.queries_r10b import _basket_pair_counts
+    from tradesignal_mtm_runner_spark.queries_r17 import (
+        HOP_T,
+        copurchase_hyperball,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t17")
+    spark.sql("DROP TABLE IF EXISTS t17.hb_edges")
+    spark.sql("DROP TABLE IF EXISTS t17.hb_edges_deg")
+    _, pairs = _basket_pair_counts(spark, SF_SMOKE)
+    write_edge_index(pairs, "t17.hb_edges")
+    live = sorted(map(tuple, copurchase_hyperball(spark, SF_SMOKE).collect()))
+    probe = sorted(
+        map(tuple, hyperball_from_index(spark, "t17.hb_edges", HOP_T).collect())
+    )
+    assert live == probe
 
 
 def test_reach_counts_planted_path(spark):

@@ -1539,6 +1539,15 @@ def ktruss_from_index(
     return ktruss_edges(spark.table(table), k, peels)
 
 
+def hyperball_from_index(
+    spark: SparkSession, table: str, hops: int
+) -> DataFrame:
+    """B68b from the standing index: same sketch-propagation kernel,
+    zero lineitem bytes — only the persisted edge table is read (the
+    singleton sketches are derived from node ids, not degrees)."""
+    return hyperball_counts(spark.table(table), hops)
+
+
 def communities_from_index(
     spark: SparkSession, table: str, rounds: int
 ) -> DataFrame:

@@ -107,6 +107,29 @@ FROM e{KTRUSS_PEELS}
 KTRUSS_SQL = _ktruss_sql()
 
 
+def copurchase_ktruss_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B66b: ``copurchase_ktruss`` under ``readStream`` — continual
+    order ingest maintains the co-purchase graph WITHOUT re-scanning
+    history (the B56b/B58b convention). Front half =
+    queries_r14.streamed_support_cut_edges (staged whole-order replay
+    → additive pair partials appended per micro-batch, retry-
+    idempotent by batch_id-derived overwrite paths → support-cut fold
+    over all generations, so pairs crossing the cut only across batch
+    boundaries are correctly edges); the folded edges feed the SAME
+    peeling kernel, so the stream replay equals the batch B66 oracle
+    exactly."""
+    from .queries_r14 import streamed_support_cut_edges
+
+    edges = streamed_support_cut_edges(spark, sf_dir, "ktruss_stream")
+    if edges is None:
+        return spark.createDataFrame(
+            [], "part_a long, part_b long, truss_sup long"
+        )
+    return ktruss_edges(
+        edges.select("part_a", "part_b"), KTRUSS_K, KTRUSS_PEELS
+    )
+
+
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C76: per-query RECALL@k of the C8b IVF path against the exact
     C8 brute-force baseline — the ANN family's evaluation harness
@@ -405,6 +428,7 @@ def copurchase_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 R17_QUERIES: dict = {
     "copurchase_ktruss": copurchase_ktruss,
+    "copurchase_ktruss_stream": copurchase_ktruss_stream,
     "ann_recall_eval": ann_recall_eval,
     "events_changepoint": events_changepoint,
     "copurchase_hopplot": copurchase_hopplot,
@@ -415,6 +439,9 @@ R17_QUERIES: dict = {
 
 R17_ORACLES: dict = {
     "copurchase_ktruss": KTRUSS_SQL,
+    # stream replay == batch: the staged whole-order replay folds to
+    # the identical support-cut graph, so the B66 oracle applies
+    "copurchase_ktruss_stream": KTRUSS_SQL,
     "ann_recall_eval": ANN_RECALL_SQL,
     "events_changepoint": EVENTS_CHANGEPOINT_SQL,
     "copurchase_hopplot": HOPPLOT_SQL,
