@@ -109,6 +109,12 @@ SNAPSHOT = [
     # round-16 additions
     ("copurchase_components_refresh", "partials fold + delta anti-join + contraction mini-CC: cost follows the batch"),
     ("novelty_saturation", "one shared shingle pass -> two bucket aggregates + a 10-row cumulative window"),
+    # round-17 pre-staged batch
+    ("copurchase_ktruss", "simultaneous edge peel: shared oriented triangle kernel per round, lineage cuts"),
+    ("copurchase_hopplot", "iterated frontier expansion: the exact O(n²) oracle twin, per-round cuts"),
+    ("copurchase_hyperball", "sparse HLL register propagation: edge join + (node,reg) MAX per round, no UDF"),
+    ("ann_recall_eval", "exact + IVF arms joined per query: both arms the family's own plans"),
+    ("events_changepoint", "one corpus agg to the daily grid; diff-median scale + row-frame windows on the grid"),
 ]
 
 
