@@ -260,6 +260,8 @@ HEADLINERS = [
     # benching BOTH keeps the exact-vs-sketch cost ratio visible)
     "copurchase_hopplot",
     "copurchase_hyperball",
+    # the one-row effective-diameter rollup of the hop-plot
+    "copurchase_eff_diameter",
     # the k-truss stream twin (whole-order micro-batches + support-cut
     # fold + the shared peeling kernel, timed whole — the B56b shape)
     "copurchase_ktruss_stream",

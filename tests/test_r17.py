@@ -228,6 +228,53 @@ def test_reach_counts_planted_path(spark):
     assert got == want
 
 
+def test_eff_diameter_planted_path(spark, tmp_path):
+    """Effective diameter of the 5-path via a planted mini-corpus is
+    the closed-form interpolation: per-hop reach totals are
+    5/13/19/23/25, target = 0.9·25 = 22.5, bracketing hops (2, 3) →
+    d_eff = 2 + (22.5 − 19)/(23 − 19) = 2.875."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from tradesignal_mtm_runner_spark.operators.graph import reach_counts
+    from tradesignal_mtm_runner_spark.queries_r17 import HOP_T
+
+    # drive the same arithmetic the query runs, over the planted path
+    # (the query's front half is the shared basket chain; the metric
+    # arithmetic is what this pin grounds)
+    path = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    per_hop = {
+        r["hop"]: r["n_reach"]
+        for r in reach_counts(path, HOP_T)
+        .groupBy("hop")
+        .agg(F.sum("n_reach").alias("n_reach"))
+        .collect()
+    }
+    assert per_hop == {0: 5, 1: 13, 2: 19, 3: 23, 4: 25}
+    target = 0.9 * 25
+    t90 = min(t for t, tot in per_hop.items() if tot >= target)
+    assert t90 == 3
+    eff = (t90 - 1) + (target - per_hop[t90 - 1]) / (
+        per_hop[t90] - per_hop[t90 - 1]
+    )
+    assert abs(eff - 2.875) < 1e-12
+
+
+def test_eff_diameter_live_shape(spark):
+    """One row, t90 within the hop horizon, eff_diameter ≤ t90 and
+    consistent with the live per-hop totals."""
+    from tradesignal_mtm_runner_spark.queries_r17 import (
+        HOP_T,
+        copurchase_eff_diameter,
+    )
+
+    rows = copurchase_eff_diameter(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 <= r["t90"] <= HOP_T
+    assert 0.0 <= r["eff_diameter"] <= float(r["t90"])
+    assert r["total_reach_pairs"] > 0
+
+
 def test_hyperball_tolerance_vs_exact(spark):
     """The sketch twin tracks the exact neighborhood function within
     the m=64 HLL error bound on the live smoke graph: hop-0 balls are

@@ -406,6 +406,80 @@ FROM ({hops})
 HOPPLOT_SQL = _hopplot_sql()
 
 
+def copurchase_eff_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B68c: EFFECTIVE DIAMETER of the co-purchase graph — the
+    one-row summary the hop-plot exists to answer (the classic
+    "90 % of reachable pairs are within d hops" metric, Palmer et
+    al. / the HyperANF reporting convention, with the standard
+    linear interpolation between the bracketing hops). Derived
+    entirely from B68's exact reach relation: per-hop totals
+    T_t = Σ_v N(v, t) over the ≤ HOP_T+1-row hop grid, target =
+    0.9 · T_{HOP_T} (the observed horizon — the support-cut graph's
+    balls saturate well inside HOP_T at every test SF, measured),
+    t90 = the first hop meeting the target, eff_diameter =
+    (t90 − 1) + (target − T_{t90−1}) / (T_{t90} − T_{t90−1}) when a
+    previous hop exists, else 0.0. Integer totals → bit-identical
+    doubles in both engines before the 9 dp round. Scale: the hop
+    grid is HOP_T+1 rows regardless of graph size; the cost IS
+    B68's (its scale story applies — at 100× the same rollup reads
+    the HyperBall estimates instead)."""
+    _, pairs = _basket_pair_counts(spark, sf_dir)
+    edges = persist_tracked(pairs.select("part_a", "part_b"))
+    per_hop = (
+        reach_counts(edges, HOP_T)
+        .groupBy("hop")
+        .agg(F.sum("n_reach").cast("long").alias("tot"))
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("hop")
+    scored = per_hop.select(
+        "hop",
+        "tot",
+        F.max("tot").over(w_all).alias("_max"),
+        F.lag("tot").over(w_ord).alias("_prev"),
+    ).withColumn("_target", F.lit(0.9) * F.col("_max"))
+    hit = (
+        scored.filter(F.col("tot") >= F.col("_target"))
+        .orderBy("hop")
+        .limit(1)
+    )
+    eff = F.when(
+        F.col("_prev").isNull() | (F.col("tot") == F.col("_prev")), F.lit(0.0)
+    ).otherwise(
+        (F.col("hop") - 1).cast("double")
+        + (F.col("_target") - F.col("_prev"))
+        / (F.col("tot") - F.col("_prev")).cast("double")
+    )
+    return hit.select(
+        F.col("hop").cast("long").alias("t90"),
+        F.col("_max").cast("long").alias("total_reach_pairs"),
+        _r9(eff).alias("eff_diameter"),
+    )
+
+
+EFF_DIAMETER_SQL = f"""
+WITH hp AS MATERIALIZED ({_hopplot_sql()}),
+per_hop AS (SELECT hop, sum(n_reach) AS tot FROM hp GROUP BY hop),
+scored AS (
+  -- 0.9 cast to DOUBLE: DuckDB's bare 0.9 is DECIMAL (exact
+  -- arithmetic) while Spark's lit(0.9) is a double — the target must
+  -- be the SAME ieee double in both engines or the bracketing hop
+  -- can differ at exact-boundary totals
+  SELECT hop, tot,
+         max(tot) OVER () AS mx,
+         lag(tot) OVER (ORDER BY hop) AS prev,
+         CAST(0.9 AS DOUBLE) * max(tot) OVER () AS target
+  FROM per_hop
+)
+SELECT CAST(hop AS BIGINT) AS t90,
+       CAST(mx AS BIGINT) AS total_reach_pairs,
+       round(CASE WHEN prev IS NULL OR tot = prev THEN 0.0
+                  ELSE (hop - 1) + (target - prev) / (tot - prev)
+             END, 9) + 0.0 AS eff_diameter
+FROM scored WHERE tot >= target ORDER BY hop LIMIT 1
+"""
+
+
 def copurchase_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B68b: HyperBall neighborhood function (Boldi–Vigna) — the
     PRODUCTION form of B68: every node carries a 64-register HLL
@@ -432,6 +506,7 @@ R17_QUERIES: dict = {
     "ann_recall_eval": ann_recall_eval,
     "events_changepoint": events_changepoint,
     "copurchase_hopplot": copurchase_hopplot,
+    "copurchase_eff_diameter": copurchase_eff_diameter,
     # rows-only by design: sketch estimates have no engine-independent
     # exact value (tolerance vs the exact B68 twin pinned in pytest)
     "copurchase_hyperball": copurchase_hyperball,
@@ -445,4 +520,5 @@ R17_ORACLES: dict = {
     "ann_recall_eval": ANN_RECALL_SQL,
     "events_changepoint": EVENTS_CHANGEPOINT_SQL,
     "copurchase_hopplot": HOPPLOT_SQL,
+    "copurchase_eff_diameter": EFF_DIAMETER_SQL,
 }
