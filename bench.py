@@ -260,8 +260,9 @@ HEADLINERS = [
     # benching BOTH keeps the exact-vs-sketch cost ratio visible)
     "copurchase_hopplot",
     "copurchase_hyperball",
-    # the one-row effective-diameter rollup of the hop-plot
+    # the one-row effective-diameter rollups (exact + sketch form)
     "copurchase_eff_diameter",
+    "copurchase_eff_diameter_hb",
     # the k-truss stream twin (whole-order micro-batches + support-cut
     # fold + the shared peeling kernel, timed whole — the B56b shape)
     "copurchase_ktruss_stream",

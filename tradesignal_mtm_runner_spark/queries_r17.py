@@ -500,6 +500,52 @@ def copurchase_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperball_counts(edges, HOP_T)
 
 
+def copurchase_eff_diameter_hb(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """B68d: effective diameter from the HYPERBALL estimates — the
+    100× form of B68c made real (B68c's docstring claims "at 100×
+    the same rollup reads the HyperBall estimates"; this is that
+    query): per-hop estimate totals T̂_t = Σ_v N̂(v, t) over the
+    sketches, then the IDENTICAL target/bracket/interpolate rollup.
+    Per-node sketch errors are independent, so the TOTALS concentrate
+    far inside the per-node 13 % bound and the interpolated diameter
+    tracks the exact B68c closely (tolerance pinned in
+    tests/test_r17.py). rows-only BY DESIGN, like its B68b input."""
+    _, pairs = _basket_pair_counts(spark, sf_dir)
+    edges = persist_tracked(pairs.select("part_a", "part_b"))
+    per_hop = (
+        hyperball_counts(edges, HOP_T)
+        .groupBy("hop")
+        .agg(F.sum("est_reach").alias("tot"))
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("hop")
+    scored = per_hop.select(
+        "hop",
+        "tot",
+        F.max("tot").over(w_all).alias("_max"),
+        F.lag("tot").over(w_ord).alias("_prev"),
+    ).withColumn("_target", F.lit(0.9) * F.col("_max"))
+    hit = (
+        scored.filter(F.col("tot") >= F.col("_target"))
+        .orderBy("hop")
+        .limit(1)
+    )
+    eff = F.when(
+        F.col("_prev").isNull() | (F.col("tot") == F.col("_prev")), F.lit(0.0)
+    ).otherwise(
+        (F.col("hop") - 1).cast("double")
+        + (F.col("_target") - F.col("_prev"))
+        / (F.col("tot") - F.col("_prev"))
+    )
+    return hit.select(
+        F.col("hop").cast("long").alias("t90"),
+        _r9(F.col("_max")).alias("est_total_reach"),
+        _r9(eff).alias("eff_diameter"),
+    )
+
+
 R17_QUERIES: dict = {
     "copurchase_ktruss": copurchase_ktruss,
     "copurchase_ktruss_stream": copurchase_ktruss_stream,
@@ -508,8 +554,10 @@ R17_QUERIES: dict = {
     "copurchase_hopplot": copurchase_hopplot,
     "copurchase_eff_diameter": copurchase_eff_diameter,
     # rows-only by design: sketch estimates have no engine-independent
-    # exact value (tolerance vs the exact B68 twin pinned in pytest)
+    # exact value (tolerance vs the exact B68/B68c twins pinned in
+    # pytest)
     "copurchase_hyperball": copurchase_hyperball,
+    "copurchase_eff_diameter_hb": copurchase_eff_diameter_hb,
 }
 
 R17_ORACLES: dict = {
