@@ -254,6 +254,9 @@ HEADLINERS = [
     "copurchase_ktruss",
     "ann_recall_eval",
     "events_changepoint",
+    # the changepoint replay twin (event-sliced micro-batches append
+    # daily-count partials; fold + the identical detector tail)
+    "events_stream_changepoint",
     # round-17 second wave: the exact hop-plot (iterated frontier
     # expansion — the oracle-groundable O(n²) form) and its HyperBall
     # sketch twin (O(n·64) rows/round — the 100× production path;

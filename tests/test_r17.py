@@ -452,6 +452,24 @@ def test_events_changepoint_planted_step(spark, tmp_path):
     assert CP_THRESH < 15.0
 
 
+def test_events_stream_changepoint_matches_live(spark):
+    """B67b replay parity: daily counts are additive over any event
+    slicing, so the folded stream relation equals the batch relation
+    and the detector outputs match exactly."""
+    from tradesignal_mtm_runner_spark.queries_r17 import (
+        events_changepoint,
+        events_stream_changepoint,
+    )
+
+    key = lambda r: (r["event_type"], r["day"])  # noqa: E731
+    live = {key(r): tuple(r) for r in events_changepoint(spark, SF_SMOKE).collect()}
+    streamed = {
+        key(r): tuple(r)
+        for r in events_stream_changepoint(spark, SF_SMOKE).collect()
+    }
+    assert live == streamed
+
+
 def test_events_changepoint_flat_series_never_flags(spark, tmp_path):
     """A constant series scores 0 everywhere (and the diff-median
     floor never manufactures a flag)."""

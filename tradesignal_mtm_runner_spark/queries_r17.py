@@ -272,6 +272,14 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.date_trunc("day", F.col("ts")).alias("day")
         ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    return _changepoint_from_daily(daily)
+
+
+def _changepoint_from_daily(daily: DataFrame) -> DataFrame:
+    """The detector tail over an arbitrary (event_type, day, cnt)
+    relation — factored out so the B67b stream twin's FOLDED daily
+    counts run the identical arithmetic (and so tests can plant a
+    daily series without parquet plumbing)."""
     ord_w = Window.partitionBy("event_type").orderBy("day")
     mad = (
         daily.withColumn("prev", F.lag("cnt").over(ord_w))
@@ -303,6 +311,101 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (score > CP_THRESH).alias("is_changepoint"),
     )
+
+
+#: replay micro-batches for the staged event stream (B67b)
+CP_STREAM_BATCHES = 3
+
+
+def events_stream_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """B67b: ``events_changepoint`` under ``readStream`` — continual
+    event ingest maintains the daily-count relation WITHOUT
+    re-scanning history (the B56b/B66b replay convention, with the
+    simplest additivity of all: daily COUNTS sum across ANY event
+    slicing, no whole-unit constraint needed). Stage events sliced by
+    event_id % CP_STREAM_BATCHES, replay one micro-batch per slice;
+    each batch appends its own (event_type, day, cnt) partials to a
+    batch_id-derived path (``overwrite`` → a retried batch rewrites
+    byte-identical partials, the C67 exactly-once convention); the
+    fold SUMS partials per (type, day) and the IDENTICAL detector
+    tail runs on the folded relation — so the stream replay equals
+    the batch B67 oracle exactly. At 100 TB the partials are the
+    standing index: a crawl-day's ingest appends one day-grid-sized
+    partial and the detector re-reads only the grid, never raw
+    events."""
+    import glob as _glob
+    import os as _os
+    import time as _time  # noqa: F401  (mirrors the r13 helper's env)
+
+    from .cache_registry import tracked_mkdtemp
+    from .queries_r13 import _slice_replay_stream
+    from .streaming import await_or_raise
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    root = tracked_mkdtemp("cp_stream_")
+    part_root = _os.path.join(root, "slices")
+    stream_dir = _os.path.join(root, "stream")
+    _os.makedirs(stream_dir)
+    (
+        ev.withColumn(
+            "slice", (F.col("event_id") % CP_STREAM_BATCHES).cast("int")
+        )
+        .repartition(CP_STREAM_BATCHES, F.col("slice"))
+        .write.partitionBy("slice")
+        .mode("overwrite")
+        .parquet(part_root)
+    )
+    stream, n_files = _slice_replay_stream(
+        spark,
+        part_root,
+        stream_dir,
+        CP_STREAM_BATCHES,
+        "event_id long, ts timestamp, event_type string",
+    )
+    if stream is None:
+        return spark.createDataFrame(
+            [],
+            "event_type string, day timestamp, cnt long, left_mean double,"
+            " right_mean double, score double, is_changepoint boolean",
+        )
+    parts_root = _os.path.join(root, "daily_partials")
+    _os.makedirs(parts_root)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(_os.path.join(parts_root, f"b{batch_id:05d}"))
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _os.path.join(root, "ckpt"))
+        .start()
+    )
+    await_or_raise(q)
+    if not _glob.glob(_os.path.join(parts_root, "b*")):
+        return spark.createDataFrame(
+            [],
+            "event_type string, day timestamp, cnt long, left_mean double,"
+            " right_mean double, score double, is_changepoint boolean",
+        )
+    daily = persist_tracked(
+        spark.read.schema("event_type string, day timestamp, cnt long")
+        .option("recursiveFileLookup", "true")
+        .parquet(parts_root)
+        .groupBy("event_type", "day")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    return _changepoint_from_daily(daily)
 
 
 EVENTS_CHANGEPOINT_SQL = f"""
@@ -551,6 +654,7 @@ R17_QUERIES: dict = {
     "copurchase_ktruss_stream": copurchase_ktruss_stream,
     "ann_recall_eval": ann_recall_eval,
     "events_changepoint": events_changepoint,
+    "events_stream_changepoint": events_stream_changepoint,
     "copurchase_hopplot": copurchase_hopplot,
     "copurchase_eff_diameter": copurchase_eff_diameter,
     # rows-only by design: sketch estimates have no engine-independent
@@ -567,6 +671,9 @@ R17_ORACLES: dict = {
     "copurchase_ktruss_stream": KTRUSS_SQL,
     "ann_recall_eval": ANN_RECALL_SQL,
     "events_changepoint": EVENTS_CHANGEPOINT_SQL,
+    # stream replay == batch: daily counts are additive over any
+    # event slicing, so the folded relation IS the batch relation
+    "events_stream_changepoint": EVENTS_CHANGEPOINT_SQL,
     "copurchase_hopplot": HOPPLOT_SQL,
     "copurchase_eff_diameter": EFF_DIAMETER_SQL,
 }
