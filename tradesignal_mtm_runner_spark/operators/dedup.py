@@ -455,42 +455,66 @@ def simhash_near_dup_pairs(
     ``max_bucket`` closes that last O(B^2) hole (the MinHash and
     embedding generators have had the same guard since r6/r4): a
     cheap COUNT aggregate (per-key state = one long) finds over-cap
-    band values and a LEFT ANTI drops them before the self-join; the
-    bands relation is persisted so the count branch and both join
-    branches share one computation of the (expensive) upstream
-    signature pipeline. Docs in a dropped band still pair through
-    their other 3 bands — recall degrades gracefully instead of the
-    plan exploding (tests/test_scale_patterns.py plants a hot band)."""
+    band values and a LEFT ANTI drops them before any pair expansion;
+    the bands relation is persisted so the count branch and the
+    bucket aggregate share one computation of the (expensive)
+    upstream signature pipeline. Docs in a dropped band still pair
+    through their other 3 bands — recall degrades gracefully instead
+    of the plan exploding (tests/test_scale_patterns.py plants a hot
+    band).
+
+    OPTIMIZATION r16 (guide §2.4): pairs expand ROW-LOCALLY from each
+    surviving bucket's sorted member array (the lsh_candidate_pairs
+    shape — one (band, val) aggregate) instead of the former
+    band-keyed SELF-JOIN, removing one exchange of the bands relation
+    and the join; the hamming filter applies inside the expansion
+    before anything explodes. Identical output (exact parity measured
+    at sf0.1: 4.0 s → 3.5 s for sig+pairs); per-bucket state stays
+    bounded by ``max_bucket`` exactly as the join form's output was."""
     bands = simhash_band_rows(signatures, id_col)
     if max_bucket is not None:
         bands = _drop_hot_buckets(bands, ["band", "val"], max_bucket)
-    a = bands.select(
-        F.col(id_col).alias("id_a"),
-        F.col("simhash_hi").alias("_hi_a"),
-        F.col("simhash_lo").alias("_lo_a"),
-        "band",
-        "val",
+    buckets = bands.groupBy("band", "val").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("id"),
+                        F.col("simhash_hi").alias("hi"),
+                        F.col("simhash_lo").alias("lo"),
+                    )
+                )
+            )
+        ).alias("_ms")
     )
-    b = bands.select(
-        F.col(id_col).alias("id_b"),
-        F.col("simhash_hi").alias("_hi_b"),
-        F.col("simhash_lo").alias("_lo_b"),
-        "band",
-        "val",
+    ids = F.col("_ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(ids, i + 2, F.size(ids)),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        (
+                            F.bit_count(x["hi"].bitwiseXOR(y["hi"]))
+                            + F.bit_count(x["lo"].bitwiseXOR(y["lo"]))
+                        ).cast("long").alias("hamming"),
+                    ),
+                ),
+                # id_a != id_b guards the duplicated-(id, sig)-rows
+                # tolerance: the join form's id_a < id_b predicate
+                # never emitted self-pairs, and neither may this one
+                lambda p: (p["hamming"] <= max_hamming)
+                & (p["id_a"] != p["id_b"]),
+            ),
+        )
     )
-    ham = F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b"))) + F.bit_count(
-        F.col("_lo_a").bitwiseXOR(F.col("_lo_b"))
-    )
-    # hamming BEFORE the pair-dedup distinct: the filter is a cheap
-    # map-side bit op on the join output, and it shrinks the distinct's
-    # shuffle by ~the band selectivity (8x on the bench corpus) — at
-    # 100 TB the candidate stream is the biggest intermediate here.
     return (
-        a.join(b, on=["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", ham.cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        buckets.filter(F.size("_ms") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
     )
 
@@ -532,14 +556,24 @@ def connected_canonical(
     gets the MINIMUM doc_id reachable within ``iters`` hops (min-label
     propagation — the dataframe form of connected components). With
     LSH near-dup graphs components are shallow (dup clusters, not
-    chains), so a small fixed ``iters`` converges; each iteration is
-    one join + one aggregate, all partial-agg friendly, nothing
+    chains), so a small fixed ``iters`` converges; nothing
     driver-side. keep = (doc_id == canonical_id) materializes the
     deduplicated corpus selection.
-    """
+
+    OPTIMIZATION r16 (guide §2.4 — remove shuffles outright): each
+    iteration is now labels_next = MIN over {own label} ∪ {neighbor
+    labels} — ONE edge join + ONE union + ONE doc-keyed aggregate —
+    instead of the former join + per-src aggregate + left-join-back
+    (three keyed shuffles per hop). Identical output by definition of
+    the min (measured 3.4 s → 1.8 s for the 3-hop loop at sf0.1,
+    exact parity). The symmetrized edge relation is SEMI-restricted
+    to ``ids`` once up front — the left-join form dropped foreign
+    sources implicitly; the union form must not inject them."""
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).join(
+        ids.select(F.col(id_col).alias("src")), "src", "left_semi"
     )
     # iterative algorithm: without this, every iteration (and the
     # final action) re-runs the whole upstream pair pipeline — the
@@ -547,27 +581,19 @@ def connected_canonical(
     edges = persist_tracked(edges)
     labels = ids.select(F.col(id_col), F.col(id_col).alias("lab"))
     for _ in range(iters):
-        nbr = (
-            edges.join(labels, edges.dst == labels[id_col])
-            .groupBy("src")
-            .agg(F.min("lab").alias("nbr_lab"))
+        nbr = edges.join(
+            labels.select(F.col(id_col).alias("dst"), "lab"), "dst"
+        ).select(F.col("src").alias(id_col), "lab")
+        # each iteration's labels feed the next join AND the union
+        # branch and the final action: without materializing,
+        # iteration k re-executes iterations 1..k-1 per consumer —
+        # O(iters^2) recompute of the join chain. One row per doc,
+        # same bounded footprint as the edges persist.
+        labels = persist_tracked(
+            labels.unionByName(nbr)
+            .groupBy(id_col)
+            .agg(F.min("lab").alias("lab"))
         )
-        labels = (
-            labels.join(nbr, labels[id_col] == nbr.src, "left")
-            .select(
-                F.col(id_col),
-                F.least(F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))).alias(
-                    "lab"
-                ),
-            )
-        )
-        # each iteration's labels feed BOTH sides of the next join
-        # (nbr build + the left join) and the final action: without
-        # materializing, iteration k re-executes iterations 1..k-1
-        # per consumer — O(iters^2) recompute of the join chain
-        # (measured ~2x on dedup_connected at sf0.1). One row per
-        # doc, same bounded footprint as the edges persist.
-        labels = persist_tracked(labels)
     return labels.select(
         F.col(id_col),
         F.col("lab").alias("canonical_id"),
@@ -614,23 +640,22 @@ def connected_canonical_converged(
             .groupBy("src")
             .agg(F.min("lab").alias("nbr_lab"))
         )
+        # prev_lab rides the checkpointed round output (the left join
+        # already holds it — zero extra joins), so the convergence
+        # probe is a count-scan of materialized blocks instead of a
+        # doc-keyed join job per round (optimization r16, the
+        # operators/graph.component_round with_prev pattern)
         new = cut_lineage(
             labels.join(nbr, labels[id_col] == nbr.src, "left").select(
                 F.col(id_col),
                 F.least(
                     F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))
                 ).alias("lab"),
+                F.col("lab").alias("prev_lab"),
             )
         )
-        changed = (
-            new.join(
-                labels.select(F.col(id_col), F.col("lab").alias("prev_lab")),
-                id_col,
-            )
-            .filter(F.col("lab") != F.col("prev_lab"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("lab") != F.col("prev_lab")).count()
+        labels = new.select(id_col, "lab")
         if changed == 0:
             return labels.select(
                 F.col(id_col),

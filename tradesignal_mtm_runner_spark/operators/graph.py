@@ -919,18 +919,20 @@ def community_labels_converged(
         )
     )
     for _ in range(max_rounds):
-        new = cut_lineage(lpa_round(sym, labels))
-        changed = (
-            new.join(
-                labels.select(
-                    "node", F.col("label").alias("prev_label")
-                ),
+        # the prev-label join runs INSIDE the checkpoint job (one job
+        # per round instead of step + probe-join jobs), so the changed
+        # probe is a count-scan of the materialized blocks
+        # (optimization r16 — the component_round with_prev pattern;
+        # LPA's top-1 window can't carry its input label through, so
+        # the join stays but rides the same materialization)
+        new = cut_lineage(
+            lpa_round(sym, labels).join(
+                labels.select("node", F.col("label").alias("prev_label")),
                 "node",
             )
-            .filter(F.col("label") != F.col("prev_label"))
-            .count()
         )
-        labels = new
+        changed = new.filter(F.col("label") != F.col("prev_label")).count()
+        labels = new.select("node", "label")
         if changed == 0:
             return labels.select(
                 F.col("node").cast("long").alias("part"),
@@ -965,25 +967,39 @@ def lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def component_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+def component_round(
+    sym: DataFrame, labels: DataFrame, with_prev: bool = False
+) -> DataFrame:
     """One min-label propagation round: every node takes the minimum
     of its own label and its neighbors' labels. ``sym`` = directed
     symmetrized edges (src, dst); ``labels`` = (node, label). Exposed
     separately (the kcore_round/lpa_round convention) so the per-round
-    plan can be pinned and the converged form can loop it."""
+    plan can be pinned and the converged form can loop it.
+
+    ``with_prev=True`` additionally emits the round's INPUT label as
+    ``prev_label`` — zero extra joins (the left join already holds it)
+    — so the converged form's changed-count probe is a scan over the
+    checkpointed round output instead of a second labels join + count
+    job per round (optimization r16, guide §2.4: the probe was a full
+    extra node-keyed shuffle per round)."""
     nbr = (
         sym.join(labels.select(F.col("node").alias("src"), "label"), "src")
         .groupBy("dst")
         .agg(F.min("label").alias("nbr_label"))
     )
-    return labels.join(
+    joined = labels.join(
         nbr.select(F.col("dst").alias("node"), "nbr_label"), "node", "left"
-    ).select(
-        "node",
-        F.least(
-            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-        ).alias("label"),
     )
+    new_label = F.least(
+        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+    )
+    if with_prev:
+        return joined.select(
+            "node",
+            new_label.alias("label"),
+            F.col("label").alias("prev_label"),
+        )
+    return joined.select("node", new_label.alias("label"))
 
 
 def component_labels(edges: DataFrame, iters: int) -> DataFrame:
@@ -1050,16 +1066,13 @@ def component_labels_converged(
         )
     )
     for _ in range(max_iters):
-        new = cut_lineage(component_round(sym, labels))
-        changed = (
-            new.join(
-                labels.select("node", F.col("label").alias("prev_label")),
-                "node",
-            )
-            .filter(F.col("label") != F.col("prev_label"))
-            .count()
-        )
-        labels = new
+        # prev_label rides the checkpointed round output (zero extra
+        # joins — component_round's left join already holds it), so
+        # the convergence probe is a count-scan of materialized blocks
+        # instead of a node-keyed join job per round (optimization r16)
+        new = cut_lineage(component_round(sym, labels, with_prev=True))
+        changed = new.filter(F.col("label") != F.col("prev_label")).count()
+        labels = new.select("node", "label")
         if changed == 0:
             return labels.select(
                 F.col("node").cast("long").alias("part"),
@@ -1535,8 +1548,12 @@ def ktruss_from_index(
     """B66 from the standing index: same edge-peeling kernel, zero
     lineitem bytes — only the persisted edge table is read (degrees
     are recomputed per round from the THINNING survivor set, so the
-    persisted degree sidecar is deliberately not used)."""
-    return ktruss_edges(spark.table(table), k, peels)
+    persisted degree sidecar is deliberately not used). OPTIMIZATION
+    r16: iterates to fixpoint like the live B66 (``peels`` bounds the
+    loop as max_peels — post-convergence rounds are provable no-ops,
+    so the output is unchanged while the measured depth-1 graphs stop
+    after two rounds instead of four)."""
+    return ktruss_edges_converged(spark.table(table), k, max_peels=max(peels, 8))
 
 
 def hyperball_from_index(

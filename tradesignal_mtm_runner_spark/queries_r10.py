@@ -283,20 +283,31 @@ def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     from .queries_pipeline import _emb
-    from .queries_r8 import PCA_ITERS, R as R8, _collect_vec, _r9
+    from .queries_r8 import (
+        PCA_ITERS,
+        R as R8,
+        _gram_matrix,
+        _power_iterate_gram,
+        _r9,
+    )
 
     emb = persist_tracked(
         _emb(spark, sf_dir).select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
     )
-    dim = len(emb.select("e").first()["e"])
-    mu_df = (
+    # the mean pass doubles as the dim probe: d rows collected once
+    # (the former first()-probe job is gone; optimization r16)
+    mu_rows = (
         emb.select(F.posexplode("e").alias("pos", "x"))
         .groupBy("pos")
         .agg(_r9(F.avg("x")).alias("m"))
+        .collect()
     )
-    mu = _collect_vec(mu_df, "pos", "m", dim)
+    dim = len(mu_rows)
+    mu = [0.0] * dim
+    for r in mu_rows:
+        mu[int(r["pos"])] = float(r["m"])
     mu_lit = F.array(*[F.lit(m) for m in mu])
     # materialize x-mu ONCE; every later pass reads the stored column
     cent = persist_tracked(
@@ -305,26 +316,15 @@ def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def _power(df, col, v):
-        for _ in range(PCA_ITERS):
-            v_lit = F.array(*[F.lit(x) for x in v])
-            s = F.aggregate(
-                F.zip_with(F.col(col), v_lit, lambda c, w: c * w),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            upd = (
-                df.select(F.posexplode(col).alias("pos", "c"), s.alias("s"))
-                .groupBy("pos")
-                .agg(_r9(F.sum(F.col("c") * F.col("s"))).alias("u"))
-            )
-            u = _collect_vec(upd, "pos", "u", dim)
-            norm = math.sqrt(sum(x * x for x in u))
-            v = [round(x / norm, R8) + 0.0 for x in u]
-        return v
-
+    # power iterations over the ONE-PASS Gram matrices (optimization
+    # r16 — the C51 rewrite applied to both components: the
+    # matrix-free update u = Σ_x x·(x·v) equals G·v, so PCA_ITERS
+    # corpus passes + driver collects per component collapse into one
+    # Gram pass each + d²-float driver math; per-step rounding mirrors
+    # the distributed form, queries_r8._power_iterate_gram)
     v_init = [round(1.0 / math.sqrt(dim), R8)] * dim
-    v1 = _power(cent, "c", v_init)
+    g1 = _gram_matrix(cent.select(F.col("c")), "c", dim)
+    v1 = _power_iterate_gram(g1, v_init, PCA_ITERS, R8)
     v1_lit = F.array(*[F.lit(x) for x in v1])
 
     def _proj(col, v_lit_):
@@ -350,7 +350,8 @@ def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d"),
         )
     )
-    v2 = _power(mat, "d", v_init)
+    g2 = _gram_matrix(mat.select(F.col("d")), "d", dim)
+    v2 = _power_iterate_gram(g2, v_init, PCA_ITERS, R8)
     v2_lit = F.array(*[F.lit(x) for x in v2])
     cnorm = F.sqrt(
         F.aggregate(

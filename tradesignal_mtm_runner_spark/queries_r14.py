@@ -56,7 +56,11 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity is structural (pinned in tests/test_scale_patterns.py).
     Scale: every round's work is GRAPH-sized (the support cut keeps
     edges output-sized), rounds = peel depth (small in practice, 8
-    fixed here), and nothing is ever collected driver-side."""
+    fixed here), and nothing is ever collected driver-side.
+    (Optimization r16 note: the converged twin measured SLOWER here —
+    6.1 s vs 5.1 s at sf0.1 — because the per-round survivor count
+    jobs outweigh the ~2 saved peel rounds at this depth, so the
+    fixed unroll deliberately stays.)"""
     _, pairs = _basket_pair_counts(spark, sf_dir)
     edges = persist_tracked(pairs.select("part_a", "part_b"))
     return kcore_members(edges, KCORE_K, KCORE_PEELS)

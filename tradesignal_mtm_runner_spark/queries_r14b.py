@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from .cache_registry import persist_tracked
 from .operators.graph import (
     clustering_coefficients,
-    community_labels,
+    community_labels_converged,
     link_predictions,
     node_degrees,
 )
@@ -68,16 +68,24 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph-sized join + vote count + top-1 window per round, lineage
     cut per round (the k-core convention: the label relation is
     referenced twice per round, so the plan would double without
-    cuts). Output: (part, community) at LPA_ROUNDS rounds — converged
-    at every test SF, and the oracle unrolls the SAME rounds so
-    equality would hold even mid-convergence."""
+    cuts).
+
+    OPTIMIZATION r16: runs the ITERATE-TO-FIXPOINT kernel
+    (community_labels_converged — converged == LPA_ROUNDS unroll
+    pinned in tests/test_r15.py) instead of the fixed unroll: measured
+    LPA convergence is 5/7/5 rounds at sf0.001/0.01/0.1, so the fixed
+    form paid 9 graph-sized rounds where 6–8 suffice, and
+    post-convergence rounds are provable no-ops (a fixpoint labeling
+    re-votes itself) — the OUTPUT is identical and the
+    LPA_ROUNDS-unrolled oracle still matches at every test SF. The
+    fixed kernel remains for the oracle mirror and plan pins."""
     _, pairs = _basket_pair_counts(spark, sf_dir)
     # the kernel's symmetrize references the pair relation twice
     # (review r14b): persist so the lineitem->basket->pair chain runs
     # once in the checkpoint-materialization job (the family
     # convention — see kcore_members' docstring)
     edges = persist_tracked(pairs.select("part_a", "part_b"))
-    return community_labels(edges, LPA_ROUNDS)
+    return community_labels_converged(edges)
 
 
 def _lpa_round_sql(i: int) -> str:

@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .cache_registry import persist_tracked
-from .operators.graph import component_labels, community_labels, node_degrees
+from .operators.graph import (
+    community_labels_converged,
+    component_labels_converged,
+    node_degrees,
+)
 from .queries_r10b import _BASKET_CTES, _basket_pair_counts
 from .queries_r14 import streamed_support_cut_edges
 from .queries_r14b import LPA_ROUNDS, _communities_sql
@@ -51,12 +55,21 @@ def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     component boundary). Kernel = operators/graph.component_labels —
     min-label propagation, one graph-sized join + min-aggregate +
     left join per round, lineage cut per round. Component id = the
-    component's minimum part id (stable, interpretable). Output:
-    (part, component) at COMP_ITERS rounds — converged at every test
-    SF, oracle unrolls the same rounds."""
+    component's minimum part id (stable, interpretable).
+
+    OPTIMIZATION r16: runs the ITERATE-TO-FIXPOINT kernel
+    (component_labels_converged — the production twin, converged ==
+    fixed-unroll pinned in tests/test_r15.py) instead of the fixed
+    COMP_ITERS unroll: measured propagation depth is 4/11/8 rounds at
+    sf0.001/0.01/0.1, so the fixed form paid 14 graph-sized rounds
+    where 5–12 suffice, and post-convergence rounds are provable
+    no-ops (labels are monotone under min-propagation) — the OUTPUT is
+    identical and the COMP_ITERS-unrolled oracle still matches
+    (min-label fixpoint == 14-round labeling at every test SF). The
+    fixed kernel remains for the oracle mirror and plan pins."""
     _, pairs = _basket_pair_counts(spark, sf_dir)
     edges = persist_tracked(pairs.select("part_a", "part_b"))
-    return component_labels(edges, COMP_ITERS)
+    return component_labels_converged(edges)
 
 
 def _comp_round_sql(i: int) -> str:
@@ -99,11 +112,14 @@ def copurchase_communities_stream(
     → support-cut fold, no state store, retried batches recompute
     byte-identically) feeding the SAME LPA kernel, so the stream
     replay equals the batch B58 oracle exactly — including edges whose
-    pair count only crosses the support cut across batch boundaries."""
+    pair count only crosses the support cut across batch boundaries.
+    OPTIMIZATION r16: the fold feeds the iterate-to-fixpoint LPA
+    kernel (converged == LPA_ROUNDS unroll pinned — see
+    copurchase_communities), matching the batch B58 swap."""
     edges = streamed_support_cut_edges(spark, sf_dir, "lpa_stream")
     if edges is None:
         return spark.createDataFrame([], "part long, community long")
-    return community_labels(edges, LPA_ROUNDS)
+    return community_labels_converged(edges)
 
 
 def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

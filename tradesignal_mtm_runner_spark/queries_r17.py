@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .cache_registry import persist_tracked
-from .operators.graph import hyperball_counts, ktruss_edges, reach_counts
+from .operators.graph import (
+    hyperball_counts,
+    ktruss_edges_converged,
+    reach_counts,
+)
 from .queries_pipeline import (
     _IVF_CA_SQL,
     _V_SQL,
@@ -67,11 +71,21 @@ def copurchase_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts per the k-core convention) — shared with the standing-index
     probe ``ktruss_from_index`` so live/probe parity is structural.
     Scale: every round's work is GRAPH-sized and shrinks as edges
-    peel; rounds = truss peel depth (1 measured, 4 fixed); nothing is
-    collected driver-side."""
+    peel; rounds = truss peel depth; nothing but the bounded
+    convergence count is collected driver-side.
+
+    OPTIMIZATION r16: runs the ITERATE-TO-FIXPOINT kernel
+    (ktruss_edges_converged — converged == KTRUSS_PEELS unroll pinned
+    in tests/test_r17.py) instead of the fixed 4-round unroll:
+    measured truss peel depth is 1 at every test SF, so the fixed form
+    paid three extra full triangle-enumeration rounds that are
+    provable no-ops (survivor edge sets are monotone decreasing) — the
+    OUTPUT is identical and the KTRUSS_PEELS-unrolled oracle still
+    matches. The fixed kernel remains for the oracle mirror and plan
+    pins."""
     _, pairs = _basket_pair_counts(spark, sf_dir)
     edges = persist_tracked(pairs.select("part_a", "part_b"))
-    return ktruss_edges(edges, KTRUSS_K, KTRUSS_PEELS)
+    return ktruss_edges_converged(edges, KTRUSS_K)
 
 
 def _ktruss_round_sql(i: int) -> str:
@@ -125,9 +139,7 @@ def copurchase_ktruss_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "part_a long, part_b long, truss_sup long"
         )
-    return ktruss_edges(
-        edges.select("part_a", "part_b"), KTRUSS_K, KTRUSS_PEELS
-    )
+    return ktruss_edges_converged(edges.select("part_a", "part_b"), KTRUSS_K)
 
 
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -146,6 +146,72 @@ def _collect_vec(df: DataFrame, pos_col: str, val_col: str, dim: int) -> list:
     return v
 
 
+def _r9_scalar(x: float) -> float:
+    """Driver-side mirror of the _r9 column helper: Spark's round()
+    is BigDecimal.valueOf(x).setScale(9, HALF_UP), and
+    BigDecimal.valueOf goes through the double's SHORTEST decimal
+    repr — which is exactly Python's repr — so decimal HALF_UP over
+    repr reproduces it bit-for-bit (Python's built-in round is
+    HALF_EVEN and would differ at exact .5 boundaries of the 9th
+    decimal). + 0.0 canonicalizes IEEE -0.0 like the column form."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("1E-9"), rounding=ROUND_HALF_UP
+        )
+    ) + 0.0
+
+
+def _gram_matrix(df: DataFrame, col: str, dim: int):
+    """ONE-PASS Gram matrix G = Σ_rows x xᵀ over an array<double>
+    column — the power-iteration accelerator (optimization r16, guide
+    §1.2 first-principles + §4.2): the matrix-free update
+    u = Σ_x x·(x·v) equals G·v, so computing the d×d Gram ONCE
+    replaces one full corpus pass PER ITERATION with a single pass and
+    d²-float driver math per iteration (bounded model state — d=64 →
+    32 KB, the Lloyd/LR closure-literal convention). Each Arrow batch
+    is handed to numpy/BLAS whole (never per-row Python); per-task
+    partials are one d²-float row each, summed driver-side in
+    partition order."""
+    import numpy as np
+    import pandas as pd
+
+    def _partial(it):
+        tot = np.zeros((dim, dim), dtype=np.float64)
+        seen = False
+        for pdf in it:
+            if len(pdf):
+                m = np.asarray(pdf[col].tolist(), dtype=np.float64)
+                tot += m.T @ m
+                seen = True
+        if seen:
+            yield pd.DataFrame({"g": [tot.ravel().tolist()]})
+
+    parts = df.select(col).mapInPandas(_partial, schema="g array<double>").collect()
+    g = np.zeros((dim, dim), dtype=np.float64)
+    for r in parts:  # bounded: one row per non-empty task
+        g += np.asarray(r["g"], dtype=np.float64).reshape(dim, dim)
+    return g
+
+
+def _power_iterate_gram(g, v: list, iters: int, round_digits: int) -> list:
+    """The power-iteration chain over a precomputed Gram matrix,
+    mirroring the distributed form's per-step arithmetic: u = G·v
+    rounded per position with the Spark HALF_UP round (_r9_scalar),
+    then v = round(u / ‖u‖, R) + 0.0 exactly as the distributed
+    driver loop did."""
+    import math
+
+    import numpy as np
+
+    for _ in range(iters):
+        u = [_r9_scalar(x) for x in (g @ np.asarray(v, dtype=np.float64))]
+        norm = math.sqrt(sum(x * x for x in u))
+        v = [round(x / norm, round_digits) + 0.0 for x in u]
+    return v
+
+
 def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding corpus by MATRIX-FREE
     power iteration — the distributed-PCA shape that scales: no d x d
@@ -171,36 +237,33 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
     )
-    dim = len(emb.select("e").first()["e"])
 
-    # pass 1: the corpus mean, rounded (d rows collected once)
-    mu_df = (
+    # pass 1: the corpus mean, rounded (d rows collected once — the
+    # row count IS the dimensionality, so the former first()-probe job
+    # is gone; optimization r16)
+    mu_rows = (
         emb.select(F.posexplode("e").alias("pos", "x"))
         .groupBy("pos")
         .agg(_r9(F.avg("x")).alias("m"))
+        .collect()
     )
-    mu = _collect_vec(mu_df, "pos", "m", dim)
+    dim = len(mu_rows)
+    mu = [0.0] * dim
+    for r in mu_rows:
+        mu[int(r["pos"])] = float(r["m"])
     mu_lit = F.array(*[F.lit(m) for m in mu])
     centered = F.zip_with(F.col("e"), mu_lit, lambda x, m: x - m)
 
-    # power iteration: v0 = 1/sqrt(d) (deterministic, never orthogonal
-    # to pc1 on real data); each step one pass + one bounded collect
-    v = [round(1.0 / math.sqrt(dim), R)] * dim
-    for _ in range(PCA_ITERS):
-        v_lit = F.array(*[F.lit(x) for x in v])
-        s = F.aggregate(
-            F.zip_with(centered, v_lit, lambda c, w: c * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        upd = (
-            emb.select(F.posexplode(centered).alias("pos", "c"), s.alias("s"))
-            .groupBy("pos")
-            .agg(_r9(F.sum(F.col("c") * F.col("s"))).alias("u"))
-        )
-        u = _collect_vec(upd, "pos", "u", dim)
-        norm = math.sqrt(sum(x * x for x in u))
-        v = [round(x / norm, R) + 0.0 for x in u]
+    # power iteration over the ONE-PASS Gram matrix (optimization r16,
+    # guide §1.2: the matrix-free update u = Σ_x x·(x·v) is G·v, so
+    # PCA_ITERS corpus passes + driver collects collapse into one
+    # corpus pass + d²-float driver math per step; v0 = 1/sqrt(d),
+    # deterministic, never orthogonal to pc1 on real data; per-step
+    # rounding mirrors the distributed form — _power_iterate_gram)
+    g = _gram_matrix(emb.select(centered.alias("c")), "c", dim)
+    v = _power_iterate_gram(
+        g, [round(1.0 / math.sqrt(dim), R)] * dim, PCA_ITERS, R
+    )
 
     v_lit = F.array(*[F.lit(x) for x in v])
     proj = F.aggregate(
