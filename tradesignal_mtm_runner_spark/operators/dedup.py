@@ -101,6 +101,7 @@ def minhash_signatures_wide(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_k: int = 3,
+    sh_sets: DataFrame | None = None,
 ) -> DataFrame:
     """(id, m0..m{k-1}): per seed i, the lexicographic-min
     md5(i || ':' || shingle). Seeded rehashing simulates k independent
@@ -119,10 +120,18 @@ def minhash_signatures_wide(
     before the CPU-heavy hashing (the parquet row group is
     unsplittable, so a 1-file table otherwise pins one core); at
     cluster scale the scan already has >= that many partitions and
-    the fan-out never fires."""
-    sh = doc_shingle_sets(_fan_out(df), id_col, text_col, shingle_k).select(
-        id_col, F.explode("sh_set").alias("shingle")
-    )
+    the fan-out never fires.
+
+    ``sh_sets`` (optimization r16): a caller that ALSO needs the
+    per-doc shingle-set relation (the exact-Jaccard verify step)
+    passes its — typically persisted — (id, sh_set) frame here so the
+    tokenize+shingle corpus pass runs once per query instead of once
+    per consumer; semantics are identical to building it inline."""
+    sh = (
+        sh_sets
+        if sh_sets is not None
+        else doc_shingle_sets(_fan_out(df), id_col, text_col, shingle_k)
+    ).select(id_col, F.explode("sh_set").alias("shingle"))
     hcols = [
         F.md5(F.concat_ws(":", F.lit(i), F.col("shingle"))).alias(f"_h{i}")
         for i in range(num_hashes)
@@ -277,6 +286,7 @@ def pair_jaccard(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
+    sh_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (the verify step
     after LSH).
@@ -291,8 +301,12 @@ def pair_jaccard(
     doesn't (VERDICT r5 item 4). The earlier shingle co-occurrence
     self-join (sh JOIN sh ON shingle) exploded quadratically on
     common shingles (272 s at sf0.1 vs ~3 s for this plan) and never
-    survives scale."""
-    sh_sets = doc_shingle_sets(_fan_out(df), id_col, text_col, shingle_k)
+    survives scale. ``sh_sets`` (optimization r16): callers that
+    already built the per-doc shingle-set relation for the signature
+    pass hand it in so the corpus is tokenized + shingled once per
+    query."""
+    if sh_sets is None:
+        sh_sets = doc_shingle_sets(_fan_out(df), id_col, text_col, shingle_k)
     p = pairs.select("id_a", "id_b")
     joined = (
         p.join(
@@ -533,16 +547,32 @@ def minhash_dedup_pairs(
     (-> exact-jaccard filter when a threshold is given).
     ``max_bucket`` guards the degenerate hot bucket at scale: B docs
     sharing one (band, band_sig) bucket otherwise yield B^2/2
-    candidate pairs (tests/test_scale_patterns.py plants one)."""
-    sig = minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_k)
+    candidate pairs (tests/test_scale_patterns.py plants one).
+    With a threshold, the per-doc shingle-set relation is built ONCE
+    (persisted) and shared between the signature pass and the
+    exact-Jaccard verify (optimization r16 — this path previously
+    tokenized + shingled the corpus twice)."""
+    if jaccard_threshold is None:
+        sig = minhash_signatures_wide(
+            df, id_col, text_col, num_hashes, shingle_k
+        )
+        return lsh_candidate_pairs(
+            lsh_bands_from_wide(sig, id_col, num_bands, num_hashes),
+            id_col,
+            max_bucket=max_bucket,
+        )
+    sh_sets = persist_tracked(
+        doc_shingle_sets(_fan_out(df), id_col, text_col, shingle_k)
+    )
+    sig = minhash_signatures_wide(
+        df, id_col, text_col, num_hashes, shingle_k, sh_sets=sh_sets
+    )
     cand = lsh_candidate_pairs(
         lsh_bands_from_wide(sig, id_col, num_bands, num_hashes),
         id_col,
         max_bucket=max_bucket,
     )
-    if jaccard_threshold is None:
-        return cand
-    j = pair_jaccard(df, cand, id_col, text_col, shingle_k)
+    j = pair_jaccard(df, cand, id_col, text_col, shingle_k, sh_sets=sh_sets)
     return j.filter(F.col("jaccard") >= jaccard_threshold)
 
 

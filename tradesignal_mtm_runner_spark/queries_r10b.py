@@ -167,7 +167,12 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import node_degrees, pagerank_scores
 
     _, pairs = _basket_pair_counts(spark, sf_dir)
-    edges = pairs.select("part_a", "part_b", "pair_cnt")
+    # the edge relation feeds FOUR consumers (both unionAll arms of
+    # the kernel's symmetrize + both arms of node_degrees' union) —
+    # persist it so the pair aggregate over the persisted baskets runs
+    # once, the family convention every other graph query already
+    # follows (optimization r16; this was the one missing site)
+    edges = persist_tracked(pairs.select("part_a", "part_b", "pair_cnt"))
     return pagerank_scores(
         edges, node_degrees(edges).select("pk", "wdeg"), PR_DAMP, PR_ITERS
     )

@@ -365,9 +365,15 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_r8 import _r9
 
     docs = _docs(spark, sf_dir)
+    # ONE tokenize+shingle corpus pass shared by the signature build
+    # and the exact-Jaccard side (optimization r16 — pair_jaccard
+    # previously re-shingled the corpus; the docstring's noted cost)
+    from .operators.dedup import _fan_out, doc_shingle_sets
+
+    sh_sets = persist_tracked(doc_shingle_sets(_fan_out(docs), k=SHINGLE_K))
     sig = persist_tracked(
         minhash_signatures_wide(
-            docs, num_hashes=MINHASH_K, shingle_k=SHINGLE_K
+            docs, num_hashes=MINHASH_K, shingle_k=SHINGLE_K, sh_sets=sh_sets
         )
     )
     cand = persist_tracked(
@@ -405,7 +411,7 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact side = the shared candidate-bounded verify step (review
     # r14b: pair_jaccard also fans out the single-file doc scan before
     # the CPU-heavy shingling — the inline copy ran it single-task)
-    exact = pair_jaccard(docs, cand, shingle_k=SHINGLE_K)
+    exact = pair_jaccard(docs, cand, shingle_k=SHINGLE_K, sh_sets=sh_sets)
     return est.join(exact, ["id_a", "id_b"]).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),

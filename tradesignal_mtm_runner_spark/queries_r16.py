@@ -204,13 +204,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs,
     )
 
+    from .cache_registry import persist_tracked
+    from .operators.dedup import _fan_out
+
     d = _docs(spark, sf_dir)
-    sig = minhash_signatures_wide(d, num_hashes=MINHASH_K, shingle_k=SHINGLE_K)
+    # ONE tokenize+shingle corpus pass shared by the signature build
+    # and the row-local intersections (optimization r16)
+    sh = persist_tracked(doc_shingle_sets(_fan_out(d), k=SHINGLE_K))
+    sig = minhash_signatures_wide(
+        d, num_hashes=MINHASH_K, shingle_k=SHINGLE_K, sh_sets=sh
+    )
     pairs = lsh_candidate_pairs(
         lsh_bands_from_wide(sig, num_bands=BANDS, num_hashes=MINHASH_K),
         max_bucket=LSH_MAX_BUCKET,
     )
-    sh = doc_shingle_sets(d, k=SHINGLE_K)
     joined = pairs.select("id_a", "id_b").join(
         sh.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("_sa")),
         "id_a",
