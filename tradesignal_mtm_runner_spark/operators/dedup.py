@@ -598,17 +598,29 @@ def connected_canonical(
     the min (measured 3.4 s → 1.8 s for the 3-hop loop at sf0.1,
     exact parity). The symmetrized edge relation is SEMI-restricted
     to ``ids`` once up front — the left-join form dropped foreign
-    sources implicitly; the union form must not inject them."""
+    sources implicitly; the union form must not inject them.
+
+    OPTIMIZATION r16 second pass (guide §7.3 — plan size): edges and
+    each round's labels are LINEAGE-CUT (operators/graph.cut_lineage,
+    the kernel convention the graph family already follows) instead
+    of persist()ed. persist caches data but keeps the full logical
+    plan, so the initial plan of the 3-hop chain carried 180+
+    Exchange nodes and every AQE stage materialization re-optimized
+    that tree; cutting keeps each round's plan edge-sized (interleaved
+    A/B at sf0.1: sig+pairs+cc3 12.1→8.6 / 8.6→5.5 / 10.6→10.4 s,
+    identical output). Reliable-checkpoint mode applies per
+    cut_lineage's conf at cluster scale."""
+    from .graph import cut_lineage
+
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).join(
         ids.select(F.col(id_col).alias("src")), "src", "left_semi"
     )
-    # iterative algorithm: without this, every iteration (and the
-    # final action) re-runs the whole upstream pair pipeline — the
-    # standard Pregel-style persist; Spark LRU-evicts it later
-    edges = persist_tracked(edges)
+    # iterative algorithm: without materializing here, every iteration
+    # (and the final action) re-runs the whole upstream pair pipeline
+    edges = cut_lineage(edges)
     labels = ids.select(F.col(id_col), F.col(id_col).alias("lab"))
     for _ in range(iters):
         nbr = edges.join(
@@ -618,8 +630,8 @@ def connected_canonical(
         # branch and the final action: without materializing,
         # iteration k re-executes iterations 1..k-1 per consumer —
         # O(iters^2) recompute of the join chain. One row per doc,
-        # same bounded footprint as the edges persist.
-        labels = persist_tracked(
+        # same bounded footprint as the edges cut.
+        labels = cut_lineage(
             labels.unionByName(nbr)
             .groupBy(id_col)
             .agg(F.min("lab").alias("lab"))
@@ -656,7 +668,9 @@ def connected_canonical_converged(
     from .graph import cut_lineage
 
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = persist_tracked(
+    # lineage-cut like the per-round labels below: persist kept the
+    # full pair-pipeline plan under every round's join replanning
+    edges = cut_lineage(
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
