@@ -286,9 +286,15 @@ def pagerank_scores(
     join + one aggregate, ranks rounded to 9 dp per iteration so the
     Spark and oracle fixed-point chains stay glued. ``edges`` =
     (part_a, part_b, pair_cnt) undirected; ``wdeg`` = (pk, wdeg).
-    Returns (p_partkey, pagerank)."""
-    from ..cache_registry import persist_tracked
+    Returns (p_partkey, pagerank).
 
+    OPTIMIZATION r16 (guide §7.3 — plan size): trans/nodes are
+    LINEAGE-CUT (:func:`cut_lineage`) rather than persisted, and each
+    round's ranks are cut too — persist kept the full
+    lineitem→baskets→pairs plan under every round's join, so all of
+    the kernel's AQE stage materializations re-optimized that tree
+    (the dedup-CC finding applied to this kernel; the converged twin
+    below already cut its round outputs)."""
     sym = edges.select(
         F.col("part_a").alias("src"),
         F.col("part_b").alias("dst"),
@@ -300,12 +306,12 @@ def pagerank_scores(
             F.col("pair_cnt").alias("w"),
         )
     )
-    trans = persist_tracked(
+    trans = cut_lineage(
         sym.join(wdeg.select(F.col("pk").alias("src"), "wdeg"), "src").select(
             "src", "dst", (F.col("w") / F.col("wdeg")).alias("p")
         )
     )
-    nodes = persist_tracked(wdeg.select(F.col("pk").alias("node")))
+    nodes = cut_lineage(wdeg.select(F.col("pk").alias("node")))
     n = nodes.count()  # bounded model scalar: |V| of the support-cut graph
     ranks = nodes.select(
         "node", _r9(F.lit(1.0) / F.lit(float(n))).alias("pagerank")
@@ -317,14 +323,16 @@ def pagerank_scores(
             .groupBy("dst")
             .agg(F.sum(F.col("pagerank") * F.col("p")).alias("mass"))
         )
-        ranks = nodes.join(
-            incoming, nodes["node"] == incoming["dst"], "left"
-        ).select(
-            "node",
-            _r9(
-                F.lit(base) / F.lit(float(n))
-                + F.lit(damp) * F.coalesce(F.col("mass"), F.lit(0.0))
-            ).alias("pagerank"),
+        ranks = cut_lineage(
+            nodes.join(
+                incoming, nodes["node"] == incoming["dst"], "left"
+            ).select(
+                "node",
+                _r9(
+                    F.lit(base) / F.lit(float(n))
+                    + F.lit(damp) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("pagerank"),
+            )
         )
     return ranks.select(F.col("node").alias("p_partkey"), "pagerank")
 
@@ -357,8 +365,6 @@ def pagerank_scores_converged(
     twice per round (step + delta), the plan-doubling shape. FAILS
     LOUD on ``max_iters`` exhaustion rather than returning a
     not-yet-converged ranking."""
-    from ..cache_registry import persist_tracked
-
     sym = edges.select(
         F.col("part_a").alias("src"),
         F.col("part_b").alias("dst"),
@@ -370,12 +376,14 @@ def pagerank_scores_converged(
             F.col("pair_cnt").alias("w"),
         )
     )
-    trans = persist_tracked(
+    # lineage-cut like the round outputs below (optimization r16):
+    # persist kept the full upstream plan under every round's replan
+    trans = cut_lineage(
         sym.join(wdeg.select(F.col("pk").alias("src"), "wdeg"), "src").select(
             "src", "dst", (F.col("w") / F.col("wdeg")).alias("p")
         )
     )
-    nodes = persist_tracked(wdeg.select(F.col("pk").alias("node")))
+    nodes = cut_lineage(wdeg.select(F.col("pk").alias("node")))
     n = nodes.count()  # bounded model scalar: |V| of the support-cut graph
     if n == 0:
         # empty graph: the fixpoint is the empty ranking — exit like
