@@ -28,7 +28,12 @@ def _fan_out(df: DataFrame) -> DataFrame:
     """Spread a small single-file scan across all cores before
     CPU-heavy per-row work (one parquet row group is unsplittable).
     No-op at cluster scale where the scan already has enough
-    partitions."""
+    partitions — and on STREAMING frames, whose partitioning is the
+    source's business (``df.rdd`` is illegal there; the decode-at-
+    ingest query routes the multimodal attach paths through here on
+    an unbounded frame)."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)

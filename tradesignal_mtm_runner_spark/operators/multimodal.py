@@ -44,6 +44,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# OPTIMIZATION r16 (guide §2.5/§4): every Python-side payload
+# synthesis below fans its id subset out across cores first — the
+# single-file documents scan is ONE partition at bench SFs, which
+# serialized the per-row codec work onto one core (measured 7.3 s →
+# 1.5 s for multimodal_mpeg1 at sf0.1). _fan_out is a no-op at
+# cluster scale where the scan already has enough partitions.
+from .dedup import _fan_out  # noqa: E402
+
 MEDIA_TYPES = ["image", "audio", "video"]
 
 _PNG_SIG_IHDR_HEX = "89504E470D0A1A0A0000000D49484452"  # signature + IHDR
@@ -518,8 +526,10 @@ def attach_png_pixel_payloads(
     oracle. Synthesis runs Arrow-batched in ``mapInPandas`` —
     executor-parallel, no shuffle, images bounded at max_w x max_h so
     payloads stay a few hundred bytes."""
-    subset = docs.filter(F.col(id_col) % 6 == 0).select(
-        F.col(id_col).cast("long").alias("doc_id")
+    subset = _fan_out(
+        docs.filter(F.col(id_col) % 6 == 0).select(
+            F.col(id_col).cast("long").alias("doc_id")
+        )
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -566,8 +576,10 @@ def attach_gif_pixel_payloads(
     global color table and real LZW compression (operators/gif.py)."""
     from .gif import encode_gif_gray
 
-    subset = docs.filter(F.col(id_col) % 6 == 0).select(
-        F.col(id_col).cast("long").alias("doc_id")
+    subset = _fan_out(
+        docs.filter(F.col(id_col) % 6 == 0).select(
+            F.col(id_col).cast("long").alias("doc_id")
+        )
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -621,8 +633,10 @@ def attach_jpeg_pixel_payloads(
     ``mapInPandas`` synthesis shape as the PNG path."""
     from .jpeg import encode_jpeg_gray
 
-    subset = docs.filter(F.col(id_col) % 6 == 3).select(
-        F.col(id_col).cast("long").alias("doc_id")
+    subset = _fan_out(
+        docs.filter(F.col(id_col) % 6 == 3).select(
+            F.col(id_col).cast("long").alias("doc_id")
+        )
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -774,8 +788,10 @@ def attach_mjpeg_video_payloads(
     modalities."""
     from .jpeg import encode_jpeg_gray
 
-    subset = docs.filter(F.col(id_col) % 3 == 2).select(
-        F.col(id_col).cast("long").alias("doc_id")
+    subset = _fan_out(
+        docs.filter(F.col(id_col) % 3 == 2).select(
+            F.col(id_col).cast("long").alias("doc_id")
+        )
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -814,8 +830,10 @@ def attach_avi_video_payloads(
     from .avi import encode_avi_mjpeg
     from .jpeg import encode_jpeg_gray
 
-    subset = docs.filter(F.col(id_col) % 3 == 2).select(
-        F.col(id_col).cast("long").alias("doc_id")
+    subset = _fan_out(
+        docs.filter(F.col(id_col) % 3 == 2).select(
+            F.col(id_col).cast("long").alias("doc_id")
+        )
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -932,8 +950,18 @@ def attach_mpeg1_video_payloads(
     last media family that was still a stub."""
     from .mpeg1 import encode_mpeg1_iframes
 
-    subset = docs.filter(F.col(id_col) % 3 == 1).select(
-        F.col(id_col).cast("long").alias("doc_id")
+    # OPTIMIZATION r16 (guide §2.5/§4): the video-id subset of a
+    # single-file documents scan is ONE partition, which serialized
+    # the Python-side synthesize+decode passes below onto one core
+    # (measured 7.3 s single-threaded vs 0.9 s fanned out at sf0.1).
+    # _fan_out spreads it across cores and is a no-op at cluster
+    # scale where the scan already has enough partitions — every
+    # other Python-heavy codec family already pays one exchange of
+    # (id) rows before its Arrow pass.
+    subset = _fan_out(
+        docs.filter(F.col(id_col) % 3 == 1).select(
+            F.col(id_col).cast("long").alias("doc_id")
+        )
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1037,8 +1065,10 @@ def attach_wav_audio_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFr
     synthesis, same shape as the image paths."""
     from .wav import encode_wav_pcm
 
-    subset = docs.filter(F.col(id_col) % 3 == 1).select(
-        F.col(id_col).cast("long").alias("doc_id")
+    subset = _fan_out(
+        docs.filter(F.col(id_col) % 3 == 1).select(
+            F.col(id_col).cast("long").alias("doc_id")
+        )
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
