@@ -326,12 +326,20 @@ def test_q22_anti_join_bounded(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_multimodal_decode_paths_are_shuffle_free(spark):
+def test_multimodal_decode_paths_never_shuffle_payloads(spark):
     """Every codec query is synthesis → decode riding the scan in
-    Arrow-batched mapInPandas: ZERO exchanges in the whole plan (the
-    pixel queries union two scan→project→MapInPandas chains — a
-    plan-level union, not a shuffle). At 100 TB payload bytes never
-    move between executors; only per-asset stat rows flow on."""
+    Arrow-batched mapInPandas. The 100 TB invariant: payload BYTES
+    never move between executors — only per-asset id/stat rows flow.
+    Optimization r16 added a round-robin FAN-OUT of the id subset
+    before each Python synthesis pass (the single-file scan is one
+    partition at test SFs, which serialized the codec work; the
+    fan-out is a no-op at cluster scale), so the pin is no longer
+    "zero exchanges" but the exact contract: every Exchange in the
+    plan is (a) round-robin — never keyed, nothing to skew — and
+    (b) carries NO payload column, i.e. it sits BELOW the synthesis
+    MapInPandas and moves only id rows."""
+    import re
+
     for name in (
         "multimodal_pixels",
         "multimodal_audio",
@@ -340,11 +348,19 @@ def test_multimodal_decode_paths_are_shuffle_free(spark):
         "multimodal_gif",
         "image_dhash",
         "audio_fingerprint",
+        "multimodal_mpeg1",
     ):
         df = _xdf(spark, name)
-        assert P.exchange_count(df) == 0, name
         plan = P.explain_str(df)
         assert "MapInPandas" in plan, name
+        # formatted mode: each node's detail block starts "(n) <Name>"
+        # and lists its Input columns; split into blocks and check
+        # every Exchange block
+        blocks = re.split(r"\n\(\d+\) ", plan)
+        ex_blocks = [b for b in blocks if b.startswith("Exchange")]
+        for b in ex_blocks:
+            assert "RoundRobinPartitioning" in b, (name, b.splitlines()[0])
+            assert "payload" not in b, (name, b.splitlines()[:4])
 
 
 def test_events_variant_single_aggregate_shuffle(spark):

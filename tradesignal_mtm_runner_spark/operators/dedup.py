@@ -413,6 +413,7 @@ def simhash_cross_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     max_bucket: int | None = None,
+    base_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-set near-dup probe: (probe_id, base_id, hamming) pairs
     between a NEW batch's simhash signatures and the BASE corpus's —
@@ -421,10 +422,21 @@ def simhash_cross_pairs(
     equi-join; ``max_bucket`` caps hot bands on the BASE side only
     (matching what a capped standing index contains — probe rows
     landing on a dropped band simply find nothing). Output is bounded
-    by |probe bands| x max_bucket, never O(base x batch)."""
-    base_bands = simhash_band_rows(sig_base, id_col)
-    if max_bucket is not None:
-        base_bands = _drop_hot_buckets(base_bands, ["band", "val"], max_bucket)
+    by |probe bands| x max_bucket, never O(base x batch).
+
+    ``base_bands`` (optimization r16, guide §2.4): callers that also
+    run :func:`simhash_near_dup_pairs` over the SAME base corpus
+    (cc_probe/cc_refresh) may pass the capped base band relation once
+    — persisted — instead of this function re-deriving and re-capping
+    it (one count-aggregate + anti-join per call saved). Must be the
+    output of simhash_band_rows(sig_base) with the SAME max_bucket cap
+    already applied; ``sig_base``/``max_bucket`` are ignored then."""
+    if base_bands is None:
+        base_bands = simhash_band_rows(sig_base, id_col)
+        if max_bucket is not None:
+            base_bands = _drop_hot_buckets(
+                base_bands, ["band", "val"], max_bucket
+            )
     probe_bands = simhash_band_rows(sig_probe, id_col)
     a = probe_bands.select(
         F.col(id_col).alias("probe_id"),
@@ -457,6 +469,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     max_bucket: int | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: 4 x 16-bit band blocking, then exact
     hamming via bit_count(xor). Pigeonhole guarantees a shared band
@@ -489,10 +502,19 @@ def simhash_near_dup_pairs(
     and the join; the hamming filter applies inside the expansion
     before anything explodes. Identical output (exact parity measured
     at sf0.1: 4.0 s → 3.5 s for sig+pairs); per-bucket state stays
-    bounded by ``max_bucket`` exactly as the join form's output was."""
-    bands = simhash_band_rows(signatures, id_col)
-    if max_bucket is not None:
-        bands = _drop_hot_buckets(bands, ["band", "val"], max_bucket)
+    bounded by ``max_bucket`` exactly as the join form's output was.
+
+    ``bands`` (optimization r16, guide §2.4): callers that also run
+    :func:`simhash_cross_pairs` / :func:`write_simhash_band_index`
+    over the SAME corpus may pass the capped band relation once —
+    persisted — instead of this function re-deriving and re-capping
+    it. Must be simhash_band_rows(signatures) with the SAME
+    max_bucket cap applied; ``signatures``/``max_bucket`` are ignored
+    then."""
+    if bands is None:
+        bands = simhash_band_rows(signatures, id_col)
+        if max_bucket is not None:
+            bands = _drop_hot_buckets(bands, ["band", "val"], max_bucket)
     buckets = bands.groupBy("band", "val").agg(
         F.array_sort(
             F.array_distinct(
@@ -795,6 +817,7 @@ def write_simhash_band_index(
     max_bucket: int | None = None,
     num_buckets: int = 32,
     mode: str = "overwrite",
+    bands: DataFrame | None = None,
 ) -> None:
     """Persist the corpus's simhash BAND rows — (doc_id, simhash_hi,
     simhash_lo, band, val) — bucketed (and sorted) on the blocking key
@@ -806,12 +829,17 @@ def write_simhash_band_index(
     bands AT BUILD TIME, so every future probe inherits the
     degenerate-bucket guard for free (probe rows landing on a dropped
     band simply find nothing). The corpus is simhashed ONCE here;
-    probes never touch base text again."""
+    probes never touch base text again.
+
+    ``bands`` (optimization r16): a caller that also pairs within the
+    same corpus (build_cc_index) may pass the capped band relation
+    once instead of this function re-deriving and re-capping it."""
     from ..sinks import write_bucketed
 
-    bands = simhash_band_rows(sig)
-    if max_bucket is not None:
-        bands = _drop_hot_buckets(bands, ["band", "val"], max_bucket)
+    if bands is None:
+        bands = simhash_band_rows(sig)
+        if max_bucket is not None:
+            bands = _drop_hot_buckets(bands, ["band", "val"], max_bucket)
     write_bucketed(
         bands,
         table,
@@ -917,11 +945,21 @@ def build_cc_index(
     scale tests, and the streaming admission query so all three
     construct byte-identical state."""
     sig = persist_tracked(simhash_signatures(docs))
+    # one capped band relation feeds BOTH the band-index write and the
+    # pair generator (optimization r16): previously each re-derived
+    # and re-capped it — one count-aggregate + anti-join per consumer
+    bands = simhash_band_rows(sig)
+    if max_bucket is not None:
+        bands = _drop_hot_buckets(bands, ["band", "val"], max_bucket)
     write_simhash_band_index(
-        sig, bands_table, max_bucket=max_bucket, num_buckets=num_buckets
+        sig,
+        bands_table,
+        max_bucket=max_bucket,
+        num_buckets=num_buckets,
+        bands=bands,
     )
     pairs = simhash_near_dup_pairs(
-        sig, max_hamming=max_hamming, max_bucket=max_bucket
+        sig, max_hamming=max_hamming, max_bucket=max_bucket, bands=bands
     )
     lens = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n_toks"))
     labels = (

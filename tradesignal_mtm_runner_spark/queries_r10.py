@@ -66,7 +66,9 @@ def dedup_cc_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_probe_cc in bench.py)."""
     from .functions.text import tokens
     from .operators.dedup import (
+        _drop_hot_buckets,
         connected_canonical,
+        simhash_band_rows,
         simhash_cross_pairs,
         simhash_near_dup_pairs,
         simhash_signatures,
@@ -77,10 +79,20 @@ def dedup_cc_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = persist_tracked(simhash_signatures(d))
     base_sig = sig.filter(F.col("doc_id") % INC_MOD != 0)
     new_sig = sig.filter(F.col("doc_id") % INC_MOD == 0)
+    # ONE capped base band relation feeds the in-corpus pair generator
+    # AND the cross probe's base side (optimization r16, guide §2.4 —
+    # each previously re-derived and re-capped it: one count-aggregate
+    # + anti-join per consumer). _drop_hot_buckets persists it.
+    base_bands = _drop_hot_buckets(
+        simhash_band_rows(base_sig), ["band", "val"], SIMHASH_MAX_BUCKET
+    )
 
     # --- index-build half (per refresh in production, in-query here)
     pairs = simhash_near_dup_pairs(
-        base_sig, max_hamming=SIMHASH_MAX_HAMMING, max_bucket=SIMHASH_MAX_BUCKET
+        base_sig,
+        max_hamming=SIMHASH_MAX_HAMMING,
+        max_bucket=SIMHASH_MAX_BUCKET,
+        bands=base_bands,
     )
     comp = connected_canonical(
         base_sig.select("doc_id"), pairs, iters=DEDUP_CC_ITERS
@@ -96,6 +108,7 @@ def dedup_cc_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_sig,
         max_hamming=SIMHASH_MAX_HAMMING,
         max_bucket=SIMHASH_MAX_BUCKET,
+        base_bands=base_bands,
     )
     resolved = cross.join(
         labels.select(
@@ -497,7 +510,9 @@ def cc_refresh_frame(d: DataFrame) -> DataFrame:
     out so tests/test_r10.py can plant a bridge corpus (two base
     components merged by one new doc) without parquet plumbing."""
     from .operators.dedup import (
+        _drop_hot_buckets,
         connected_canonical,
+        simhash_band_rows,
         simhash_cross_pairs,
         simhash_near_dup_pairs,
         simhash_signatures,
@@ -506,10 +521,19 @@ def cc_refresh_frame(d: DataFrame) -> DataFrame:
     sig = persist_tracked(simhash_signatures(d))
     base_sig = sig.filter(F.col("doc_id") % INC_MOD != 0)
     new_sig = sig.filter(F.col("doc_id") % INC_MOD == 0)
+    # shared capped base bands — the dedup_cc_probe convention
+    # (optimization r16): one derivation + cap for the base pair
+    # generator and the cross probe's base side
+    base_bands = _drop_hot_buckets(
+        simhash_band_rows(base_sig), ["band", "val"], SIMHASH_MAX_BUCKET
+    )
 
     # standing index contents (per refresh in production)
     base_pairs = simhash_near_dup_pairs(
-        base_sig, max_hamming=SIMHASH_MAX_HAMMING, max_bucket=SIMHASH_MAX_BUCKET
+        base_sig,
+        max_hamming=SIMHASH_MAX_HAMMING,
+        max_bucket=SIMHASH_MAX_BUCKET,
+        bands=base_bands,
     )
     labels = persist_tracked(
         connected_canonical(
@@ -523,6 +547,7 @@ def cc_refresh_frame(d: DataFrame) -> DataFrame:
         base_sig,
         max_hamming=SIMHASH_MAX_HAMMING,
         max_bucket=SIMHASH_MAX_BUCKET,
+        base_bands=base_bands,
     )
     to_canon = persist_tracked(
         cross.join(
