@@ -795,11 +795,25 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # the detail artifact records its core count so a later
+        # comparison never mixes a 32-core and an 8-core run (the
+        # driver's r16 low-cpu pass overwrote the r17 detail slot)
+        "cpus": int(cpus),
     }
     if "mtm_sweep_scale" in timings:
         out["sweep_configs_per_sec"] = round(
             SWEEP_CONFIGS / timings["mtm_sweep_scale"], 2
         )
+    # measurement-definition changes, so cross-round readers compare
+    # like to like (VERDICT r16 item 2)
+    out["redefined_keys"] = {
+        "index_probe_components": (
+            "r16 redefinition: times components_refresh_probe over "
+            "partials+labels+batch tables; r15 and earlier timed "
+            "components_from_index over a prebuilt edge index — "
+            "r15->r16 deltas on this key are not comparable"
+        )
+    }
     # blocked-vs-explode regression reference (VERDICT r5 item 5): the
     # per-config explode twin of the same 32-config grid, timed once;
     # reported as separate fields so the headline total still measures
@@ -848,6 +862,52 @@ def main() -> None:
     # artifact); stdout gets the compact line the 2000-byte tail can
     # always hold (VERDICT r13 item 1)
     rnd = _infer_round()
+
+    # round-over-round summary in the COMPACT line (VERDICT r16 item
+    # 2): the stdout tail capture is 2000 bytes, so the full 100+-key
+    # map cannot ride it — instead the machine-readable contract is
+    # the anchor-normalizable aggregate over ALL common keys of the
+    # previous round's detail file, computed the way the r16 verdict
+    # did it by hand (geomean of per-key speedups; the Spark-free
+    # bookkeeper anchor is excluded — it measures the HOST and is
+    # reported separately as host_factor_vs_prev).
+    vs_prev = None
+    if out["sf"] == 0.1:
+        sf_tag_prev = ""
+        prev_rel = f"docs/BENCH_local_r{rnd - 1:02d}{sf_tag_prev}.json"
+        try:
+            prev = json.load(open(os.path.join(_REPO, prev_rel)))
+            prev_q = prev.get("queries") or {}
+            # an artifact from a different core count is a different
+            # measurement (see "cpus" above) — skip rather than mislead
+            if int(prev.get("cpus", cpus)) == int(cpus):
+                import math
+
+                logs = []
+                n_reg = n_imp = 0
+                for k, v in timings.items():
+                    pv = prev_q.get(k)
+                    if k == "bookkeeper_500k_bars" or not pv or not v:
+                        continue
+                    logs.append(math.log(pv / v))
+                    if v > pv * 1.10:
+                        n_reg += 1
+                    elif v < pv * 0.90:
+                        n_imp += 1
+                if logs:
+                    vs_prev = {
+                        "prev_round": rnd - 1,
+                        "n_common": len(logs),
+                        "geomean_speedup": round(
+                            math.exp(sum(logs) / len(logs)), 3
+                        ),
+                        "n_regressed_gt10pct": n_reg,
+                        "n_improved_gt10pct": n_imp,
+                    }
+        except Exception:  # noqa: BLE001 - a missing/odd artifact is skippable
+            vs_prev = None
+    if vs_prev is not None:
+        out["vs_prev_detail"] = vs_prev
     sf_tag = "" if out["sf"] == 0.1 else f"_sf{sf}"
     detail_rel = f"docs/BENCH_local_r{rnd:02d}{sf_tag}.json"
     try:
@@ -885,6 +945,8 @@ def main() -> None:
         "anchor_bookkeeper_500k",
         "host_factor_prev_round",
         "host_factor_vs_prev",
+        "cpus",
+        "vs_prev_detail",
     ):
         if k in out:
             compact[k] = out[k]

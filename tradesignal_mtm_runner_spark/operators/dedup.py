@@ -24,20 +24,41 @@ from ..cache_registry import persist_tracked
 from ..functions.text import shingle_set, shingles, tokens
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
+def _fan_out(df: DataFrame, rows_per_task: int | None = None) -> DataFrame:
     """Spread a small single-file scan across all cores before
     CPU-heavy per-row work (one parquet row group is unsplittable).
     No-op at cluster scale where the scan already has enough
     partitions — and on STREAMING frames, whose partitioning is the
     source's business (``df.rdd`` is illegal there; the decode-at-
     ingest query routes the multimodal attach paths through here on
-    an unbounded frame)."""
+    an unbounded frame).
+
+    ``rows_per_task`` (optimization r17, guide §2 — partitioning must
+    be WORK-adaptive, not a constant per core count): when set, the
+    fan-out is capped at ceil(n_rows / rows_per_task) partitions, so
+    a relation whose per-row work is cheap is never shredded into
+    ``defaultParallelism`` near-empty tasks (the r16 media fan-out
+    regressed the five light codec keys 2-3x at sf0.1 exactly this
+    way — 32 tiny tasks cost more scheduling than one core's worth of
+    synthesis). The row count is only taken when the input is
+    under-partitioned (the local/small case); a cluster-scale scan
+    short-circuits before it, so the extra count job never touches a
+    corpus-sized relation. Callers size ``rows_per_task`` to their
+    per-row cost; ``None`` keeps the original full fan-out (the
+    text/vector paths, whose per-row work is heavy at any count)."""
     if df.isStreaming:
         return df
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+    cur = df.rdd.getNumPartitions()
+    target = sc.defaultParallelism
+    if cur >= target:
+        return df
+    if rows_per_task is not None:
+        n = df.count()
+        target = min(target, max(1, -(-n // rows_per_task)))
+        if target <= cur:
+            return df
+    return df.repartition(target)
 
 
 def exact_dedup_groups(
@@ -236,7 +257,31 @@ def _drop_hot_buckets(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
         .filter(F.col("_n") > cap)
         .select(*keys)
     )
-    return df.join(hot, keys, "left_anti")
+    out = df.join(hot, keys, "left_anti")
+    # tag the cap on the returned wrapper (ADVICE r16): the shared-
+    # bands consumers (simhash_near_dup_pairs / simhash_cross_pairs /
+    # write_simhash_band_index) cross-check it against their own
+    # max_bucket so a precomputed relation capped differently fails
+    # loud instead of silently changing output
+    out._tms_bucket_cap = cap  # noqa: SLF001
+    return out
+
+
+
+def _check_bands_cap(bands: DataFrame, max_bucket: int | None, who: str) -> None:
+    """Fail-loud guard for the shared precomputed ``bands`` relations
+    (ADVICE r16): a caller passing a relation capped differently from
+    the ``max_bucket`` it still declares would silently change bucket
+    behavior — the cap rides the relation as ``_tms_bucket_cap``
+    (set by :func:`_drop_hot_buckets`; absent = uncapped)."""
+    cap = getattr(bands, "_tms_bucket_cap", None)
+    if cap != max_bucket:
+        raise ValueError(
+            f"{who}: precomputed bands relation carries bucket cap "
+            f"{cap!r} but max_bucket={max_bucket!r} was declared — "
+            "apply the same _drop_hot_buckets cap you declare (or "
+            "declare none); a mismatched cap silently changes output"
+        )
 
 
 def lsh_candidate_pairs(
@@ -437,6 +482,8 @@ def simhash_cross_pairs(
             base_bands = _drop_hot_buckets(
                 base_bands, ["band", "val"], max_bucket
             )
+    else:
+        _check_bands_cap(base_bands, max_bucket, "simhash_cross_pairs")
     probe_bands = simhash_band_rows(sig_probe, id_col)
     a = probe_bands.select(
         F.col(id_col).alias("probe_id"),
@@ -515,6 +562,8 @@ def simhash_near_dup_pairs(
         bands = simhash_band_rows(signatures, id_col)
         if max_bucket is not None:
             bands = _drop_hot_buckets(bands, ["band", "val"], max_bucket)
+    else:
+        _check_bands_cap(bands, max_bucket, "simhash_near_dup_pairs")
     buckets = bands.groupBy("band", "val").agg(
         F.array_sort(
             F.array_distinct(
@@ -840,6 +889,8 @@ def write_simhash_band_index(
         bands = simhash_band_rows(sig)
         if max_bucket is not None:
             bands = _drop_hot_buckets(bands, ["band", "val"], max_bucket)
+    else:
+        _check_bands_cap(bands, max_bucket, "write_simhash_band_index")
     write_bucketed(
         bands,
         table,

@@ -50,7 +50,22 @@ from pyspark.sql.types import (
 # serialized the per-row codec work onto one core (measured 7.3 s →
 # 1.5 s for multimodal_mpeg1 at sf0.1). _fan_out is a no-op at
 # cluster scale where the scan already has enough partitions.
+#
+# OPTIMIZATION r17 (VERDICT r16 item 1): the fan-out is capped by
+# WORK SIZE — unconditionally shredding every id subset into
+# defaultParallelism tasks regressed the five cheap codec keys 2-3x
+# at sf0.1 (32 near-empty tasks cost more scheduling than one core's
+# worth of light synthesis). Each family sizes rows-per-task to its
+# measured per-row cost: the multi-frame video codecs (~1.5-3.5 ms
+# per row: mjpeg/avi/mpeg1) keep effectively-full fan-out, the
+# single-image/PCM codecs (~0.2-0.5 ms per row: png/gif/jpeg/wav)
+# spread only once a task holds enough rows to amortize its launch.
 from .dedup import _fan_out  # noqa: E402
+
+#: fan-out row budgets (see _fan_out(rows_per_task=...)) — per-task
+#: row counts sized so one task carries >= ~50 ms of codec work
+_VIDEO_ROWS_PER_TASK = 32
+_IMAGE_ROWS_PER_TASK = 384
 
 MEDIA_TYPES = ["image", "audio", "video"]
 
@@ -529,7 +544,8 @@ def attach_png_pixel_payloads(
     subset = _fan_out(
         docs.filter(F.col(id_col) % 6 == 0).select(
             F.col(id_col).cast("long").alias("doc_id")
-        )
+        ),
+        rows_per_task=_IMAGE_ROWS_PER_TASK,
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -579,7 +595,8 @@ def attach_gif_pixel_payloads(
     subset = _fan_out(
         docs.filter(F.col(id_col) % 6 == 0).select(
             F.col(id_col).cast("long").alias("doc_id")
-        )
+        ),
+        rows_per_task=_IMAGE_ROWS_PER_TASK,
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -636,7 +653,8 @@ def attach_jpeg_pixel_payloads(
     subset = _fan_out(
         docs.filter(F.col(id_col) % 6 == 3).select(
             F.col(id_col).cast("long").alias("doc_id")
-        )
+        ),
+        rows_per_task=_IMAGE_ROWS_PER_TASK,
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -791,7 +809,8 @@ def attach_mjpeg_video_payloads(
     subset = _fan_out(
         docs.filter(F.col(id_col) % 3 == 2).select(
             F.col(id_col).cast("long").alias("doc_id")
-        )
+        ),
+        rows_per_task=_VIDEO_ROWS_PER_TASK,
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -833,7 +852,8 @@ def attach_avi_video_payloads(
     subset = _fan_out(
         docs.filter(F.col(id_col) % 3 == 2).select(
             F.col(id_col).cast("long").alias("doc_id")
-        )
+        ),
+        rows_per_task=_VIDEO_ROWS_PER_TASK,
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -961,7 +981,8 @@ def attach_mpeg1_video_payloads(
     subset = _fan_out(
         docs.filter(F.col(id_col) % 3 == 1).select(
             F.col(id_col).cast("long").alias("doc_id")
-        )
+        ),
+        rows_per_task=_VIDEO_ROWS_PER_TASK,
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1068,7 +1089,8 @@ def attach_wav_audio_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFr
     subset = _fan_out(
         docs.filter(F.col(id_col) % 3 == 1).select(
             F.col(id_col).cast("long").alias("doc_id")
-        )
+        ),
+        rows_per_task=_IMAGE_ROWS_PER_TASK,
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -37,16 +37,12 @@ def with_double_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Spread a small single-file scan across all cores before
-    CPU-heavy per-row vector work (zip_with/aggregate lambdas are
-    interpreted, and a local parquet row group is unsplittable).
-    No-op at cluster scale where the scan already has enough
-    partitions (same rationale as operators/dedup.py:_fan_out)."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+# The one shared fan-out helper (ADVICE r16: this module's local copy
+# had drifted — it lacked the isStreaming guard dedup._fan_out grew,
+# so ``df.rdd`` on an unbounded frame would raise here). The vector
+# paths keep the uncapped full fan-out: their per-row work
+# (interpreted zip_with/aggregate lambdas) is heavy at any row count.
+from .dedup import _fan_out  # noqa: E402,F401
 
 
 def _plane_weight(table: int, p: int, j: int) -> float:
