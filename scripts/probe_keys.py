@@ -31,6 +31,10 @@ def main() -> None:
     spark = get_spark(app_name="probe_keys", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
+    # optional conf overrides for A/B probes: PROBE_CONF="k=v,k=v"
+    for kv in filter(None, os.environ.get("PROBE_CONF", "").split(",")):
+        k, _, v = kv.partition("=")
+        spark.conf.set(k.strip(), v.strip())
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}

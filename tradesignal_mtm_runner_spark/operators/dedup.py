@@ -931,25 +931,51 @@ def write_cc_labels(
     from ..sinks import write_bucketed
 
     labels = persist_tracked(labels.select("doc_id", "canonical_id", "n_toks"))
-    write_bucketed(
-        labels,
-        table,
-        bucket_cols=["doc_id"],
-        num_buckets=num_buckets,
-        sort_cols=["doc_id"],
-        mode=mode,
-    )
-    if best_table is not None:
+    if best_table is None:
         write_bucketed(
-            labels.groupBy("canonical_id").agg(
-                F.max("n_toks").alias("best_n_toks")
-            ),
-            best_table,
-            bucket_cols=["canonical_id"],
+            labels,
+            table,
+            bucket_cols=["doc_id"],
             num_buckets=num_buckets,
-            sort_cols=["canonical_id"],
+            sort_cols=["doc_id"],
             mode=mode,
         )
+        return
+    # OPTIMIZATION r17 (guide §2.6): the label table and its keep-best
+    # rollup are independent consumers of the SAME persisted relation
+    # — materialize it once (so the threads never race the cache
+    # fill), then write both tables concurrently; each write's tail
+    # back-fills the other's idle cores. The pool joins (and
+    # re-raises) before returning.
+    labels.count()
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(
+            inheritable_thread_target(
+                lambda: write_bucketed(
+                    labels.groupBy("canonical_id").agg(
+                        F.max("n_toks").alias("best_n_toks")
+                    ),
+                    best_table,
+                    bucket_cols=["canonical_id"],
+                    num_buckets=num_buckets,
+                    sort_cols=["canonical_id"],
+                    mode=mode,
+                )
+            )
+        )
+        write_bucketed(
+            labels,
+            table,
+            bucket_cols=["doc_id"],
+            num_buckets=num_buckets,
+            sort_cols=["doc_id"],
+            mode=mode,
+        )
+        fut.result()
 
 
 def probe_cc_labels(
@@ -1002,25 +1028,53 @@ def build_cc_index(
     bands = simhash_band_rows(sig)
     if max_bucket is not None:
         bands = _drop_hot_buckets(bands, ["band", "val"], max_bucket)
-    write_simhash_band_index(
-        sig,
-        bands_table,
-        max_bucket=max_bucket,
-        num_buckets=num_buckets,
-        bands=bands,
-    )
-    pairs = simhash_near_dup_pairs(
-        sig, max_hamming=max_hamming, max_bucket=max_bucket, bands=bands
-    )
-    lens = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n_toks"))
-    labels = (
-        connected_canonical(sig.select("doc_id"), pairs, iters=cc_iters)
-        .select("doc_id", "canonical_id")
-        .join(lens, "doc_id")
-    )
-    write_cc_labels(
-        labels, labels_table, num_buckets=num_buckets, best_table=best_table
-    )
+    # materialize the shared persisted relation ONCE before forking:
+    # two threads racing the first action would compute the simhash
+    # pipeline twice into the same cache slots (wasted work, not
+    # wrongness)
+    bands.count()
+    # OPTIMIZATION r17 (guide §2.6 — overlap independent jobs): the
+    # band-index write and the pairs+CC+labels computation both read
+    # only the persisted relations above and touch DIFFERENT tables,
+    # so the write runs on a driver thread while the main thread
+    # resolves components — the 3 CC rounds' tail back-fills the
+    # cores the write leaves idle. One in-flight job is enough; the
+    # pool joins (and re-raises) before this function returns, so
+    # failure semantics are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(
+            inheritable_thread_target(
+                lambda: write_simhash_band_index(
+                    sig,
+                    bands_table,
+                    max_bucket=max_bucket,
+                    num_buckets=num_buckets,
+                    bands=bands,
+                )
+            )
+        )
+        pairs = simhash_near_dup_pairs(
+            sig, max_hamming=max_hamming, max_bucket=max_bucket, bands=bands
+        )
+        lens = docs.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("n_toks")
+        )
+        labels = (
+            connected_canonical(sig.select("doc_id"), pairs, iters=cc_iters)
+            .select("doc_id", "canonical_id")
+            .join(lens, "doc_id")
+        )
+        write_cc_labels(
+            labels,
+            labels_table,
+            num_buckets=num_buckets,
+            best_table=best_table,
+        )
+        fut.result()
 
 
 def cc_probe_from_index(

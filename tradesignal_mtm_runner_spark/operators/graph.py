@@ -48,6 +48,21 @@ from ..sinks import ensure_table_absent, write_bucketed
 #: session conf key selecting the lineage-cut mechanism for the
 #: iterative graph kernels (see :func:`cut_lineage`)
 RELIABLE_CUTS_CONF = "spark.tradesignal.graph.reliableLineageCuts"
+#: session conf key: "true" makes :func:`cut_lineage` use
+#: ``localCheckpoint(eager=False)`` — the logical plan truncates the
+#: same way (LogicalRDD), but materialization defers to the first
+#: action, so fixed-iteration kernels (component_labels,
+#: connected_canonical, pagerank_scores) run their rounds inside ONE
+#: job instead of one blocking job per round, and building a query
+#: for explain/plan capture no longer executes it (ADVICE r16).
+#: Default stays eager: the r17 interleaved A/B (OPTIMIZATION_r17.md)
+#: measured lazy consistently faster only on the fixed-iteration
+#: dedup-CC chain at sf1 (~1.12x) and consistently SLOWER on the
+#: converged/refresh kernels at sf0.1 (their per-round changed-count
+#: forces the same materialization barrier, plus re-planning jitter)
+#: — the knob exists for tooling that wants construction to stay
+#: lazy and for cluster runs to re-evaluate.
+LAZY_CUTS_CONF = "spark.tradesignal.graph.lazyLineageCuts"
 
 
 def cut_lineage(df: DataFrame) -> DataFrame:
@@ -82,7 +97,10 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     if (
         spark.conf.get(RELIABLE_CUTS_CONF, "false") or "false"
     ).lower() != "true":
-        return df.localCheckpoint(eager=True)
+        lazy = (
+            spark.conf.get(LAZY_CUTS_CONF, "false") or "false"
+        ).lower() == "true"
+        return df.localCheckpoint(eager=not lazy)
     if spark.sparkContext.getCheckpointDir() is None:
         raise ValueError(
             f"{RELIABLE_CUTS_CONF}=true but no checkpoint dir is set — "

@@ -248,15 +248,28 @@ def write_bucketed(
     this). ``table`` may be db-qualified.
 
     OPTIMIZATION r16 (guide §6 — output file sizing): repartition by
-    the bucket columns into ``num_buckets`` partitions BEFORE the
-    write. A bucketed write emits one file per (task, bucket) pair, so
-    an N-partition input produced up to N×num_buckets tiny files per
-    table (measured 4.8 s for a trivial 5000-row 32-bucket write —
-    ~1024 files — vs 0.4 s for the same rows as one parquet file);
-    aligning the shuffle with the bucket hash (both Murmur3 mod
-    num_buckets) makes each task hold exactly its bucket: num_buckets
-    files total, the layout readers want at any scale."""
-    df = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+    the bucket columns into a multiple of ``num_buckets`` partitions
+    BEFORE the write. A bucketed write emits one file per (task,
+    bucket) pair, so an N-partition input produced up to
+    N×num_buckets tiny files per table (measured 4.8 s for a trivial
+    5000-row 32-bucket write — ~1024 files — vs 0.4 s for the same
+    rows as one parquet file); aligning the shuffle with the bucket
+    hash makes each task hold rows of exactly one bucket.
+
+    ADVICE r16 (write parallelism / hot-bucket stragglers): the
+    partition count is k×num_buckets with k = ceil(cores /
+    num_buckets), not num_buckets flat — (h mod k·n) mod n == h mod n
+    for Murmur3 hashes, so every shuffle partition still lands in ONE
+    bucket (k files per bucket), but a bucket's data now spreads over
+    k tasks instead of serializing on one: at cluster scale a hot
+    bucket key stops being a single-task straggler and the write uses
+    the whole cluster. Locally k = 1 (32 cores / 32 buckets) — the
+    bench layout and numbers are unchanged."""
+    k = max(
+        1,
+        -(-df.sparkSession.sparkContext.defaultParallelism // num_buckets),
+    )
+    df = df.repartition(k * num_buckets, *[F.col(c) for c in bucket_cols])
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
