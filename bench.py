@@ -873,14 +873,17 @@ def main() -> None:
     # reported separately as host_factor_vs_prev).
     vs_prev = None
     if out["sf"] == 0.1:
-        sf_tag_prev = ""
-        prev_rel = f"docs/BENCH_local_r{rnd - 1:02d}{sf_tag_prev}.json"
-        try:
-            prev = json.load(open(os.path.join(_REPO, prev_rel)))
-            prev_q = prev.get("queries") or {}
-            # an artifact from a different core count is a different
-            # measurement (see "cpus" above) — skip rather than mislead
-            if int(prev.get("cpus", cpus)) == int(cpus):
+        # walk back up to 3 rounds: a detail slot can hold a run at a
+        # DIFFERENT core count (the driver's low-cpu scaling pass
+        # infers round N+1 and writes there — see "cpus" above);
+        # comparing across core counts would mislead, so skip those.
+        for back in (1, 2, 3):
+            prev_rel = f"docs/BENCH_local_r{rnd - back:02d}.json"
+            try:
+                prev = json.load(open(os.path.join(_REPO, prev_rel)))
+                prev_q = prev.get("queries") or {}
+                if int(prev.get("cpus", cpus)) != int(cpus) or not prev_q:
+                    continue
                 import math
 
                 logs = []
@@ -896,7 +899,7 @@ def main() -> None:
                         n_imp += 1
                 if logs:
                     vs_prev = {
-                        "prev_round": rnd - 1,
+                        "prev_round": rnd - back,
                         "n_common": len(logs),
                         "geomean_speedup": round(
                             math.exp(sum(logs) / len(logs)), 3
@@ -904,8 +907,9 @@ def main() -> None:
                         "n_regressed_gt10pct": n_reg,
                         "n_improved_gt10pct": n_imp,
                     }
-        except Exception:  # noqa: BLE001 - a missing/odd artifact is skippable
-            vs_prev = None
+                break
+            except Exception:  # noqa: BLE001 - a missing/odd artifact
+                continue  # is skippable; try one round further back
     if vs_prev is not None:
         out["vs_prev_detail"] = vs_prev
     sf_tag = "" if out["sf"] == 0.1 else f"_sf{sf}"

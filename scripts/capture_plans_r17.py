@@ -26,6 +26,8 @@ DEFAULT = [
     "image_dhash_pairs",
     "audio_fingerprint",
     "audio_fp_pairs",
+    # r17 item 3: batch-sized stage width in the components refresh
+    "copurchase_components_refresh",
 ]
 
 

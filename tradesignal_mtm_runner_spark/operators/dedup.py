@@ -657,6 +657,7 @@ def connected_canonical(
     pairs: DataFrame,
     id_col: str = "doc_id",
     iters: int = 3,
+    parts: int | None = None,
 ) -> DataFrame:
     """Canonical-id assignment over a near-dup pair graph: every doc
     gets the MINIMUM doc_id reachable within ``iters`` hops (min-label
@@ -685,33 +686,54 @@ def connected_canonical(
     that tree; cutting keeps each round's plan edge-sized (interleaved
     A/B at sf0.1: sig+pairs+cc3 12.1→8.6 / 8.6→5.5 / 10.6→10.4 s,
     identical output). Reliable-checkpoint mode applies per
-    cut_lineage's conf at cluster scale."""
+    cut_lineage's conf at cluster scale.
+
+    ``parts`` (optimization r17, the components_refresh convention —
+    VERDICT r16 item 3): a caller that KNOWS the graph is small (the
+    cc_refresh mini-CC over an already-materialized batch-sized
+    contracted graph) passes a measured partition budget; the hop
+    loop then runs with that many shuffle partitions instead of one
+    per core (conf scoped to this function — every hop executes
+    eagerly inside it via the cuts — and restored on exit). Corpus-
+    scale callers leave it None and keep full width."""
     from .graph import cut_lineage
 
-    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).join(
-        ids.select(F.col(id_col).alias("src")), "src", "left_semi"
-    )
-    # iterative algorithm: without materializing here, every iteration
-    # (and the final action) re-runs the whole upstream pair pipeline
-    edges = cut_lineage(edges)
-    labels = ids.select(F.col(id_col), F.col(id_col).alias("lab"))
-    for _ in range(iters):
-        nbr = edges.join(
-            labels.select(F.col(id_col).alias("dst"), "lab"), "dst"
-        ).select(F.col("src").alias(id_col), "lab")
-        # each iteration's labels feed the next join AND the union
-        # branch and the final action: without materializing,
-        # iteration k re-executes iterations 1..k-1 per consumer —
-        # O(iters^2) recompute of the join chain. One row per doc,
-        # same bounded footprint as the edges cut.
-        labels = cut_lineage(
-            labels.unionByName(nbr)
-            .groupBy(id_col)
-            .agg(F.min("lab").alias("lab"))
+    spark = ids.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    if parts is not None:
+        spark.conf.set(conf_key, str(parts))
+    try:
+        e = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         )
+        edges = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).join(
+            ids.select(F.col(id_col).alias("src")), "src", "left_semi"
+        )
+        # iterative algorithm: without materializing here, every
+        # iteration (and the final action) re-runs the whole upstream
+        # pair pipeline
+        edges = cut_lineage(edges)
+        labels = ids.select(F.col(id_col), F.col(id_col).alias("lab"))
+        for _ in range(iters):
+            nbr = edges.join(
+                labels.select(F.col(id_col).alias("dst"), "lab"), "dst"
+            ).select(F.col("src").alias(id_col), "lab")
+            # each iteration's labels feed the next join AND the union
+            # branch and the final action: without materializing,
+            # iteration k re-executes iterations 1..k-1 per consumer —
+            # O(iters^2) recompute of the join chain. One row per doc,
+            # same bounded footprint as the edges cut.
+            labels = cut_lineage(
+                labels.unionByName(nbr)
+                .groupBy(id_col)
+                .agg(F.min("lab").alias("lab"))
+            )
+    finally:
+        if parts is not None:
+            spark.conf.set(conf_key, old_parts)
     return labels.select(
         F.col(id_col),
         F.col("lab").alias("canonical_id"),

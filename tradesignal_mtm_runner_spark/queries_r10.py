@@ -580,8 +580,22 @@ def cc_refresh_frame(d: DataFrame) -> DataFrame:
         new_sig.select("doc_id").unionByName(touched).distinct()
     )
     edges = cut_lineage(to_canon.unionByName(in_batch))
+    # batch-sized stage width for the mini-CC (optimization r17, the
+    # components_refresh convention): the edge relation is already
+    # materialized by the cut, so its count is a block scan — size
+    # the hop loop's shuffle partitions to the data (one per 64k
+    # rows) instead of one per core; a corpus-scale batch grows the
+    # budget back to full width.
+    n_mini = edges.count()
+    mini_parts = max(
+        1,
+        min(
+            edges.sparkSession.sparkContext.defaultParallelism,
+            -(-n_mini // 65536),
+        ),
+    )
     mini = connected_canonical(
-        nodes, edges, iters=REFRESH_CC_ITERS
+        nodes, edges, iters=REFRESH_CC_ITERS, parts=mini_parts
     ).select("doc_id", F.col("canonical_id").alias("new_component"))
 
     # delta: new docs carry their mini-label; base docs in touched
