@@ -62,9 +62,13 @@ from pyspark.sql.types import (
 # spread only once a task holds enough rows to amortize its launch.
 from .dedup import _fan_out  # noqa: E402
 
-#: fan-out row budgets (see _fan_out(rows_per_task=...)) — per-task
-#: row counts sized so one task carries >= ~50 ms of codec work
-_VIDEO_ROWS_PER_TASK = 32
+#: fan-out row budget for the light single-image/PCM codecs (see
+#: _fan_out(rows_per_task=...)): sized so one task carries >= ~50 ms
+#: of codec work. The multi-frame video codecs (mjpeg/avi/mpeg1) keep
+#: the UNCAPPED fan-out — at their ~1.5-3.5 ms/row even a few dozen
+#: rows fill a task, so the cap could never bind, and skipping it
+#: also skips the cap's count job (measured ~0.3 s on multimodal_mpeg1
+#: whose attach runs twice per query).
 _IMAGE_ROWS_PER_TASK = 384
 
 MEDIA_TYPES = ["image", "audio", "video"]
@@ -810,7 +814,6 @@ def attach_mjpeg_video_payloads(
         docs.filter(F.col(id_col) % 3 == 2).select(
             F.col(id_col).cast("long").alias("doc_id")
         ),
-        rows_per_task=_VIDEO_ROWS_PER_TASK,
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -853,7 +856,6 @@ def attach_avi_video_payloads(
         docs.filter(F.col(id_col) % 3 == 2).select(
             F.col(id_col).cast("long").alias("doc_id")
         ),
-        rows_per_task=_VIDEO_ROWS_PER_TASK,
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -982,7 +984,6 @@ def attach_mpeg1_video_payloads(
         docs.filter(F.col(id_col) % 3 == 1).select(
             F.col(id_col).cast("long").alias("doc_id")
         ),
-        rows_per_task=_VIDEO_ROWS_PER_TASK,
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
